@@ -1,0 +1,76 @@
+"""Headline benchmark (driver contract): run the flagship query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing protocol (BASELINE.md): one warm-up pass of the flagship to pay
+JVM/codegen startup, then per-query wall-clock of a full plan+execute
+with results drained via ``df.count()``-style foreach (no driver
+collect of payload — mirrors how a cluster job would sink results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_programming_spark.registry import catalog
+from big_data_programming_spark.session import DEFAULT_CPUS, DEFAULT_SF_DIR, get_spark
+
+#: Headline suite — one representative per operator family; the full
+#: catalog runs in the driver's correctness pass, not here.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "w4_running_sum",
+    "e1_hourly_event_stats",
+    "e3_sessionization",
+    "l1_exact_dedup",
+    "l2_minhash_near_dup",
+    "l3_cosine_topk",
+    "l4_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bdps-bench", cpus=DEFAULT_CPUS)
+    cat = catalog()
+    suite = [n for n in HEADLINE if n in cat]
+
+    # warm-up: JVM, codegen, parquet footer caches
+    cat["q1_pricing_summary"].fn(spark, sf_dir).foreach(lambda r: None)
+
+    timings: dict[str, float] = {}
+    for name in suite:
+        t0 = time.perf_counter()
+        df = cat[name].fn(spark, sf_dir)
+        df.foreach(lambda r: None)  # drain executors-side; no driver collect
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""SparkSession factory (SURVEY.md §7 M0).
+
+One place to encode the execution posture:
+
+* **AQE on** — runtime shuffle-partition coalescing and skew-join
+  splitting are the main 100 TB levers (SURVEY.md §4); at local scale
+  they also keep tiny shuffles from fragmenting into 200 empty tasks.
+* **Arrow on** — pandas interchange and every pandas UDF ride Arrow
+  batches instead of pickled rows.
+* **UTC session timezone** — the fixture parquet stores naive
+  timestamps; DuckDB (the correctness oracle) treats TIMESTAMP as naive,
+  so Spark must not re-interpret them through a local zone.
+* **ANSI mode stays on** (Spark 4 default) — DuckDB errors on
+  overflow/bad casts the same way, so disabling ANSI would *create*
+  semantic drift, not remove it (SURVEY.md §7 hard-part 5).
+* **shuffle.partitions sized to cores** for local mode. On a real
+  cluster this is superseded by AQE's coalescing from
+  ``initialPartitionNum``; the code never assumes a fixed partition
+  count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Number of local cores the driver environment provides (local[32]).
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Default scale-factor directory for ad-hoc runs and bench.py.
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "big_data_programming_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Safe to call repeatedly — ``getOrCreate`` reuses the live session, so
+    tests, bench.py and the driver's verify all share one JVM.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- correctness posture ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # --- scale posture (SURVEY.md §4): AQE owns runtime re-planning ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        # --- Python/JVM boundary: Arrow everywhere it applies ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local[32] has 128 GiB to play with; give the single JVM room so
+        # sf0.1 benches never spill for lack of driver heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # quiet the console; the driver greps stdout for bench JSON
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,107 @@
+"""Bounded sources and sinks (SURVEY.md §2.1 S1-S7).
+
+The parquet scan path is deliberately bare: ``spark.read.parquet`` hands
+Catalyst a relation it can push filters into and prune columns from —
+tests in tests/test_plans.py assert ``PushedFilters``/``ReadSchema``
+actually narrow. Anything clever here (caching, pre-collecting,
+repartitioning on load) would fight the optimizer at 100 TB, so we
+don't.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from big_data_programming_spark.sources.schemas import SCHEMAS
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """S1 — parquet scan of one fixture table at a scale-factor dir.
+
+    ``events.ts`` is nanosecond parquet (FIXTURES.md), which Spark 4
+    rejects outright (PARQUET_TYPE_ILLEGAL). We read it through the
+    ``nanosAsLong`` escape hatch and truncate ns→µs with *integer*
+    division (epoch-ns ≈ 1.7e18 exceeds double's 2^53 mantissa, so a
+    float divide would corrupt microseconds), landing on exactly the
+    µs values DuckDB produces for the same file. The conf is set
+    per-call so the driver's own SparkSession works without pre-setup.
+    """
+    if table not in SCHEMAS:
+        raise KeyError(f"unknown fixture table: {table!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table. Plans only — nothing is materialized."""
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """S5 — expose fixture tables to ``spark.sql`` under their bare names."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """S2 — schema-explicit CSV ingest. ``inferSchema`` is deliberately
+    not exposed: inference is a second pass over the data and its
+    results drift between engines (SURVEY.md §1.3)."""
+    return spark.read.schema(schema).option("header", header).options(**options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType, **options: str) -> DataFrame:
+    """S3 — schema-explicit JSON-lines ingest."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S6 — parquet sink. ``partition_by`` date/categorical columns so
+    downstream scans get static + dynamic partition pruning for free."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 — CSV export."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 — JSON-lines export."""
+    df.write.mode(mode).json(path)
