@@ -1,1 +1,336 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""Aggregation surface (SURVEY.md §2.4 A2-A13).
+
+All of these are single hash-aggregate plans: Spark's partial→exchange→
+final split (A13) is automatic, so even the global aggregates reduce
+each partition before anything crosses the network.
+
+Statistical aggregates (A5) are formulated from exact decimal component
+sums (Σx, Σx², Σxy) instead of the engines' streaming variance/corr
+kernels — the kernels are order-dependent and differ across engines,
+the component formulation is bit-deterministic (functions/canonical.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.functions.canonical import (
+    DEC,
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+
+@register(
+    "a2_global_agg",
+    oracle=f"""
+SELECT COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order,
+       {oracle_dsum('o_totalprice', 'total_sales')},
+       {oracle_davg('o_totalprice', 'avg_sale')}
+FROM orders
+""",
+    tags=("A2", "A3"),
+)
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate — one row out, map-side combined."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        dsum("o_totalprice", "total_sales"),
+        davg("o_totalprice", "avg_sale"),
+    )
+
+
+@register(
+    "a3_distinct_agg",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_distinct_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("A3",),
+)
+def a3_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (count + sum over the distinct value set)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.sum_distinct(F.col("o_totalprice").cast(DEC))
+        .cast("double")
+        .alias("sum_distinct_price"),
+    )
+
+
+@register(
+    "a4_approx_count_distinct",
+    oracle=None,  # HLL sketches are engine-specific — bounds asserted in tests
+    tags=("A4",),
+)
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate — the 100 TB substitute for exact
+    COUNT(DISTINCT): no shuffle of the distinct values, constant-size
+    sketch merge. tests/test_operators.py asserts the estimate is
+    within rsd bounds of the exact count."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "a5_stats_agg",
+    oracle="""
+WITH comp AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (sxx - sx * sx / n) / n AS var_pop_qty,
+       (sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+FROM comp
+""",
+    tags=("A5",),
+)
+def a5_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variance / stddev / corr / covar from exact component sums."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(DEC)).cast("double").alias("sx"),
+        F.sum((q * q).cast(DEC)).cast("double").alias("sxx"),
+        F.sum(p.cast(DEC)).cast("double").alias("sy"),
+        F.sum((p * p).cast(DEC)).cast("double").alias("syy"),
+        F.sum((q * p).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    return comp.select(
+        "l_returnflag",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxx - sx * sx / n) / n).alias("var_pop_qty"),
+        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).alias(
+            "corr_qty_price"
+        ),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+    )
+
+
+@register(
+    "a6_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_quantity), 6) AS median_qty,
+       ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS p25_qty,
+       ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS p75_qty,
+       ROUND(QUANTILE_CONT(o_totalprice_dummy, 0.5), 6) AS median_price
+FROM (SELECT l_returnflag, l_quantity, l_extendedprice AS o_totalprice_dummy FROM lineitem)
+GROUP BY l_returnflag
+""",
+    tags=("A6",),
+)
+def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated quantiles. Both engines sort exactly;
+    the interpolation arithmetic can differ in the last ulp, so outputs
+    are rounded to 6 dp on both sides (canonical.r6 rationale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", 0.75), 6).alias("p75_qty"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+    )
+
+
+@register(
+    "a7_collect_aggs",
+    oracle="""
+SELECT o_orderstatus,
+       LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities,
+       LIST_SORT(LIST(DISTINCT CAST(YEAR(o_orderdate) AS INTEGER))) AS active_years
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("A7",),
+)
+def a7_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group→array aggregation. collect_set order is nondeterministic by
+    contract, so arrays are sorted before emission (SURVEY.md §7
+    hard-part 2)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.sort_array(F.collect_set(F.year("o_orderdate").cast("int"))).alias("active_years"),
+    )
+
+
+@register(
+    "a8_max_by",
+    oracle="""
+SELECT o_custkey,
+       ARG_MAX(o_orderkey, o_totalprice) AS biggest_order,
+       ARG_MIN(o_orderkey, o_totalprice) AS smallest_order,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("A8",),
+)
+def a8_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group representative via max_by/min_by
+    (arg_max/arg_min) — the sanctioned replacement for first()/last(),
+    which are order-dependent. tests assert the fixture has no
+    within-group price ties (which would make argmax ambiguous)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "a9_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('l_quantity', 'sum_qty')},
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("A9",),
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals with GROUPING flags to disambiguate the
+    NULLs that denote 'all' from data NULLs."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+@register(
+    "a9b_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("A9",),
+)
+def a9b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping-set combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+@register(
+    "a10_pivot",
+    oracle="""
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+""",
+    tags=("A10", "F2"),
+)
+def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows→columns: daily counts per event type. Pivot values are
+    declared explicitly — an undeclared pivot needs an extra distinct
+    pass over the data to discover columns, which is a full scan wasted
+    at scale."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "a11_unpivot",
+    oracle="""
+WITH per_nation AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_balance
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, metric, val FROM per_nation
+UNPIVOT (val FOR metric IN (n_customers, total_balance))
+""",
+    tags=("A11",),
+)
+def a11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columns→rows (melt). Value columns are pre-cast to one type —
+    unpivot requires a common value type in both engines."""
+    c = load(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        dsum("c_acctbal", "total_balance"),
+    )
+    return per_nation.unpivot(
+        ["c_nationkey"], ["n_customers", "total_balance"], "metric", "val"
+    )
+
+
+@register(
+    "a12_having",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice', 'spend')}
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+    tags=("A12",),
+)
+def a12_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING = filter over agg output)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 12)
+    )

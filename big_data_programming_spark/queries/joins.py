@@ -1,1 +1,298 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""Join surface (SURVEY.md §2.3 J1-J9).
+
+Physical-strategy posture per query (what survives a 100× scale-up):
+dimension sides are broadcast (explicitly or via the threshold), the
+only shuffles are fact-table equi-keys, and the non-equi joins (range,
+as-of) are written so the equi component carries the shuffle and the
+range predicate rides along — never a bare Cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.functions.canonical import DEC, oracle_dsum
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+
+@register(
+    "j1_inner_join",
+    oracle=f"""
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       {oracle_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+    tags=("J1", "A1"),
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join on the natural key; Spark shuffles both sides
+    on l_orderkey/o_orderkey once and AQE picks SMJ or shuffled-hash."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_left_outer_join",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(CAST(SUM(CAST(COALESCE(o.o_totalprice, 0.0) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("J2", "A1"),
+)
+def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: customers with zero orders survive with n_orders=0.
+    COUNT(col) skips the null-padded rows in both engines."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast(DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j2b_full_outer_join",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal < 0.0) c
+FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+  ON c.c_custkey = o.o_custkey
+""",
+    tags=("J2",),
+)
+def j2b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with unmatched rows on BOTH sides (filters guarantee
+    each side has keys the other lacks)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0.0)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "j3_semi_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+""",
+    tags=("J3",),
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter: left_semi never duplicates the left side, so it
+    beats join+distinct at scale (half the shuffle, no dedup state)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j4_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("J4",),
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence: customers who never ordered."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "j5_cross_join",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+FROM region r
+CROSS JOIN nation n
+""",
+    tags=("J5",),
+)
+def j5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane between tiny dims (5×25); both
+    sides fit in a single broadcast."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("is_home"),
+    )
+
+
+@register(
+    "j6_range_join",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 50.0), ('small', 50.0, 150.0),
+         ('medium', 150.0, 400.0), ('large', 400.0, 1e18)
+)
+SELECT b.band, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""",
+    tags=("J6", "J8"),
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: event value into a price band. The band table is a
+    broadcast literal, so the 'non-equi join' is physically a broadcast
+    nested-loop over 4 rows — O(n) at any scale."""
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 50.0), ("small", 50.0, 150.0), ("medium", 150.0, 400.0), ("large", 400.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "j7_asof_join",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts,
+       MAX(o.o_orderdate) AS last_order_date
+FROM events e
+LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+""",
+    tags=("J7",),
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per user.
+
+    Spark has no native DataFrame as-of join; the scalable formulation
+    is equi-join on the user key (carries the shuffle) + range predicate
+    + max() re-aggregation keyed by the left row's unique id. Emitting
+    MAX(o_orderdate) rather than an arbitrary matched row keeps the
+    result deterministic under orderdate ties (midnight timestamps
+    collide). DuckDB's native ASOF JOIN validates the semantics in
+    tests; the oracle here uses the same portable formulation.
+    At extreme per-user fan-out one would pre-aggregate orders to
+    (user, date) pairs first — noted, not needed at fixture skew."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("o_orderdate").alias("last_order_date"))
+    )
+
+
+@register(
+    "j8_broadcast_join",
+    oracle=f"""
+SELECT p.p_brand,
+       {oracle_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    tags=("J8", "J1", "A1"),
+)
+def j8_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint: part is a dim, lineitem never shuffles
+    for the join — the only exchange is the final group-by on p_brand."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "j9_self_join",
+    oracle="""
+SELECT o1.o_custkey,
+       COUNT(*) AS n_pairs_within_30d
+FROM orders o1
+JOIN orders o2
+  ON o1.o_custkey = o2.o_custkey
+ AND o1.o_orderkey < o2.o_orderkey
+ AND ABS(DATE_DIFF('day', CAST(o1.o_orderdate AS DATE), CAST(o2.o_orderdate AS DATE))) <= 30
+GROUP BY o1.o_custkey
+""",
+    tags=("J9",),
+)
+def j9_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with aliased sides: pairs of orders by the same customer
+    placed within 30 days. Equi key (custkey) bounds the blow-up to
+    per-customer order count squared — safe because customer fan-out is
+    small and AQE splits any skewed key."""
+    o = load(spark, sf_dir, "orders")
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o1.o_orderkey") < F.col("o2.o_orderkey"))
+            & (
+                F.abs(
+                    F.datediff(
+                        F.col("o1.o_orderdate").cast("date"),
+                        F.col("o2.o_orderdate").cast("date"),
+                    )
+                )
+                <= 30
+            ),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs_within_30d"))
+    )
