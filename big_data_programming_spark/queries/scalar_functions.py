@@ -1,1 +1,262 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""Scalar-function families (SURVEY.md §2.8 F1-F7).
+
+All expressions are JVM built-ins inside whole-stage codegen — zero
+Python-boundary crossings. Dialect traps handled per family:
+regexp_replace is all-matches in Spark but first-match in DuckDB (→ 'g'
+flag in the oracle); Spark dayofweek is 1-based Sunday, DuckDB 0-based
+(→ +1 in the oracle); double→string formatting is never emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.functions.canonical import DEC
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+
+@register(
+    "f1_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       INSTR(p_name, 'a') AS first_a,
+       REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CASE WHEN REGEXP_MATCHES(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_word,
+       LEVENSHTEIN(p_brand, 'Brand#00') AS brand_dist,
+       PRINTF('%s/%03d', p_type, p_size) AS type_size,
+       TRIM(CONCAT('  ', p_type, ' ')) AS trimmed
+FROM part
+""",
+    tags=("F1",),
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, pad, concat, regex (POSIX-simple
+    patterns only — Java vs RE2 agree on these), edit distance, printf."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike(r"^[a-z]+ "), 1).otherwise(0).alias("starts_word"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).alias("brand_dist"),
+        F.format_string("%s/%03d", F.col("p_type"), F.col("p_size")).alias("type_size"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "f2_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+       CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+       CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+       CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec
+FROM orders
+WHERE o_orderkey <= 2000
+""",
+    tags=("F2",),
+)
+def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family on the midnight-timestamp order dates."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.unix_seconds(d.cast("timestamp")).alias("epoch_sec"),
+    )
+
+
+@register(
+    "f3_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       FLOOR(l_extendedprice) AS price_floor,
+       CEIL(l_extendedprice) AS price_ceil,
+       ABS(l_discount - 0.05) AS disc_dev,
+       l_quantity * l_quantity AS qty_sq,
+       SQRT(l_extendedprice) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1.0), 6) AS price_ln,
+       ROUND(EXP(l_discount), 6) AS disc_exp,
+       CAST((CAST(l_orderkey AS BIGINT) % 7 + 7) % 7 AS BIGINT) AS key_mod7,
+       SIGN(l_discount - 0.05) AS disc_sign,
+       GREATEST(l_quantity, 25.0) AS qty_hi,
+       LEAST(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+WHERE l_orderkey <= 1000
+""",
+    tags=("F3",),
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt/abs/floor/ceil are IEEE-exact in both engines;
+    ln/exp are libm calls that can differ in the last ulp → rounded to
+    6 dp on both sides. pmod is spelled ((x%n)+n)%n for the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    price, disc, qty = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_quantity")
+    return li.filter(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("price_r1"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.abs(disc - 0.05).alias("disc_dev"),
+        (qty * qty).alias("qty_sq"),
+        F.sqrt(price).alias("price_sqrt"),
+        F.round(F.log(price + 1.0), 6).alias("price_ln"),
+        F.round(F.exp(disc), 6).alias("disc_exp"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.signum(disc - 0.05).alias("disc_sign"),
+        F.greatest(qty, F.lit(25.0)).alias("qty_hi"),
+        F.least(qty, F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@register(
+    "f4_array_funcs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+)
+SELECT doc_id,
+       LEN(tokens) AS n_tokens,
+       LEN(list_distinct(tokens)) AS n_unique,
+       list_slice(tokens, 1, 3) AS first3,
+       list_contains(tokens, 'the') AS has_the,
+       list_sort(list_distinct(list_filter(tokens, t -> LENGTH(t) > 5))) AS long_tokens,
+       list_transform(list_slice(tokens, 1, 3), t -> UPPER(t)) AS first3_upper,
+       list_reduce(list_transform(tokens, t -> LENGTH(t)), (a, b) -> a + b) AS total_chars,
+       LEN(list_filter(tokens, t -> t = 'data')) > 0 AS mentions_data
+FROM toks
+""",
+    tags=("F4", "L4"),
+)
+def f4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family + higher-order functions over tokenized documents.
+    HOFs (transform/filter/aggregate/exists) run as codegen'd lambda
+    expressions — the JVM-side alternative to a Python UDF."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_unique"),
+        F.slice("tokens", 1, 3).alias("first3"),
+        F.array_contains("tokens", "the").alias("has_the"),
+        F.sort_array(F.array_distinct(F.filter("tokens", lambda t: F.length(t) > 5))).alias(
+            "long_tokens"
+        ),
+        F.transform(F.slice("tokens", 1, 3), lambda t: F.upper(t)).alias("first3_upper"),
+        F.aggregate(
+            F.transform("tokens", lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+        ).alias("total_chars"),
+        F.exists("tokens", lambda t: t == F.lit("data")).alias("mentions_data"),
+    )
+
+
+@register(
+    "f5_struct_map",
+    oracle="""
+SELECT c_custkey,
+       struct_pack(nation := c_nationkey, segment := c_mktsegment).nation AS s_nation,
+       struct_pack(nation := c_nationkey, segment := c_mktsegment).segment AS s_segment,
+       MAP(['balance'], [c_acctbal])['balance'][1] AS m_balance,
+       CARDINALITY(MAP(['balance', 'key'], [c_acctbal, CAST(c_custkey AS DOUBLE)])) AS m_size
+FROM customer
+""",
+    tags=("F5",),
+)
+def f5_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map construction and field access. Outputs are re-flattened
+    to scalars so the cross-engine hash compares primitives, not each
+    engine's nested-type rendering."""
+    c = load(spark, sf_dir, "customer")
+    s = F.struct(F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("segment"))
+    m = F.create_map(F.lit("balance"), F.col("c_acctbal"))
+    m2 = F.create_map(
+        F.lit("balance"), F.col("c_acctbal"), F.lit("key"), F.col("c_custkey").cast("double")
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("nation").alias("s_nation"),
+        s.getField("segment").alias("s_segment"),
+        F.element_at(m, "balance").alias("m_balance"),
+        F.size(m2).alias("m_size"),
+    )
+
+
+@register(
+    "f6_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_valid(props) AS BOOLEAN) AS is_valid
+FROM events
+""",
+    tags=("F6",),
+)
+def f6_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the semi-structured events.props payload:
+    typed via from_json schema, stringly via get_json_object."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "f7_hash_funcs",
+    oracle="""
+SELECT c_custkey,
+       MD5(c_name) AS name_md5,
+       SHA256(c_name) AS name_sha256,
+       LENGTH(MD5(c_name)) AS md5_len
+FROM customer
+""",
+    tags=("F7",),
+)
+def f7_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable cryptographic hashes (md5/sha256 agree across engines;
+    xxhash64 and crc32 are engine-specific and covered by unit tests)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+        F.length(F.md5(F.col("c_name").cast("binary"))).alias("md5_len"),
+    )
