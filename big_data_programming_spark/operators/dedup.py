@@ -1,0 +1,187 @@
+"""Deduplication operators (SURVEY.md §2.11 L1/L2): exact, n-gram
+Jaccard, SimHash, and MinHash-LSH.
+
+Scale design (the L7 rule): nothing here materializes pairs across the
+whole corpus. Exact dedup is a hash group-by; Jaccard joins only pairs
+sharing a token (inverted-index join, not cross join); SimHash reduces
+each doc to 64 bits groupable by band; MinHash-LSH (spark.ml) buckets
+by band hashes so candidate generation is equi-join shaped. At 100 TB
+the pairwise step only ever sees same-bucket candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.operators.text import tokenize
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase + collapsed
+    whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup_keys(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: md5 key, surviving doc_id
+    (deterministically the smallest), duplicate count."""
+    return (
+        docs.select(
+            F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("content_hash"),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard similarity for all pairs sharing ≥1 token.
+
+    Inverted-index formulation: explode distinct tokens, self-join on
+    token (equi-join — shuffles on token, never a cross join), count
+    shared tokens per pair, then |A∩B| / (|A|+|B|-|A∩B|). Exact but
+    quadratic in the worst case — the production path at scale is
+    MinHash-LSH banding (minhash_lsh_candidates below); this operator
+    is its ground-truth twin for recall testing (SURVEY.md §7
+    hard-part 4)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+JACCARD_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id AS doc, UNNEST(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_tokens FROM toks GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) >= {threshold}
+"""
+
+
+def _token_hash60(token: Column) -> Column:
+    """Deterministic 60-bit integer hash of a token via md5 — portable
+    to DuckDB (same md5, same hex-prefix parse; 15 hex digits so the
+    value fits a signed 64-bit int in both engines)."""
+    return F.conv(F.substring(F.md5(token.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash signature over token hashes: for each bit position, sum
+    +1/-1 votes across the document's distinct tokens; the sign vector
+    is the signature (emitted as a bit string — near-duplicate docs
+    differ in few positions). Expressed as explode(token)×explode(bit)
+    → one hash aggregate; at scale the fan-out is |tokens|×bits rows of
+    a few bytes, all map-side combined."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    ).select(id_col, _token_hash60(F.col("token")).alias("h"))
+    votes = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    bit_signs = votes.groupBy(id_col, "bit").agg(
+        F.when(F.sum("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
+    )
+    return bit_signs.groupBy(id_col).agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("bit", "b"))), lambda s: s.b)
+        ).alias("simhash_bits")
+    )
+
+
+SIMHASH_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(t.token), 1, 15)) AS BIGINT) AS h
+  FROM documents, UNNEST(list_distinct(string_split(text, ' '))) AS t(token)
+), votes AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM toks, (SELECT UNNEST(generate_series(0, {maxbit})) AS bit) b
+), signs AS (
+  SELECT doc_id, bit, CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS s
+  FROM votes GROUP BY doc_id, bit
+)
+SELECT doc_id, STRING_AGG(s, '' ORDER BY bit) AS simhash_bits
+FROM signs GROUP BY doc_id
+"""
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via spark.ml MinHashLSH.
+
+    tokens → HashingTF sparse vectors → MinHash signatures →
+    approxSimilarityJoin with distance 1-threshold. Candidate
+    generation is a band-bucket equi-join (linear shuffle), never
+    all-pairs. Seeded, so deterministic for a fixed input."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("tokens")).filter(
+        F.size(F.array_distinct("tokens")) > 0
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - jaccard_threshold, distCol="dist")
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            (1.0 - F.col("dist")).alias("est_jaccard"),
+        )
+    )

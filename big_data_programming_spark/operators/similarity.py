@@ -1,0 +1,102 @@
+"""Vector similarity search (SURVEY.md §2.11 L3).
+
+Cosine is computed with built-in array HOFs (zip_with + left-fold
+aggregate) in double precision — JVM codegen, deterministic evaluation
+order, no Python crossing. The same fold order (left-to-right) is what
+DuckDB's list_reduce uses, so results are bit-identical cross-engine.
+
+Scale path: brute-force top-k is a single map + TakeOrderedAndProject
+(fine for one query vector over any corpus size); for query *sets* the
+sign-LSH bucket join (lsh_sign_bucket) turns it into an equi-join that
+only compares same-bucket candidates — IVF-style pruning without an
+index structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """cos(a, b) over two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_array(c: Column) -> Column:
+    """Exact float→double widening so arithmetic happens in f64."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def topk_cosine(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors of a single query vector.
+
+    ``query`` is a 1-row DataFrame holding ``q`` (array<double>); it is
+    broadcast, so the corpus is scanned exactly once with no shuffle —
+    the top-k itself is TakeOrderedAndProject (per-partition heaps)."""
+    joined = vectors.crossJoin(F.broadcast(query))
+    sims = joined.select(
+        F.col(id_col),
+        cosine_similarity_col(as_double_array(F.col(vec_col)), F.col("q")).alias("cosine_sim"),
+    )
+    return sims.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: the concatenated signs of the first
+    ``n_planes`` coordinates (axis-aligned hyperplanes — deterministic
+    and oracle-portable, unlike random projections). Vectors in the
+    same orthant are cosine-close candidates."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, 1, n_planes),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def bucketed_near_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: equi-join on the sign-LSH bucket,
+    then exact cosine on the (few) same-bucket candidates. The bucket
+    join bounds the candidate set to ~n²/2^planes instead of n² — the
+    scale path for pairwise similarity."""
+    b = vectors.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("v"),
+        lsh_sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            cosine_similarity_col(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

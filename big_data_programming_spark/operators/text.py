@@ -1,0 +1,90 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.11 L4/L5).
+
+All built-in expressions (split/regexp/HOFs) — whole-stage codegen,
+no Python crossing, embarrassingly parallel: these run at 100 TB as a
+pure map over document partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny deterministic stopword list shared with the oracle SQL.
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, or single
+#: non-alphanumeric marks — the shape (not the vocab) of a byte-pair
+#: pre-tokenizer. POSIX-simple so Java and RE2 agree.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(text, " ")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Regex pre-tokenization into letter/digit/punct runs."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    stopword ratio, and a composite score in [0, 1]."""
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    out = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (total_len.cast("double") / n_tokens).alias("mean_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+    score = (
+        F.when(F.col("n_tokens").between(10, 2000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("mean_token_len").between(3.0, 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio").between(0.01, 0.5), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return out.withColumn("quality_score", score)
+
+
+#: DuckDB twin expression fragments for :func:`quality_features`.
+QUALITY_ORACLE_SQL = """
+WITH feats AS (
+  SELECT doc_id, lang, source,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         CAST(list_reduce(list_transform(string_split(text, ' '), t -> LENGTH(t)),
+                          (a, b) -> a + b) AS DOUBLE)
+           / LEN(string_split(text, ' ')) AS mean_token_len,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                              t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+           / LEN(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)
+SELECT *,
+       (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.5 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         AS quality_score
+FROM feats
+"""
+# NB: the CASTs above matter — DuckDB parses bare 0.4 as DECIMAL(2,1) and
+# would sum exactly, while Spark sums doubles (0.4+0.3 = 0.7000…01); the
+# two sides must drift identically.
+
+
+def shingle_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling-window document fingerprint: the minimum md5 over all
+    k-token shingles (a 1-permutation MinHash). Identical prefixes of
+    near-duplicate documents collide on this key, so grouping by it is
+    a cheap near-dup blocking pass before pairwise comparison."""
+    toks = tokenize(text)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")),
+    )
+    return F.array_min(shingles)

@@ -1,1 +1,99 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""Deduplication queries (SURVEY.md §2.11 L1/L2) — thin wrappers over
+operators/dedup.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.operators.dedup import (
+    JACCARD_ORACLE_SQL,
+    SIMHASH_ORACLE_SQL,
+    exact_dedup_keys,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    normalize_text,
+    simhash,
+)
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+
+@register(
+    "l1_exact_dedup",
+    oracle="""
+SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("L1", "U5", "F7"),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash: one hash group-by, the
+    survivor is deterministically MIN(doc_id). At 100 TB this is the
+    cheapest possible dedup — a single shuffle on a 32-byte key."""
+    return exact_dedup_keys(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "l1b_dedup_apply",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY md5(TRIM(regexp_replace(LOWER(d.text), '\\s+', ' ', 'g')))
+  ORDER BY d.doc_id) = 1
+""",
+    tags=("L1", "U5"),
+)
+def l1b_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied form of l1: the surviving rows themselves (window
+    dedup keyed by content hash, survivor = lowest doc_id)."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")).cast("binary"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "l2_jaccard_near_dup",
+    oracle=JACCARD_ORACLE_SQL.format(threshold=0.5),
+    tags=("L2", "J9", "A1"),
+)
+def l2_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-duplicate pairs at ≥0.5 —
+    the ground-truth twin that validates MinHash-LSH recall."""
+    return jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "l2b_simhash",
+    oracle=SIMHASH_ORACLE_SQL.format(maxbit=15),
+    tags=("L2", "F7"),
+)
+def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures (operators/dedup.py) —
+    near-dups differ in few bits; grouping by signature bands is the
+    constant-cost blocking pass."""
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "l2c_minhash_lsh",
+    oracle=None,  # sketch internals are engine-specific; recall vs the
+    # exact-Jaccard twin is asserted in tests/test_operators.py
+    tags=("L2",),
+)
+def l2c_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (spark.ml approxSimilarityJoin) at
+    estimated Jaccard ≥0.5 — the production-scale near-dedup path."""
+    return minhash_lsh_candidates(
+        load(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    ).orderBy("doc_a", "doc_b")

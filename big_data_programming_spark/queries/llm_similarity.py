@@ -1,1 +1,160 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""Vector similarity-search queries (SURVEY.md §2.11 L3) — thin
+wrappers over operators/similarity.py.
+
+Oracle note: cosine is spelled out as zip-multiply → left-fold → norms
+in BOTH engines (identical op order → bit-identical doubles) instead of
+DuckDB's list_cosine_similarity, whose internal summation order is not
+guaranteed to match Spark's F.aggregate fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.operators.similarity import (
+    as_double_array,
+    bucketed_near_pairs,
+    cosine_similarity_col,
+    lsh_sign_bucket,
+    topk_cosine,
+)
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+#: DuckDB fragment: cosine(a, b) with Spark's exact fold order.
+#: 0.0 + x == x in IEEE, so Spark's zero-seeded fold equals DuckDB's
+#: first-element-seeded list_reduce.
+_COS = """
+list_reduce(list_transform(generate_series(1, 64),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+/ (SQRT(list_reduce(list_transform(generate_series(1, 64),
+         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+
+@register(
+    "l3_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {_COS.format(a='e.embedding', b='q.qv')} AS cosine_sim
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+""",
+    tags=("L3", "O2", "F4"),
+)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors of vector 0: broadcast the
+    query row, one corpus scan, TakeOrderedAndProject top-k. The
+    baseline ANN path — exact, single-pass, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
+    return topk_cosine(emb, query, k=10)
+
+
+@register(
+    "l3b_bucketed_near_pairs",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(list_slice(embedding, 1, 8),
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       {_COS.format(a='l.embedding', b='r.embedding')} AS cosine_sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.2
+""",
+    tags=("L3", "L2", "J1"),
+)
+def l3b_bucketed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-pairs via sign-LSH bucketing: equi-join on the
+    8-plane orthant bucket (≈n²/256 candidates), exact cosine on the
+    survivors — the scale path for pairwise similarity (L7 rule: never
+    all-pairs)."""
+    return bucketed_near_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=8
+    )
+
+
+@register(
+    "l3c_label_centroid_sim",
+    oracle=None,  # avg-of-vectors summation order is partition-dependent;
+    # validated by tests/test_operators.py against numpy
+    tags=("L3", "A1", "F4"),
+)
+def l3c_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization step: per-label centroids (the
+    'inverted file' list heads), then each vector's similarity to its
+    own centroid. Demonstrates vector aggregation (element-wise mean
+    across rows) as posexplode → hash agg → re-assemble."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x")
+    )
+    centroids = (
+        flat.groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+            ).alias("centroid")
+        )
+    )
+    return (
+        emb.join(F.broadcast(centroids), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity_col(as_double_array(F.col("embedding")), F.col("centroid")), 6
+            ).alias("sim_to_centroid"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "l3d_knn_label_vote",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 7),
+nn AS (
+  SELECT e.vec_id, e.label,
+         {_COS.format(a='e.embedding', b='q.qv')} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 7
+  ORDER BY sim DESC, e.vec_id
+  LIMIT 15
+)
+SELECT label, COUNT(*) AS votes
+FROM nn
+GROUP BY label
+""",
+    tags=("L3", "A1", "O2"),
+)
+def l3d_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification vote: top-15 neighbors of vector 7, counted
+    by label — the evaluation-side primitive for embedding quality."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            cosine_similarity_col(as_double_array(F.col("embedding")), F.col("q")).alias("sim"),
+        )
+    )
+    nn = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(15)
+    return nn.groupBy("label").agg(F.count(F.lit(1)).alias("votes"))

@@ -1,1 +1,220 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""Text-analysis queries over the document corpus (SURVEY.md §2.11
+L4/L5 + the training-data-pipeline text operators: quality scoring,
+language ID, token counting, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_programming_spark.functions.canonical import oracle_davg
+from big_data_programming_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    QUALITY_ORACLE_SQL,
+    bpe_ish_tokens,
+    quality_features,
+    shingle_fingerprint,
+    tokenize,
+)
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+
+@register(
+    "l4_text_stats",
+    oracle=f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       {oracle_davg('n_chars', 'avg_chars')},
+       SUM(LEN(string_split(text, ' '))) AS total_tokens,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("L4", "A1", "F4"),
+)
+def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: doc counts, length stats, token totals per
+    (lang, source) slice — the first thing a data pipeline reports."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(38,10)")).cast("double") / F.count("n_chars")).alias(
+            "avg_chars"
+        ),
+        F.sum(F.size(tokenize(F.col("text")))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "l5_quality_filter",
+    oracle=QUALITY_ORACLE_SQL + " WHERE quality_score >= 0.7 AND n_tokens >= 20",
+    tags=("L5", "P2", "F4"),
+)
+def l5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: keep documents whose composite score clears the
+    bar (operators/text.py:quality_features)."""
+    d = load(spark, sf_dir, "documents")
+    return quality_features(d).filter(
+        (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
+    )
+
+
+@register(
+    "l4b_token_counting",
+    oracle=f"""
+SELECT doc_id,
+       LEN(string_split(text, ' ')) AS ws_tokens,
+       LEN(regexp_extract_all(LOWER(text), '{BPE_ISH_PATTERN}')) AS bpe_ish_tokens,
+       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS chars_per_4_estimate
+FROM documents
+""",
+    tags=("L4", "F1"),
+)
+def l4b_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex
+    pre-tokenization, and the chars/4 heuristic LLM pipelines use for
+    quick budget estimates."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("chars_per_4_estimate"),
+    )
+
+
+@register(
+    "l4c_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT lang, t.token, COUNT(*) AS term_freq
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+  GROUP BY lang, t.token
+), df AS (
+  SELECT token, COUNT(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, t.token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token))
+  GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT lang, token, term_freq,
+       ROUND(term_freq * LN(CAST(n.n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, token) <= 5
+""",
+    tags=("L4", "W6", "F4"),
+)
+def l4c_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-lite term ranking: top-5 distinguishing terms per lang.
+    Two hash aggregates (tf, df) + broadcast of the tiny df side."""
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))  # 1-row dim, broadcast
+    toks = d.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("term_freq"))
+    df = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "token",
+            "term_freq",
+            F.round(F.col("term_freq") * F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+#: (token, language, weight) voting profile. Weights are binary-exact
+#: doubles (1.0 / 0.5 / 0.25) so per-group sums are order-independent.
+_LANG_PROFILE = [
+    ("the", "en", 1.0), ("data", "en", 0.5), ("fast", "en", 0.25),
+    ("der", "de", 1.0), ("und", "de", 1.0), ("schnell", "de", 0.5),
+    ("el", "es", 1.0), ("datos", "es", 1.0), ("tabla", "es", 0.5),
+    ("le", "fr", 1.0), ("vite", "fr", 0.5), ("table", "fr", 0.25),
+    ("shuju", "zh", 1.0), ("biao", "zh", 0.5), ("kuai", "zh", 0.25),
+]
+_LANG_PROFILE_SQL = ", ".join(
+    f"('{t}', '{g}', CAST({w} AS DOUBLE))" for t, g, w in _LANG_PROFILE
+)
+
+
+@register(
+    "l4d_language_id",
+    oracle=f"""
+WITH profile(token, plang, weight) AS (
+  VALUES {_LANG_PROFILE_SQL}
+), scores AS (
+  SELECT d.doc_id, p.plang, SUM(p.weight) AS score
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+  JOIN profile p ON p.token = t.token
+  GROUP BY d.doc_id, p.plang
+), best AS (
+  SELECT doc_id, plang, score
+  FROM scores
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) = 1
+)
+SELECT d.doc_id, d.lang AS actual_lang,
+       COALESCE(b.plang, 'unknown') AS predicted_lang,
+       COALESCE(b.score, CAST(0.0 AS DOUBLE)) AS best_score
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+""",
+    tags=("L5", "L4"),
+)
+def l4d_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by token-profile voting: explode tokens, broadcast-
+    join a (token, lang, weight) profile, rank per-language scores with
+    a total order (score DESC, lang) so prediction is deterministic
+    under ties. The fixture corpus is synthetic shared-vocabulary text,
+    so the profile is a deterministic demo table; swap in real n-gram
+    profiles for natural text — the plan shape (explode → broadcast
+    join → hash agg → rank) is the production one."""
+    d = load(spark, sf_dir, "documents")
+    profile = spark.createDataFrame(_LANG_PROFILE, "token string, plang string, weight double")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    scores = (
+        toks.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("plang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return d.select("doc_id", F.col("lang").alias("actual_lang")).join(
+        best, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "actual_lang",
+        F.coalesce(F.col("plang"), F.lit("unknown")).alias("predicted_lang"),
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("best_score"),
+    )
+
+
+@register(
+    "l4e_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, GREATEST(LEN(string_split(text, ' ')) - 7, 1)),
+         i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))
+       )) AS fingerprint
+FROM documents
+""",
+    tags=("L4", "L2", "F4", "F7"),
+)
+def l4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window document fingerprint (min-md5 over 8-token
+    shingles) — operators/text.py:shingle_fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", shingle_fingerprint(F.col("text"), k=8).alias("fingerprint"))
