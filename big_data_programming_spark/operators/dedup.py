@@ -160,13 +160,21 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     num_hashes: int = 32,
+    margin: float = 0.1,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via spark.ml MinHashLSH.
+    """Near-duplicate *candidate* pairs via spark.ml MinHashLSH.
 
     tokens → HashingTF sparse vectors → MinHash signatures →
-    approxSimilarityJoin with distance 1-threshold. Candidate
-    generation is a band-bucket equi-join (linear shuffle), never
-    all-pairs. Seeded, so deterministic for a fixed input."""
+    approxSimilarityJoin. Candidate generation is a band-bucket
+    equi-join (linear shuffle), never all-pairs; seeded, so
+    deterministic for a fixed input.
+
+    ``margin`` over-fetches: the join's distance filter runs on the
+    *hashed-feature* Jaccard, which drifts a few percent from true
+    token Jaccard for borderline pairs (HashingTF bucket collisions),
+    so the distance cut is loosened by ``margin`` and the precise cut
+    is left to the exact-verify stage (:func:`minhash_dedup_pairs`) —
+    the standard over-fetch-then-verify shape of production dedup."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     toks = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("tokens")).filter(
@@ -176,7 +184,9 @@ def minhash_lsh_candidates(
     feat = tf.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
     model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - jaccard_threshold, distCol="dist")
+    pairs = model.approxSimilarityJoin(
+        feat, feat, 1.0 - jaccard_threshold + margin, distCol="dist"
+    )
     return (
         pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
         .select(
@@ -184,4 +194,45 @@ def minhash_lsh_candidates(
             F.col(f"datasetB.{id_col}").alias("doc_b"),
             (1.0 - F.col("dist")).alias("est_jaccard"),
         )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates exact-verified against true token Jaccard — the
+    full production near-dedup pipeline (generate ∪ verify), whose
+    output equals the ground-truth all-pairs computation while only
+    ever scoring same-bucket candidates. 32 hash tables put the
+    candidate-miss probability for a true ≥0.5 pair below 1e-9, so the
+    result is oracle-checkable against the exact formulation."""
+    cand = minhash_lsh_candidates(docs, text_col, id_col, jaccard_threshold=threshold)
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    ta = toks.select(F.col("doc").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc").alias("doc_b"), "token")
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
     )

@@ -48,9 +48,11 @@ def e1_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "e2_sliding_windows",
-    oracle="""
+#: DuckDB twin of F.window("ts", "1 hour", "15 minutes") — each event
+#: lands in exactly 4 overlapping windows; the offsets CTE reconstructs
+#: Spark's window-start arithmetic. Shared with the streaming variant
+#: (queries/streaming_queries.py st3).
+E2_SLIDING_ORACLE = """
 WITH offsets(j) AS (VALUES (0), (1), (2), (3)),
 win AS (
   SELECT make_timestamp(((CAST(FLOOR(EPOCH(ts)) AS BIGINT) - j * 900) // 3600 * 3600 + j * 900) * 1000000)
@@ -64,7 +66,12 @@ SELECT window_start,
        CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM win
 GROUP BY 1
-""",
+"""
+
+
+@register(
+    "e2_sliding_windows",
+    oracle=E2_SLIDING_ORACLE,
     tags=("ST3",),
 )
 def e2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,7 @@ from big_data_programming_spark.operators.dedup import (
     SIMHASH_ORACLE_SQL,
     exact_dedup_keys,
     jaccard_pairs,
-    minhash_lsh_candidates,
+    minhash_dedup_pairs,
     normalize_text,
     simhash,
 )
@@ -87,13 +87,31 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l2c_minhash_lsh",
-    oracle=None,  # sketch internals are engine-specific; recall vs the
-    # exact-Jaccard twin is asserted in tests/test_operators.py
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS doc, UNNEST(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_tokens FROM toks GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) >= 0.5
+""",
     tags=("L2",),
 )
 def l2c_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (spark.ml approxSimilarityJoin) at
-    estimated Jaccard ≥0.5 — the production-scale near-dedup path."""
-    return minhash_lsh_candidates(
-        load(spark, sf_dir, "documents"), jaccard_threshold=0.5
-    ).orderBy("doc_a", "doc_b")
+    """The production-scale near-dedup pipeline: MinHash-LSH candidate
+    generation (spark.ml approxSimilarityJoin, band-bucket equi-join)
+    followed by exact Jaccard verification of candidates only. Output
+    equals the ground-truth all-pairs result (the oracle is the exact
+    formulation) while the pairwise work is bounded by the LSH bucket
+    structure — the shape that survives 100 TB."""
+    return minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.5)

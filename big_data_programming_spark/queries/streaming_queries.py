@@ -1,1 +1,324 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""Structured Streaming operators ST1-ST9 (SURVEY.md §2.9, §7 M6).
+
+Every query replays the bounded ``events`` fixture through
+``spark.readStream`` (S8) and drains deterministically with
+``trigger(availableNow=True)`` into a memory sink (S9) — see
+streaming/harness.py. The oracle for each is the *batch-equivalent*
+SQL: identical results because event-time semantics don't depend on
+boundedness; for watermarked append-mode queries the oracle reproduces
+the final-watermark emission rule (window_end ≤ max_event_time − delay,
+ms-floored) that the no-data micro-batch applies.
+
+Scale posture: state size is the 100 TB concern, not throughput.
+Tumbling/sliding aggs keep one row of state per open window per key;
+watermarks bound state retention (ST1/ST8); dedup state is bounded by
+``dropDuplicatesWithinWatermark``; the stateful escape hatch (ST6)
+holds one fixed-width tuple per user. Nothing here buffers raw events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.functions.canonical import DEC, oracle_dsum
+from big_data_programming_spark.queries.events import E2_SLIDING_ORACLE
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+from big_data_programming_spark.streaming.harness import (
+    drain,
+    drain_foreach_batch,
+    events_stream,
+)
+
+#: DuckDB fragment: Spark's final watermark in epoch-µs for a given
+#: delay — max event time floored to ms, minus the delay.
+_WM_US = "(EPOCH_MS(MAX(ts)) - {delay_ms}) * 1000"
+
+
+@register(
+    "st1_watermark_tumbling",
+    oracle=f"""
+WITH w AS (
+  SELECT make_timestamp((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 * 3600) * 1000000) AS window_start,
+         make_timestamp((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 * 3600 + 3600) * 1000000) AS window_end,
+         value
+  FROM events
+), wm AS (SELECT {_WM_US.format(delay_ms=2 * 3600 * 1000)} AS wm_us FROM events)
+SELECT window_start, window_end,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'total_value')}
+FROM w, wm
+WHERE EPOCH_US(window_end) <= wm_us
+GROUP BY 1, 2
+""",
+    tags=("ST1", "ST2", "ST8", "S8", "S9"),
+)
+def st1_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour agg with a 2-hour watermark in *append* mode:
+    windows are emitted exactly once, when the watermark passes their
+    end — rows later than 2h are dropped (ST8) and window state is
+    evicted, which is what bounds state at 100 TB. Windows still open
+    at end-of-stream are never emitted (correct append semantics; the
+    oracle applies the same final-watermark cutoff)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return drain(agg, "append")
+
+
+@register(
+    "st2_tumbling_complete",
+    oracle=f"""
+SELECT make_timestamp((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 * 3600) * 1000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("ST2", "S8", "S9"),
+)
+def st2_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour agg per event_type in *complete* mode — no
+    watermark, full re-emission each batch; exactly equals the batch
+    twin (e1). Complete mode is the right choice when the window count
+    is small and sinks want the whole table (dashboards)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return drain(agg, "complete")
+
+
+@register(
+    "st3_sliding_complete",
+    oracle=E2_SLIDING_ORACLE,
+    tags=("ST3", "S8"),
+)
+def st3_sliding_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m windows on the stream (complete mode) — same
+    logical plan as the batch twin e2, same result."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return drain(agg, "complete")
+
+
+@register(
+    "st4_session_window",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ids AS (
+  SELECT *, SUM(is_new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+), sess AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS session_value
+  FROM ids GROUP BY user_id, sid
+), wm AS (SELECT {_WM_US.format(delay_ms=0)} AS wm_us FROM events)
+SELECT user_id, session_start, session_end, n_events, session_value
+FROM sess, wm
+WHERE EPOCH_US(session_end) <= wm_us
+""",
+    tags=("ST4", "S8"),
+)
+def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-minute gap) on the stream, append
+    mode with a zero-delay watermark. Spark merges an event into a
+    session while event_ts < session_end (i.e. a gap of exactly 30:00
+    starts a NEW session — note the >= in the oracle's gap test,
+    versus > in the batch gap-sessionize e3, whose semantics keep an
+    exact-gap event). Sessions are emitted when the watermark passes
+    session_end = last_event + gap; tail sessions still open at
+    end-of-stream stay in state, and the oracle applies the same
+    cutoff."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return drain(agg, "append")
+
+
+@register(
+    "st5_stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+""",
+    tags=("ST5", "U4", "S8"),
+)
+def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the stream unioned with itself (every event
+    arrives twice) then dropDuplicates on event_id — exactly-once
+    delivery reconstructed from at-least-once input. State is one key
+    per seen id; production pairs this with
+    dropDuplicatesWithinWatermark so ids age out of state."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    deduped = (
+        a.unionAll(b)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return drain(deduped, "append")
+
+
+@register(
+    "st6_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+    tags=("ST6", "UD4", "S8"),
+)
+def st6_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-key logic via applyInPandasWithState:
+    running per-user event count + spend, state = one (count, cents)
+    tuple per user. Spend is summed in integer cents
+    (floor(value*100+0.5), identical in both engines) so totals are
+    order-independent — the float-sum canon doesn't reach into Python,
+    so the operator is designed to not need it."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100 + 0.5).pipe(lambda s: s.astype("int64")).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    s = events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain(out, "update")
+
+
+@register(
+    "st7_stream_static_join",
+    oracle=f"""
+SELECT c.c_nationkey,
+       COUNT(*) AS n_events,
+       {oracle_dsum('e.value', 'total_value')}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    tags=("ST7", "J1", "A1", "S8"),
+)
+def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension: enrich events with the customer dim
+    (broadcast — re-read per micro-batch, so dim updates are picked
+    up), then aggregate per nation in complete mode."""
+    s = events_stream(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    joined = s.join(
+        F.broadcast(customer), s.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    return drain(agg, "complete")
+
+
+@register(
+    "st9_foreach_batch_sink",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE value >= 90.0
+""",
+    tags=("ST9", "S6", "S9", "P2"),
+)
+def st9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: high-value events appended batch-by-batch to
+    a parquet directory, then read back — the arbitrary-sink escape
+    hatch (multi-sink fanout, JDBC upserts). Filter runs inside the
+    stream, so the sink only ever sees matching rows."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bdps_st9_out_")
+    s = events_stream(spark, sf_dir)
+    hot = s.filter(F.col("value") >= 90.0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    drain_foreach_batch(hot, write_batch)
+    return spark.read.schema("event_id long, user_id long, event_type string, value double").parquet(
+        out_dir
+    )

@@ -1,1 +1,258 @@
-"""Placeholder — filled in during this round (SURVEY.md §7)."""
+"""UDF / UDAF / UDTF surface UD1-UD7 (SURVEY.md §2.10, §7 M7).
+
+These are the documented *escape hatches* — every one of them crosses
+the executor-JVM → Python-worker boundary, which is the expensive
+crossing in the whole engine (SURVEY.md §3.2). The rules encoded here:
+
+* Row-at-a-time UDFs (UD1) exist for parity but are the slow path —
+  each exemplar notes the built-in expression that replaces it.
+* Everything else rides Arrow batches (pandas UDFs / applyInPandas /
+  mapInPandas), amortizing the crossing to ~free per row.
+* Python float arithmetic must stay order-independent to hash-match
+  the oracle: per-row math only, or integer/exactly-representable
+  sums — never accumulate doubles across an unordered batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+
+@register(
+    "ud1_row_udf",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+            WHEN o_totalprice >= 150000 THEN 'gold'
+            ELSE 'standard' END AS tier
+FROM orders
+""",
+    tags=("UD1",),
+)
+def ud1_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (tier bucketing). Deliberately the
+    worst implementation in the repo: one Python call per row. The
+    same logic as a built-in expression is F.when(...)— shown in the
+    oracle — and is what production code must use; this entry exists
+    to cover the API surface and to let the bench quantify the gap."""
+
+    @F.udf(returnType=StringType())
+    def tier(total: float) -> str:
+        if total >= 300000:
+            return "platinum"
+        if total >= 150000:
+            return "gold"
+        return "standard"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier"))
+
+
+@register(
+    "ud2_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS discounted,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+FROM lineitem
+""",
+    tags=("UD2",),
+)
+def ud2_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: vectorized revenue math over Arrow batches.
+    Per-row double arithmetic is bit-identical to the JVM/DuckDB
+    expression, so this hash-matches with no canon needed."""
+
+    @F.pandas_udf(DoubleType())
+    def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    @F.pandas_udf(DoubleType())
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("discounted"),
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+@register(
+    "ud3_iterator_pandas",
+    oracle="""
+SELECT doc_id,
+       CAST(n_chars AS DOUBLE) / 5000.0 AS rel_length,
+       LEAST(CAST(n_chars AS DOUBLE) / 5000.0, 1.0) AS clipped
+FROM documents
+""",
+    tags=("UD3",),
+)
+def ud3_iterator_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF: the per-batch loop makes one-time
+    setup (model load, dictionary mmap) amortizable across a whole
+    partition — here the 'model' is just a normalization constant, the
+    point is the shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def rel_length(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        norm = 5000.0  # stand-in for expensive per-worker init
+        for s in batches:
+            yield s.astype("float64") / norm
+
+    d = load(spark, sf_dir, "documents")
+    out = d.select("doc_id", rel_length("n_chars").alias("rel_length"))
+    return out.withColumn("clipped", F.least(F.col("rel_length"), F.lit(1.0)))
+
+
+@register(
+    "ud4_grouped_map",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CASE WHEN MAX(o_totalprice) OVER w = MIN(o_totalprice) OVER w THEN 0.0
+            ELSE ROUND((o_totalprice - MIN(o_totalprice) OVER w)
+                       / (MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w), 6)
+       END AS price_minmax
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)
+""",
+    tags=("UD4",),
+)
+def ud4_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer min-max normalization of
+    order totals. Min/max are order-independent (unlike mean/std), so
+    the Python result is bit-identical to the SQL window formulation in
+    the oracle — which is also the implementation to prefer when the
+    per-group logic IS expressible as window algebra; applyInPandas
+    earns its shuffle only for genuinely imperative per-group code."""
+
+    def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        rng = hi - lo
+        if rng > 0:
+            norm = (pdf["o_totalprice"] - lo) / rng
+        else:
+            norm = pd.Series(0.0, index=pdf.index)
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "o_totalprice": pdf["o_totalprice"],
+                "price_minmax": (norm).round(6),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        minmax,
+        schema="o_custkey long, o_orderkey long, o_totalprice double, price_minmax double",
+    )
+
+
+@register(
+    "ud5_grouped_agg",
+    oracle="""
+SELECT lang,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars_udaf
+FROM documents
+GROUP BY lang
+""",
+    tags=("UD5",),
+)
+def ud5_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (custom UDAF): mean document length per
+    language. The sum runs over int64 — exact, order-free — and the
+    single final division matches the oracle bit-for-bit. Usable in
+    both .agg() and Window.over(); registered here through .agg()."""
+
+    @F.pandas_udf(DoubleType())
+    def avg_chars(n: pd.Series) -> float:
+        return float(n.sum()) / len(n)
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(avg_chars("n_chars").alias("avg_chars_udaf"))
+
+
+@register(
+    "ud6_map_in_pandas",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM events
+""",
+    tags=("UD6", "F6"),
+)
+def ud6_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: whole-partition transform with a different output
+    schema — JSON props parsed in Python (json module) batch by batch.
+    The built-in F.get_json_object does this JVM-side and is preferred;
+    this demonstrates the arbitrary-reshape escape hatch used when the
+    parse genuinely needs Python (custom binary formats, tokenizers)."""
+    import json
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "k": [json.loads(p).get("k") for p in pdf["props"]],
+                    "value_cents": (pdf["value"] * 100 + 0.5).astype("int64"),
+                }
+            )
+
+    e = load(spark, sf_dir, "events")
+    return e.mapInPandas(
+        parse, schema="event_id long, user_id long, k long, value_cents long"
+    )
+
+
+@register(
+    "ud7_python_udtf",
+    oracle="""
+SELECT doc_id, t.token, CAST(t.pos AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS token,
+         UNNEST(generate_series(1, LEN(string_split(text, ' ')))) AS pos
+  FROM documents
+) AS t(doc_id, token, pos)
+WHERE doc_id < 100
+""",
+    tags=("UD7", "F4"),
+)
+def ud7_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): text → (token, position)
+    rows via a lateral join. The SQL-expressible twin is
+    posexplode(split(...)) — shown in the oracle as UNNEST — which is
+    the production path; the UDTF form is for tokenizers that need
+    real Python (BPE, sentencepiece)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: long")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield tok, i
+
+    spark.udtf.register("bdps_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("bdps_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM bdps_udtf_docs d, LATERAL bdps_tokenize(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )

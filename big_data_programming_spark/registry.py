@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "llm_text",
     "llm_dedup",
     "llm_similarity",
+    "llm_multimodal",
     "streaming_queries",
     "udfs",
 )

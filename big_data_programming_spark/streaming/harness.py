@@ -1,0 +1,106 @@
+"""Streaming source + deterministic drain harness (SURVEY.md §2.1
+S8/S9, §3.3).
+
+The fixture ``events`` table is replayed through ``spark.readStream``
+(file source) and drained with ``trigger(availableNow=True)`` into a
+memory sink — the bounded-replay shape from SURVEY.md §3.3 that makes
+every §2.9 streaming operator deterministically testable against its
+batch twin. On a real cluster the same queries run unchanged against a
+directory that keeps receiving files (or a Kafka source) with a
+durable checkpoint location; nothing here depends on the input being
+bounded except the test-side ``awaitTermination``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events schema as the *streaming file source* must declare it: with
+#: ``nanosAsLong`` in force (sources/loaders.py), the ns-precision
+#: parquet ``ts`` arrives as a raw epoch-nanos LongType.
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_sink_ids = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the events table as an unbounded stream.
+
+    Same ns→µs truncation as the batch loader (integer division — see
+    sources/loaders.py:load) so the streaming and batch plans see
+    bit-identical timestamps. One deliberate difference: ``ts`` is
+    emitted as TIMESTAMP (session-zoned), not TIMESTAMP_NTZ, because
+    ``withWatermark`` requires a zoned event-time column
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The session zone
+    is UTC (session.py), so wall-clock values are identical; queries
+    cast window bounds back to TIMESTAMP_NTZ on output to match their
+    batch twins.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a *directory*; select the single
+    # fixture file out of the sf dir with a glob filter.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def drain(df: DataFrame, output_mode: str) -> DataFrame:
+    """S9/ST9 — run a streaming DataFrame to completion and return the
+    drained result.
+
+    ``availableNow`` processes the bounded input then runs the no-data
+    micro-batch that lets event-time watermarks flush final state
+    (append-mode windowed aggs would otherwise under-emit). The memory
+    sink holds the result table; tests and the driver read it like any
+    DataFrame. Checkpoints go to a throwaway tmpdir — a durable path is
+    a production concern, not a semantics one.
+    """
+    name = f"bdps_stream_sink_{next(_sink_ids)}"
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def drain_foreach_batch(df: DataFrame, batch_fn) -> None:
+    """ST9 — drain a stream through ``foreachBatch`` (arbitrary-sink
+    escape hatch: upserts, multi-sink fanout, JDBC, ...)."""
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_")
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,212 @@
+"""Property and algorithm tests for the custom operators (SURVEY.md
+§5.2.4): things the row-hash oracle can't check — recall of approximate
+algorithms, numeric agreement with numpy, idempotence, determinism."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.operators.dedup import (
+    exact_dedup_keys,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+)
+from big_data_programming_spark.operators.multimodal import (
+    decode_stub,
+    fake_decode_features,
+    synthesize_blobs,
+)
+from big_data_programming_spark.operators.sessions import sessionize
+from big_data_programming_spark.operators.similarity import (
+    as_double_array,
+    cosine_similarity_col,
+    topk_cosine,
+)
+from big_data_programming_spark.sources.loaders import load
+from tests.conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SMOKE_SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SMOKE_SF_DIR, "embeddings")
+
+
+# ---------- dedup ----------
+
+
+def test_exact_dedup_partitions_corpus(docs):
+    """Hash groups partition the corpus: group sizes sum to |docs|."""
+    agg = exact_dedup_keys(docs).agg(F.sum("n_copies"), F.count("*")).collect()[0]
+    assert agg[0] == docs.count()
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    """Deduping an already-deduped corpus is the identity (§5.2.4)."""
+    keep = exact_dedup_keys(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    once = docs.join(keep, "doc_id")
+    again = exact_dedup_keys(once)
+    assert again.filter(F.col("n_copies") > 1).count() == 0
+    assert again.count() == once.count()
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(docs):
+    """SURVEY.md §7 hard-part 4: the margin-widened LSH candidate set
+    must cover every true near-dup pair (Jaccard ≥ 0.5). 32 hash
+    tables put the bucket-miss probability per true pair below 1e-9,
+    and the 0.1 distance margin absorbs HashingTF feature-space drift,
+    so coverage on the fixture must be total — this is what licenses
+    l2c's exact oracle."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    if not truth:
+        pytest.skip("fixture has no true near-dup pairs at 0.5")
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, jaccard_threshold=0.5).collect()
+    }
+    missed = truth - cand
+    assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_verified_equals_ground_truth(docs):
+    """The full generate→verify pipeline reproduces the exact all-pairs
+    result: identical pairs AND identical Jaccard values."""
+    truth = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == truth
+
+
+# ---------- similarity ----------
+
+
+def test_cosine_self_similarity_is_one(emb):
+    """cos(v, v) = 1 exactly (same fold both sides of the divide)."""
+    d = emb.select(
+        cosine_similarity_col(
+            as_double_array(F.col("embedding")), as_double_array(F.col("embedding"))
+        ).alias("s")
+    )
+    mn, mx = d.agg(F.min("s"), F.max("s")).collect()[0]
+    assert mn == pytest.approx(1.0, abs=1e-12)
+    assert mx == pytest.approx(1.0, abs=1e-12)
+
+
+def test_topk_cosine_matches_numpy(spark, emb):
+    """Brute-force top-k agrees with a numpy reference on ids and (to
+    float tolerance) scores."""
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = M[ids.tolist().index(0)]
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))[:10]
+    expected = list(zip(ids[order].tolist(), sims[order].tolist()))
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
+    got = [(r.vec_id, r.cosine_sim) for r in topk_cosine(emb, query, k=10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for (_, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_label_centroid_matches_numpy(spark, emb):
+    """The posexplode-reassemble centroid equals numpy's mean to float
+    tolerance (exactness is impossible for float means; the query is
+    registered rows-only for precisely this reason)."""
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    flat = emb.select(
+        "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x")
+    )
+    centroids = {
+        r.label: r.centroid
+        for r in flat.groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+            ).alias("centroid")
+        )
+        .collect()
+    }
+    for label, vecs in by_label.items():
+        want = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+        got = np.array(centroids[label])
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+# ---------- sessions ----------
+
+
+def test_sessionize_properties(spark):
+    """Session algebra on a hand-built trace: gap >30min splits, ≤30min
+    continues; event counts and bounds are exact."""
+    rows = [
+        (1, 100, "2024-01-01 00:00:00", 1.0),
+        (2, 100, "2024-01-01 00:10:00", 1.0),  # +10m: same session
+        (3, 100, "2024-01-01 00:40:00", 1.0),  # +30m exactly: same (gap > only)
+        (4, 100, "2024-01-01 01:20:00", 1.0),  # +40m: new session
+        (5, 200, "2024-01-01 00:00:00", 1.0),  # other user independent
+    ]
+    e = spark.createDataFrame(
+        [(i, u, ts, v) for i, u, ts, v in rows],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sessionize(e, gap_minutes=30).collect()
+    }
+    assert got == {(100, 1): 3, (100, 2): 1, (200, 1): 1}
+
+
+def test_sessionize_events_cover_all(spark):
+    """No event is lost or duplicated by sessionization."""
+    e = load(spark, SMOKE_SF_DIR, "events")
+    total = sessionize(e).agg(F.sum("n_events")).collect()[0][0]
+    assert total == e.count()
+
+
+# ---------- multimodal ----------
+
+
+def test_decode_stub_is_a_stub():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "png")
+
+
+def test_fake_decode_deterministic_and_correct(spark, docs):
+    """The fake decoder's features match a plain-Python computation of
+    the same functions — the plumbing (Arrow batching, schema, struct
+    metadata access) adds/loses nothing."""
+    blobs = synthesize_blobs(docs.limit(50))
+    feats = {r.doc_id: r for r in fake_decode_features(blobs).collect()}
+    for row in docs.limit(50).collect():
+        payload = row.text.encode()
+        f = feats[row.doc_id]
+        assert f.n_bytes == len(payload)
+        assert f.first_byte == payload[0]
+        assert f.byte_sum_mod == sum(payload) % 2147483647
+        assert f.n_pixels == (row.n_chars % 640 + 1) * (row.n_chars % 480 + 1)

@@ -1,0 +1,131 @@
+"""Explain-plan scale-hygiene tests (SURVEY.md §5.2.5, L7 design rule).
+
+Correctness tests prove the 60k-row answer; these prove the *plan*
+is the one that survives 100 TB: filters reach the parquet scan,
+scans prune columns, dimension joins broadcast, no accidental
+cartesian products, aggregates keep partial (map-side) phases, and
+top-k compiles to TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.registry import queries
+from big_data_programming_spark.sources.loaders import load
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet():
+    """P2 predicates must appear as PushedFilters on the scan."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    li = load(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") < 24).select("l_orderkey")
+    plan = formatted(li)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,24.0)" in plan
+
+
+def test_column_pruning_narrows_scan():
+    """A 2-column projection must not read the whole 16-column table."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = formatted(li)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(read_cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_flagship_q1_has_partial_aggregate():
+    """A13: groupBy compiles to partial → exchange → final hash
+    aggregate (map-side combine), and stays in whole-stage codegen."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes the physical plan
+    plan = plan_of(df)
+    assert "partial_sum" in plan, plan  # map-side combine before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    # whole-stage codegen spans render as "*(n) Operator" in the plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+
+
+def test_dim_joins_broadcast_not_shuffle():
+    """J8/L7: star-schema dim joins must be broadcast joins — a shuffle
+    of the fact table per dim would dominate at scale."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["q5_local_supplier_volume"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_compiles_to_take_ordered():
+    """O2: orderBy().limit() must become TakeOrderedAndProject, not a
+    global Sort + CollectLimit."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = (
+        load(spark, SF_DIR, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(5)
+    )
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_similarity_topk_is_single_pass():
+    """L3: brute-force cosine top-k = one scan + broadcast of the
+    1-row query vector + TakeOrderedAndProject; no shuffle of the
+    corpus, no cartesian."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["l3_cosine_topk"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row side broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_near_pairs_is_equi_join():
+    """L7: the sign-LSH near-pair join must be keyed on the bucket (a
+    real equi-join), never an all-pairs nested loop over the corpus."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["l3b_bucketed_near_pairs"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_exact_dedup_is_single_shuffle_agg():
+    """L1: exact dedup = one hash aggregate over the content hash; no
+    join, no window, no second shuffle."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["l1_exact_dedup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
