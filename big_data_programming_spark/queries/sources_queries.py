@@ -1,0 +1,210 @@
+"""Source/sink operators beyond the parquet scan (SURVEY.md §2.1
+S2-S5/S7) and physical-layout ops (§2.6 O3/O4).
+
+Round-trip queries write through the engine's own sinks into a scratch
+dir and read back through the matching schema-explicit source, proving
+both directions; the oracle sees only the logical content, which the
+round trip must preserve exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import (
+    load,
+    read_csv,
+    read_json,
+    register_views,
+    write_csv,
+    write_json,
+)
+
+
+@register(
+    "s2_csv_roundtrip",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    tags=("S2", "S7", "J1"),
+)
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → schema-explicit CSV scan. The declared StructType is
+    the contract: no inferSchema pass, so int stays int and the
+    DuckDB comparison can't drift (SURVEY.md §1.3)."""
+    joined = (
+        load(spark, sf_dir, "nation")
+        .join(load(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+    out = tempfile.mkdtemp(prefix="bdps_s2_")
+    write_csv(joined, out)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("region_name", StringType()),
+        ]
+    )
+    return read_csv(spark, out, schema)
+
+
+@register(
+    "s3_json_roundtrip",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_size <= 10
+""",
+    tags=("S3", "S7", "P2"),
+)
+def s3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → schema-explicit JSON scan. Doubles survive the
+    round trip exactly (Spark prints shortest-roundtrip decimals and
+    parses them back to the same bits)."""
+    small = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    out = tempfile.mkdtemp(prefix="bdps_s3_")
+    write_json(small, out)
+    schema = StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    )
+    return read_json(spark, out, schema)
+
+
+#: (tier, floor) thresholds — the literal in-memory dimension.
+_TIERS = [("platinum", 300000.0), ("gold", 150000.0), ("standard", 0.0)]
+
+
+@register(
+    "s4_in_memory_source",
+    oracle=f"""
+WITH tiers(tier, price_floor) AS (
+  VALUES {", ".join(f"('{t}', CAST({f} AS DOUBLE))" for t, f in _TIERS)}
+)
+SELECT t.tier, COUNT(*) AS n_orders
+FROM orders o
+JOIN tiers t
+  ON o.o_totalprice >= t.price_floor
+ AND t.price_floor = (SELECT MAX(price_floor) FROM tiers WHERE price_floor <= o.o_totalprice)
+GROUP BY t.tier
+""",
+    tags=("S4", "J6", "A1"),
+)
+def s4_in_memory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory literal source (Arrow-backed createDataFrame) used as
+    a broadcast dimension: classify orders into price tiers via a
+    range join against the tiny threshold table — the idiomatic way to
+    ship constants/config to executors without a file."""
+    tiers = spark.createDataFrame(_TIERS, "tier string, price_floor double")
+    o = load(spark, sf_dir, "orders")
+    best = (
+        o.join(F.broadcast(tiers), F.col("o_totalprice") >= F.col("price_floor"))
+        .groupBy("o_orderkey")
+        .agg(F.max_by("tier", "price_floor").alias("tier"))
+    )
+    return best.groupBy("tier").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "s5_sql_over_views",
+    oracle="""
+SELECT r.r_name AS region_name,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(o.o_orderkey) AS n_orders
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+    tags=("S5", "J1", "J2", "A3"),
+)
+def s5_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register the fixture tables as temp views and run plain Spark
+    SQL over them — the SQL-string surface is the same Catalyst plan
+    as the DataFrame API, so nothing else in the engine changes."""
+    register_views(spark, sf_dir, ("region", "nation", "customer", "orders"))
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@register(
+    "o3_sort_within_partitions",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal
+FROM supplier
+""",
+    tags=("O3", "O4"),
+)
+def o3_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition(nation) + sortWithinPartitions: the write-side
+    layout idiom (co-located, locally ordered files for downstream
+    merge scans) — a partial, shuffle-then-local-sort, never a global
+    sort. Row *content* is unchanged, which is what the oracle checks;
+    the layout effect is asserted plan-side in tests/test_plans.py."""
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.repartition(8, "s_nationkey")
+        .sortWithinPartitions("s_nationkey", "s_acctbal")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+
+
+@register(
+    "o4_repartition_coalesce",
+    oracle="""
+SELECT l_suppkey,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+""",
+    tags=("O4", "A1"),
+)
+def o4_repartition_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit repartition on the aggregation key followed by
+    coalesce for output sizing: pre-partitioning lets the aggregate
+    run without its own exchange (the groupBy reuses the partitioning)
+    and coalesce merges result partitions without another shuffle —
+    the sink-file-count control at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.repartition(16, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double").alias("total_qty"),
+        )
+        .coalesce(4)
+    )

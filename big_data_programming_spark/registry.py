@@ -20,6 +20,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: queries/ modules that register themselves on import (order = catalog order).
 _QUERY_MODULES = (
     "tpch",
+    "sources_queries",
     "projection",
     "joins",
     "aggregations",
