@@ -110,17 +110,24 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, token) <= 5
 )
 def l4c_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-lite term ranking: top-5 distinguishing terms per lang.
-    Two hash aggregates (tf, df) + broadcast of the tiny df side."""
+
+    Single-pass shape: the corpus is tokenized/exploded ONCE into
+    per-(doc, token) counts (one shuffle over the exploded rows, with
+    map-side combine shrinking it to distinct tokens per doc); both tf
+    and df then derive from that small pre-aggregate. The naive
+    formulation explodes the corpus twice (once for tf, once for df) —
+    at 100 TB that's a second full tokenization pass and a second
+    corpus-sized shuffle, which this plan avoids. (Each doc has one
+    lang, so per-(doc,token) rows are already distinct for df.)"""
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))  # 1-row dim, broadcast
-    toks = d.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("token"))
-    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("term_freq"))
-    df = (
-        toks.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    per_doc = (
+        d.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    tf = per_doc.groupBy("lang", "token").agg(F.sum("cnt").alias("term_freq"))
+    df = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
