@@ -6,6 +6,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_programming_spark.operators.clustering import (
+    CLUSTERS_ORACLE_SQL,
+    dedup_clusters,
+)
 from big_data_programming_spark.operators.dedup import (
     JACCARD_ORACLE_SQL,
     SIMHASH_ORACLE_SQL,
@@ -115,3 +119,26 @@ def l2c_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation) while the pairwise work is bounded by the LSH bucket
     structure — the shape that survives 100 TB."""
     return minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+#: pairs feeding the cluster step — high threshold keeps the graph
+#: sparse enough to be interesting (the fixture corpus is ~40%
+#: near-dup at 0.5, which collapses to one giant component).
+_CLUSTER_PAIRS_SQL = JACCARD_ORACLE_SQL.format(threshold=0.8)
+
+
+@register(
+    "l2d_dedup_clusters",
+    oracle=CLUSTERS_ORACLE_SQL.format(pairs_sql=_CLUSTER_PAIRS_SQL),
+    tags=("L2", "L7", "J1", "A1"),
+)
+def l2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    propagation (operators/clustering.py) — the step that turns
+    pairwise similarity into 'keep one doc per group'. The oracle is a
+    recursive CTE in DuckDB, so even this iterative algorithm is
+    hash-checked, not rows-only. Pairs come from the exact formulation
+    at J≥0.8; l2c proves the LSH pipeline produces identical pairs, so
+    the production chain is LSH → verify → cluster."""
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup_clusters(pairs.select("doc_a", "doc_b"))

@@ -238,3 +238,184 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    tags=("J3", "A1", "F2"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analogue (EXISTS → left-semi): orders in a quarter having at
+    least one line shipped ≥30 days after order date (the fixture has
+    no commit/receipt dates). The correlated EXISTS decorrelates to a
+    semi join on orderkey with the date predicate as a join conjunct —
+    the fact table is filtered by pushdown before the join."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q12_ship_delay_buckets",
+    oracle="""
+SELECT o.o_orderpriority,
+       CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) >= 60 THEN 'slow'
+            WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) >= 30 THEN 'medium'
+            ELSE 'fast' END AS delay_bucket,
+       COUNT(*) AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+    tags=("J1", "A1", "P3", "F2"),
+)
+def q12_ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analogue (no shipmode in fixture): lines bucketed by
+    shipping delay per order priority — CASE/date arithmetic inside a
+    fact-fact join. orders⋈lineitem shuffles on orderkey once; the
+    aggregate reuses nothing bigger than (priority, bucket) state."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay >= 60, "slow").when(delay >= 30, "medium").otherwise("fast")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority", bucket.alias("delay_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))
+                 ELSE CAST(0 AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01'
+""",
+    tags=("J1", "J8", "A2", "P3"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo revenue share: conditional aggregate over a month of
+    lineitem broadcast-joined to part. Global (one-row) result; both
+    sums ride the decimal canon, divided once."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _disc_price()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC))).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150
+)
+GROUP BY 1, 2, 3, 4
+""",
+    tags=("J1", "J3", "A12", "A1"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume orders: the IN-subquery (orders whose lines
+    total >150 units) becomes a semi join against a HAVING-filtered
+    aggregate; the surviving small order set then joins customer.
+    The heavy aggregate runs ONCE on lineitem, pre-filtering the join."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+    tags=("J4", "A2", "A1"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analogue: customers with above-average balance and no
+    orders. Scalar subquery (global decimal-exact average, broadcast
+    as a 1-row dim) + anti join against orders — the NOT EXISTS
+    decorrelation. Both 'subqueries' cost one scan each; nothing
+    correlates row-by-row."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal")).alias("a")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+    )

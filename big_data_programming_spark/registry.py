@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "llm_multimodal",
     "streaming_queries",
     "udfs",
+    "skew_queries",
 )
 
 

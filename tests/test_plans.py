@@ -129,3 +129,17 @@ def test_exact_dedup_is_single_shuffle_agg():
     plan = plan_of(df)
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_salted_join_shuffles_on_composite_key():
+    """sk2: the salted join must take the shuffle-hash path with the
+    salt in the join key — a broadcast here would mean the salt did
+    nothing (and a plain SMJ on custkey alone would mean the rewrite
+    was silently lost)."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["sk2_salted_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "ShuffledHashJoin [custkey" in plan and "_salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0], plan

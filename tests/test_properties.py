@@ -1,0 +1,173 @@
+"""Generative property tests (hypothesis) for the algorithmic
+operators: random inputs checked against plain-Python references.
+Example counts are small — each example is a Spark job — but the
+inputs reach corners the fixtures never produce (empty groups,
+single-node graphs, all-identical docs, adversarial gaps)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.operators.clustering import connected_components
+from big_data_programming_spark.operators.dedup import jaccard_pairs
+from big_data_programming_spark.operators.sessions import sessionize
+from big_data_programming_spark.operators.skew import salted_sum_count
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------- sessionize vs Python reference ----------
+
+
+@st.composite
+def event_traces(draw):
+    n_users = draw(st.integers(1, 3))
+    out = []
+    eid = 0
+    for u in range(n_users):
+        n = draw(st.integers(1, 8))
+        t = 0
+        for _ in range(n):
+            t += draw(st.integers(0, 4000))  # seconds between events
+            out.append((eid, u, t))
+            eid += 1
+    return out
+
+
+def _sessions_ref(trace, gap_s):
+    """Reference: per user, sorted by ts, split when gap > gap_s."""
+    by_user: dict[int, list[int]] = {}
+    for _, u, t in trace:
+        by_user.setdefault(u, []).append(t)
+    sessions = {}
+    for u, times in by_user.items():
+        times.sort()
+        sid, count = 0, {}
+        prev = None
+        for t in times:
+            if prev is None or t - prev > gap_s:
+                sid += 1
+            count[sid] = count.get(sid, 0) + 1
+            prev = t
+        sessions[u] = count
+    return {(u, s): n for u, c in sessions.items() for s, n in c.items()}
+
+
+@given(trace=event_traces())
+@settings(**SETTINGS)
+def test_sessionize_matches_reference(spark, trace):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (eid, u, base + datetime.timedelta(seconds=t), 1.0) for eid, u, t in trace
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sessionize(e, gap_minutes=30).collect()
+    }
+    assert got == _sessions_ref(trace, gap_s=30 * 60)
+
+
+# ---------- jaccard vs Python reference ----------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_jaccard_pairs_match_reference(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.0).collect()
+    }
+    sets = [set(d.split(" ")) for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                assert (i, j) not in got  # no shared token -> no pair emitted
+                continue
+            want = inter / len(sets[i] | sets[j])
+            assert got[(i, j)] == pytest.approx(want, abs=1e-12)
+
+
+# ---------- connected components vs union-find ----------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+# ---------- salted aggregation == plain aggregation ----------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: (r.n_rows, r.total)
+        for r in salted_sum_count(df, "k", "v", n_salts=4).collect()
+    }
+    want = {
+        r.k: (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
