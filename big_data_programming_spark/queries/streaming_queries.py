@@ -322,3 +322,64 @@ def st9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("event_id long, user_id long, event_type string, value double").parquet(
         out_dir
     )
+
+
+@register(
+    "st10_stream_stream_join",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+    tags=("ST7", "J9", "S8"),
+)
+def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: view→purchase conversions within 30
+    minutes per user. Both sides are watermarked and the join condition
+    carries the event-time range, so Spark bounds each side's buffered
+    state to the watermark+range horizon — the required shape for an
+    unbounded-input join (an un-ranged stream-stream join would buffer
+    forever). Inner join + availableNow drains the complete result, so
+    the batch self-join (J9) is the exact oracle."""
+    s = events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    return drain(joined, "append")

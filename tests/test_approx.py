@@ -1,0 +1,60 @@
+"""Error-bound tests for the approximate aggregates (SURVEY.md §5.2.4):
+the oracle can't hash-match them (A4 is rows-only), so assert the
+published accuracy contracts against exact answers instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.sources.loaders import load
+from tests.conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ at rsd=0.02 must land within ±5·rsd of the exact count
+    (HLL error is gaussian-ish around the exact value; 5 sigma keeps
+    the test deterministic-in-practice while still catching a broken
+    sketch, which is off by orders of magnitude)."""
+    li = load(spark, SF_DIR, "lineitem")
+    exact_parts, exact_orders = li.agg(
+        F.count_distinct("l_partkey"), F.count_distinct("l_orderkey")
+    ).collect()[0]
+    approx_parts, approx_orders = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02),
+        F.approx_count_distinct("l_orderkey", 0.02),
+    ).collect()[0]
+    assert abs(approx_parts - exact_parts) <= 0.1 * exact_parts
+    assert abs(approx_orders - exact_orders) <= 0.1 * exact_orders
+
+
+def test_approx_quantile_within_relative_error(spark):
+    """approxQuantile(relativeError=e) guarantees rank error ≤ e·n:
+    the returned value's true rank must be within [r-en, r+en]."""
+    o = load(spark, SF_DIR, "orders")
+    vals = sorted(v[0] for v in o.select("o_totalprice").collect())
+    n = len(vals)
+    eps = 0.01
+    for q in (0.25, 0.5, 0.9):
+        (got,) = o.approxQuantile("o_totalprice", [q], eps)
+        import bisect
+
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got)
+        target = q * n
+        assert lo - eps * n <= target <= hi + eps * n, (q, got, lo, hi, n)
+
+
+def test_percentile_approx_matches_exact_on_coarse_grid(spark):
+    """percentile_approx with a high accuracy parameter must agree with
+    the exact percentile on a modest dataset (where the sketch can hold
+    everything) — guards against silently swapped semantics."""
+    d = load(spark, SF_DIR, "documents")
+    exact, approx = d.agg(
+        F.percentile("n_chars", 0.5).alias("e"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("a"),
+    ).collect()[0]
+    # exact interpolates; the sketch returns an observed value adjacent
+    # to the true median — allow one observed-value step
+    vals = sorted(v[0] for v in d.select("n_chars").collect())
+    assert approx in vals
+    assert abs(vals.index(approx) - len(vals) // 2) <= max(2, 0.001 * len(vals))
