@@ -5,8 +5,9 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 Timing protocol (BASELINE.md): one warm-up pass of the flagship to pay
 JVM/codegen startup, then per-query wall-clock of a full plan+execute
-with results drained via ``df.count()``-style foreach (no driver
-collect of payload — mirrors how a cluster job would sink results).
+drained through the JVM-side noop sink (executes the complete plan,
+writes nothing, no driver collect, no JVM→Python row serialization —
+mirrors how a cluster job would sink results).
 """
 
 from __future__ import annotations
@@ -60,14 +61,16 @@ def main() -> None:
     cat = catalog()
     suite = [n for n in HEADLINE if n in cat]
 
+    def drain(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warm-up: JVM, codegen, parquet footer caches
-    cat["q1_pricing_summary"].fn(spark, sf_dir).foreach(lambda r: None)
+    drain(cat["q1_pricing_summary"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in suite:
         t0 = time.perf_counter()
-        df = cat[name].fn(spark, sf_dir)
-        df.foreach(lambda r: None)  # drain executors-side; no driver collect
+        drain(cat[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
