@@ -100,3 +100,59 @@ def bucketed_near_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF index build: k-means coarse quantizer (spark.ml, seeded) +
+    every vector assigned to its nearest centroid's inverted list.
+
+    Returns ``(assigned, centers)``: the corpus with a ``list_id``
+    column, and the k centroid vectors (a python list — index
+    *metadata*, k × dim floats, legitimately driver-sized; the corpus
+    itself never leaves executors). At 100 TB the build is one ml
+    fit over a sample plus one transform pass; the assigned table is
+    what gets written out, partitioned by list_id, so probes prune
+    partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.withColumn("_fv", array_to_vector(as_double_array(F.col(vec_col))))
+    model = KMeans(k=n_lists, seed=42, featuresCol="_fv", predictionCol="list_id").fit(feat)
+    assigned = model.transform(feat).drop("_fv")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list,
+    query: list,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query (driver-side —
+    k × dim floats of index metadata), scan only the ``nprobe`` nearest
+    inverted lists, exact top-k within them. ``nprobe = n_lists``
+    degrades gracefully to exact brute force; smaller nprobe trades
+    recall for scanning ~nprobe/n_lists of the corpus — with the
+    assigned table partitioned by list_id the filter is partition
+    pruning, not even a scan."""
+    import math
+
+    def cos(a: list, b: list) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    ranked = sorted(range(len(centers)), key=lambda i: (-cos(centers[i], query), i))
+    probe = ranked[:nprobe]
+    spark = assigned.sparkSession
+    qdf = spark.createDataFrame([(query,)], f"q array<double>")
+    cand = assigned.filter(F.col("list_id").isin(probe))
+    return topk_cosine(cand, qdf, k=k, vec_col=vec_col, id_col=id_col)

@@ -158,3 +158,24 @@ def l3d_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(15)
     return nn.groupBy("label").agg(F.count(F.lit(1)).alias("votes"))
+
+
+@register(
+    "l3e_ivf_topk",
+    oracle=None,  # k-means centroids aren't SQL-reproducible; recall vs
+    # brute force and the nprobe=n_lists exactness are asserted in
+    # tests/test_operators.py
+    tags=("L3", "L7", "O2"),
+)
+def l3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN pipeline: k-means coarse quantizer → inverted-list
+    assignment → probe the 4 nearest lists of 16 for vector 0's
+    neighbors. Scans ~1/4 of the corpus instead of all of it — with
+    the assigned table partitioned by list_id on disk, the probe is
+    partition pruning (operators/similarity.py:ivf_build)."""
+    from big_data_programming_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_build(emb, n_lists=16)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    return ivf_topk(assigned, centers, query, k=10, nprobe=4)

@@ -210,3 +210,31 @@ def test_fake_decode_deterministic_and_correct(spark, docs):
         assert f.first_byte == payload[0]
         assert f.byte_sum_mod == sum(payload) % 2147483647
         assert f.n_pixels == (row.n_chars % 640 + 1) * (row.n_chars % 480 + 1)
+
+
+def test_ivf_exact_when_probing_all_lists(spark, emb):
+    """nprobe = n_lists degrades IVF to exact brute force — identical
+    ids and scores to topk_cosine."""
+    from big_data_programming_spark.operators.similarity import ivf_build, ivf_topk
+
+    assigned, centers = ivf_build(emb, n_lists=8)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    got = [(r.vec_id, r.cosine_sim) for r in ivf_topk(assigned, centers, query, k=10, nprobe=8).collect()]
+
+    qdf = emb.filter(F.col("vec_id") == 0).select(as_double_array(F.col("embedding")).alias("q"))
+    want = [(r.vec_id, r.cosine_sim) for r in topk_cosine(emb, qdf, k=10).collect()]
+    assert got == want
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    """Probing 4 of 8 lists must still recover most of the true top-10
+    (the query's own list plus neighbors hold the near vectors)."""
+    from big_data_programming_spark.operators.similarity import ivf_build, ivf_topk
+
+    assigned, centers = ivf_build(emb, n_lists=8)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    got = {r.vec_id for r in ivf_topk(assigned, centers, query, k=10, nprobe=4).collect()}
+    qdf = emb.filter(F.col("vec_id") == 0).select(as_double_array(F.col("embedding")).alias("q"))
+    truth = {r.vec_id for r in topk_cosine(emb, qdf, k=10).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, f"IVF nprobe=4/8 recall {recall}"
