@@ -225,3 +225,54 @@ def l4e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles) — operators/text.py:shingle_fingerprint."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", shingle_fingerprint(F.col("text"), k=8).alias("fingerprint"))
+
+
+@register(
+    "l5b_training_data_pipeline",
+    oracle="""
+WITH gated AS (
+  SELECT doc_id, text, lang,
+         LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de', 'es', 'fr') AND n_chars >= 200
+), deduped AS (
+  SELECT doc_id, lang, n_tokens
+  FROM gated
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM deduped
+GROUP BY lang
+""",
+    tags=("L1", "L4", "L5", "P2", "U5", "A1"),
+)
+def l5b_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline as ONE declarative plan:
+    language/length gate → exact dedup (survivor = lowest doc_id) →
+    per-language corpus accounting. Catalyst fuses the whole chain:
+    the gate is pushdown on the scan, dedup is one hash-partitioned
+    window, accounting is one aggregate — three logical stages, two
+    shuffles, zero materialization between steps. This is the shape a
+    100 TB curation job runs nightly."""
+    from pyspark.sql.window import Window
+
+    from big_data_programming_spark.operators.dedup import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    gated = d.filter(
+        F.col("lang").isin("en", "de", "es", "fr") & (F.col("n_chars") >= 200)
+    ).select("doc_id", "lang", F.size(tokenize(F.col("text"))).alias("n_tokens"), "text")
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")).cast("binary"))).orderBy(
+        "doc_id"
+    )
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
