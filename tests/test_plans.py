@@ -143,3 +143,25 @@ def test_salted_join_shuffles_on_composite_key():
     plan = plan_of(df)
     assert "ShuffledHashJoin [custkey" in plan and "_salt" in plan, plan
     assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0], plan
+
+
+def test_no_accidental_cartesian_in_catalog():
+    """Catalog-wide sweep: no declarative query may plan a
+    CartesianProduct or an un-broadcast nested loop over non-tiny
+    sides. Skipped: queries whose *construction* executes work
+    (streaming drains, ml fits, sink round-trips, driver-side query
+    vectors) and the one intentional cross join (j5)."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    skip_prefixes = ("st", "s2", "s3", "l2c", "l3e", "ud7")
+    intentional_cross = {"j5_cross_join"}
+    offenders = []
+    for name, q in catalog().items():
+        if name.startswith(skip_prefixes) or name in intentional_cross:
+            continue
+        plan = plan_of(q.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
