@@ -831,3 +831,232 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type, c.unit_cost
+FROM part p
+JOIN cost c     ON c.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 5 AND r.r_name = 'ASIA'
+  AND c.unit_cost = (
+    SELECT MIN(c2.unit_cost)
+    FROM cost c2
+    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+""",
+    tags=("J1", "J5", "A1", "A2", "O2"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (no partsupp: the part↔supplier cost relation
+    is derived as MIN(l_extendedprice/l_quantity) per (part, supplier)
+    pair from lineitem): cheapest ASIA supplier per size-5 part. The
+    correlated MIN subquery decorrelates into a per-part regional MIN
+    joined back on (partkey, unit_cost) — double MIN and equality are
+    bit-exact on both engines. Both aggregates shuffle on partkey, so
+    AQE plans the equality join co-partitioned; dims broadcast."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 5).select(
+        "p_partkey", "p_type"
+    )
+    asia_cost = cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+    regional_min = asia_cost.groupBy(F.col("l_partkey").alias("rm_key")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        asia_cost.join(F.broadcast(p), asia_cost.l_partkey == p.p_partkey)
+        .join(
+            regional_min,
+            (F.col("l_partkey") == F.col("rm_key"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT nation, o_year, {oracle_dsum('amount', 'sum_profit')}
+FROM (
+  SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1.0 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+""",
+    tags=("J1", "J8", "A1", "P3", "F2"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (no partsupp: supply cost proxied as
+    0.6 * p_retailprice, a deterministic per-part constant): profit on
+    '%bolt%' parts by supplier nation and order year. part and
+    supplier⋈nation broadcast; the only shuffles are lineitem⋈orders
+    on orderkey and the final 2-key aggregate. The amount expression
+    is evaluated in double identically on both engines (left-assoc
+    products, one subtraction), then decimal-canon summed."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    oracle=f"""
+WITH v AS (
+  SELECT l.l_partkey, {oracle_dsum('l.l_extendedprice', 'value')}
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_1'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value
+FROM v
+WHERE value > 0.001 * (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) FROM v)
+""",
+    tags=("J1", "A1", "A2", "S5"),
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue (no partsupp: a part's stock value from
+    NATION_1 suppliers is the lineitem extendedprice total): parts
+    holding more than 0.1% of the nation's total value. The scalar
+    total broadcasts as a 1-row cross join; the fraction compare is
+    IEEE-identical on both engines because both operands come from the
+    decimal canon. One lineitem scan feeds both the per-part aggregate
+    and (via re-aggregation of the tiny per-part result) the total."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice", "value"))
+    )
+    total = v.agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, {oracle_dsum('l_quantity', 'qty')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+), tot AS (
+  SELECT l_partkey, {oracle_dsum('l_quantity', 'total_qty')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_2'
+  AND s.s_suppkey IN (
+    SELECT sh.l_suppkey
+    FROM shipped sh
+    JOIN tot t ON sh.l_partkey = t.l_partkey
+    WHERE sh.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND sh.qty > 0.3 * t.total_qty)
+ORDER BY s_name
+""",
+    tags=("J1", "J3", "A1", "A2", "O2"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue (no partsupp: 'excess availability' becomes
+    shipped-quantity dominance): NATION_2 suppliers who shipped more
+    than 30% of some red part's total 1996 quantity. The nested IN
+    subqueries become left-semi joins: part filter broadcasts into the
+    per-(supplier, part) aggregate, the dominance check joins the two
+    partkey-partitioned aggregates co-located, and the surviving
+    suppkey set semi-joins supplier. Both quantity sums use the decimal
+    canon so the 0.3 threshold compare is bit-exact."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    red = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(dsum("l_quantity", "qty"))
+    tot = li.groupBy(F.col("l_partkey").alias("t_key")).agg(
+        dsum("l_quantity", "total_qty")
+    )
+    dominant = (
+        shipped.join(F.broadcast(red), shipped.l_partkey == red.p_partkey, "left_semi")
+        .join(tot, F.col("l_partkey") == F.col("t_key"))
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
