@@ -142,3 +142,58 @@ def l2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production chain is LSH → verify → cluster."""
     pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
     return dedup_clusters(pairs.select("doc_a", "doc_b"))
+
+
+_COS_DD = """
+list_reduce(list_transform(generate_series(1, 64),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+/ (SQRT(list_reduce(list_transform(generate_series(1, 64),
+         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+
+@register(
+    "l2e_embedding_dedup",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(list_slice(embedding, 1, 8),
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE {_COS_DD.format(a='l.embedding', b='r.embedding')} >= 0.35
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT vec_b FROM pairs)
+""",
+    tags=("L2", "L3", "J4", "U5"),
+)
+def l2e_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (the semantic twin of L1's
+    exact hash dedup): a document is dropped when some LOWER-id
+    document shares its sign-LSH bucket with cosine >= 0.35 — the
+    greedy keep-first rule, made deterministic by the id order. The
+    pair candidates are bucket-bounded (~n²/256, the L7 rule), the
+    drop set is tiny, and the final step is a broadcast left-anti
+    join against documents — no full-corpus shuffle. At 100 TB the
+    drop set anti-join stays broadcastable because it is bounded by
+    the duplicate count, not the corpus size."""
+    from big_data_programming_spark.operators.similarity import bucketed_near_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    drop = (
+        bucketed_near_pairs(emb, threshold=0.35, n_planes=8)
+        .select(F.col("vec_b").alias("drop_id"))
+        .distinct()
+    )
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.join(
+            F.broadcast(drop), docs.doc_id == F.col("drop_id"), "left_anti"
+        ).select("doc_id", "lang", "source", "n_chars")
+    )

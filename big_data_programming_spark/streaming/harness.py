@@ -44,6 +44,14 @@ _EVENTS_RAW_SCHEMA = StructType(
 _sink_ids = itertools.count()
 
 
+def _ckpt_base() -> str | None:
+    """Checkpoint parent dir: tmpfs when available (bounded test drains
+    write thousands of tiny state/commit files — memory-backed fs cuts
+    the fsync cost), else the default tempdir. A real deployment points
+    checkpointLocation at durable shared storage instead."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 — the events table as an unbounded stream.
 
@@ -80,23 +88,35 @@ def drain(df: DataFrame, output_mode: str) -> DataFrame:
     a production concern, not a semantics one.
     """
     name = f"bdps_stream_sink_{next(_sink_ids)}"
-    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_", dir=_ckpt_base())
+    spark = df.sparkSession
+    # State-store partition count is fixed per query at first start from
+    # spark.sql.shuffle.partitions. The fixture state (thousands of
+    # windows/sessions) fits comfortably in few partitions, and each
+    # state partition costs checkpoint files per micro-batch — so start
+    # the bounded drain with a small count and restore the session conf
+    # after. Pure overhead tuning: partition count never changes results.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def drain_foreach_batch(df: DataFrame, batch_fn) -> None:
     """ST9 — drain a stream through ``foreachBatch`` (arbitrary-sink
     escape hatch: upserts, multi-sink fanout, JDBC, ...)."""
-    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_", dir=_ckpt_base())
     q = (
         df.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", ckpt)
