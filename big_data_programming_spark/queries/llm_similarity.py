@@ -86,22 +86,45 @@ def l3b_bucketed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l3c_label_centroid_sim",
-    oracle=None,  # avg-of-vectors summation order is partition-dependent;
-    # validated by tests/test_operators.py against numpy
+    oracle=f"""
+WITH flat AS (
+  SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g
+), cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(x) AS cx
+  FROM flat GROUP BY label, pos
+), cvec AS (
+  SELECT label, list(cx ORDER BY pos) AS centroid
+  FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       ROUND({_COS.format(a='e.embedding', b='c.centroid')}, 6) AS sim_to_centroid
+FROM embeddings e JOIN cvec c USING (label)
+ORDER BY e.vec_id
+""",
     tags=("L3", "A1", "F4"),
 )
 def l3c_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantization step: per-label centroids (the
     'inverted file' list heads), then each vector's similarity to its
     own centroid. Demonstrates vector aggregation (element-wise mean
-    across rows) as posexplode → hash agg → re-assemble."""
+    across rows) as posexplode → hash agg → re-assemble. The centroid
+    mean uses the decimal canon (functions/canonical.py) — the decimal
+    sum is exact and order-free, so the centroid doubles (and hence the
+    cosine) are bit-identical at any partition count, which is what
+    lets this carry a full value-hash oracle instead of a rows-only
+    check."""
     emb = load(spark, sf_dir, "embeddings")
     flat = emb.select(
         "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x")
     )
     centroids = (
         flat.groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
+        .agg(
+            (F.sum(F.col("x").cast("decimal(38,10)")).cast("double") / F.count("x")).alias("cx")
+        )
         .groupBy("label")
         .agg(
             F.transform(

@@ -142,3 +142,29 @@ def p5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a fixed seed+partitioning but not reproducible in DuckDB."""
     li = load(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "p5b_hash_sample",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+      IN ('0', '1')
+""",
+    tags=("P5", "F6"),
+)
+def p5b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample keyed on md5 of the row key — the
+    reproducible twin of p5's RNG sample. Hash-keyed sampling is the
+    scale tool of choice for pipelines: the same rows are selected on
+    every engine, every partitioning, every rerun (and a re-run over
+    appended data keeps the previously-sampled rows stable). Fully
+    pushdown-friendly: one scan, no shuffle, no state."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.md5(
+        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    )
+    return li.filter(F.substring(key, 1, 1).isin("0", "1")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
