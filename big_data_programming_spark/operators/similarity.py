@@ -102,6 +102,36 @@ def bucketed_near_pairs(
     )
 
 
+def label_centroids(
+    vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label element-wise mean vector as posexplode → hash agg →
+    re-assemble. The per-coordinate sum runs in decimal(38,10) (the
+    decimal canon, functions/canonical.py): exact and order-free, so
+    the centroid doubles — and every cosine computed from them — are
+    bit-identical at any partition count and portable to a SQL oracle.
+
+    Scale path: the shuffle is on (label, pos) — n_labels × dim cells
+    regardless of corpus size, with map-side partial aggregation doing
+    the heavy lifting; the result is index *metadata* (n_labels rows),
+    broadcastable to any consumer."""
+    flat = vectors.select(
+        label_col, F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x")
+    )
+    return (
+        flat.groupBy(label_col, "pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(38,10)")).cast("double") / F.count("x")).alias("cx")
+        )
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+            ).alias("centroid")
+        )
+    )
+
+
 def ivf_build(
     vectors: DataFrame,
     n_lists: int = 16,

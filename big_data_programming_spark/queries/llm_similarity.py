@@ -16,6 +16,7 @@ from big_data_programming_spark.operators.similarity import (
     as_double_array,
     bucketed_near_pairs,
     cosine_similarity_col,
+    label_centroids,
     lsh_sign_bucket,
     topk_cosine,
 )
@@ -117,21 +118,7 @@ def l3c_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets this carry a full value-hash oracle instead of a rows-only
     check."""
     emb = load(spark, sf_dir, "embeddings")
-    flat = emb.select(
-        "label", F.posexplode(as_double_array(F.col("embedding"))).alias("pos", "x")
-    )
-    centroids = (
-        flat.groupBy("label", "pos")
-        .agg(
-            (F.sum(F.col("x").cast("decimal(38,10)")).cast("double") / F.count("x")).alias("cx")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
-            ).alias("centroid")
-        )
-    )
+    centroids = label_centroids(emb)
     return (
         emb.join(F.broadcast(centroids), "label")
         .select(
@@ -181,6 +168,72 @@ def l3d_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(15)
     return nn.groupBy("label").agg(F.count(F.lit(1)).alias("votes"))
+
+
+@register(
+    "l3f_ivf_probe_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g
+), cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(x) AS cx
+  FROM flat GROUP BY label, pos
+), cvec AS (
+  SELECT label, list(cx ORDER BY pos) AS centroid
+  FROM cent GROUP BY label
+), probe AS (
+  SELECT c.label
+  FROM cvec c CROSS JOIN q
+  ORDER BY {_COS.format(a='c.centroid', b='q.qv')} DESC, c.label
+  LIMIT 2
+)
+SELECT e.vec_id, e.label,
+       {_COS.format(a='e.embedding', b='q.qv')} AS cosine_sim
+FROM embeddings e JOIN probe USING (label) CROSS JOIN q
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+""",
+    tags=("L3", "L7", "O2"),
+)
+def l3f_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with a *deterministic* coarse quantizer: per-label
+    decimal-exact centroids (operators/similarity.py:label_centroids)
+    stand in for k-means lists, so — unlike l3e's seeded-KMeans build —
+    the whole probe path is bit-reproducible and carries a full
+    value-hash oracle. Rank centroids by cosine to the query, keep the
+    nprobe=2 nearest lists (~20% of this corpus), exact top-10 within
+    them. Every stage is a broadcast: centroids are n_labels rows, the
+    probe set is nprobe rows — the corpus-side plan is scan → filter →
+    TakeOrderedAndProject with no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
+    probe = (
+        label_centroids(emb)
+        .crossJoin(F.broadcast(query))
+        .select("label", cosine_similarity_col(F.col("centroid"), F.col("q")).alias("csim"))
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(2)
+        .select("label")
+    )
+    cand = emb.join(F.broadcast(probe), "label")
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            cosine_similarity_col(as_double_array(F.col("embedding")), F.col("q")).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @register(
