@@ -47,21 +47,36 @@ def l6_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l6b_decode_profile",
-    oracle=None,  # byte-sum feature has no reasonable SQL twin; the
-    # fake decode itself is asserted deterministic in tests/test_operators.py
+    oracle=f"""
+SELECT {_FMT_SQL} AS format,
+       COUNT(*) AS n_items,
+       CAST(SUM(OCTET_LENGTH(encode(text))) AS BIGINT) AS total_bytes,
+       MIN(unicode(substring(text, 1, 1))) AS min_first_byte,
+       CAST(SUM(list_sum(list_transform(string_split(text, ''),
+            x -> unicode(x))) % 2147483647) AS BIGINT) AS sum_byte_mod,
+       CAST(SUM((n_chars % 640 + 1) * (n_chars % 480 + 1)) AS BIGINT)
+         AS total_pixels
+FROM documents
+GROUP BY 1
+""",
     tags=("L6", "UD6", "A1"),
 )
 def l6b_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + profile: fake-decode features per payload (mapInPandas,
     Arrow-batched), then aggregate per format — the shape of an
     image-stats or audio-loudness profiling job. Decode is the stubbed
-    step (operators/multimodal.py); the plan around it is production."""
+    step (operators/multimodal.py); the plan around it is production.
+    Every fake-decode feature is a pure function of the payload bytes,
+    and the corpus is pure ASCII (char == byte), so the oracle re-derives
+    them in SQL — per-char code-point sums included — giving the
+    mapInPandas path a full value-hash check."""
     blobs = synthesize_blobs(load(spark, sf_dir, "documents"))
     feats = fake_decode_features(blobs)
     return feats.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
         F.min("first_byte").alias("min_first_byte"),
+        F.sum("byte_sum_mod").alias("sum_byte_mod"),
         F.sum("n_pixels").alias("total_pixels"),
     )
 

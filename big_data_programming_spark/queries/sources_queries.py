@@ -22,14 +22,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from big_data_programming_spark.functions.canonical import dsum, oracle_dsum
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import (
     load,
     read_csv,
     read_json,
     register_views,
+    write_bucketed,
     write_csv,
     write_json,
+    write_parquet,
 )
 
 
@@ -207,4 +210,80 @@ def o4_repartition_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double").alias("total_qty"),
         )
         .coalesce(4)
+    )
+
+
+@register(
+    "s6_partitioned_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+    tags=("S6", "S1", "P2"),
+)
+def s6_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink → scan with a partition filter.
+
+    ``partitionBy(o_orderpriority)`` lays the data out as one directory
+    per priority; the read-back filter then prunes at *file-listing*
+    time (PartitionFilters, asserted in tests/test_plans.py) — at
+    100 TB the difference between scanning 2/5ths of the data and
+    scanning none of it but the matching directories."""
+    out = tempfile.mkdtemp(prefix="bdps_s6_")
+    write_parquet(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ),
+        out,
+        partition_by=["o_orderpriority"],
+    )
+    return spark.read.parquet(out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+
+
+@register(
+    "o5_bucketed_join",
+    oracle=f"""
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       {oracle_dsum("o.o_totalprice", "segment_value")}
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+    tags=("O5", "S6", "J1", "A1"),
+)
+def o5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed fact-fact join: both sides written bucketed+sorted on
+    the join key, so the join plans with NO exchange and NO sort on
+    either side (asserted in tests/test_plans.py). This is the at-rest
+    co-location strategy for 100 TB fact-fact joins — pay one shuffle
+    at write time, never again; the aggregate's own exchange over 5
+    mktsegment groups is trivially small."""
+    base = tempfile.mkdtemp(prefix="bdps_o5_")
+    write_bucketed(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "bdps_o5_customer",
+        f"{base}/customer",
+        n_buckets=8,
+        bucket_cols=["c_custkey"],
+        sort_cols=["c_custkey"],
+    )
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "bdps_o5_orders",
+        f"{base}/orders",
+        n_buckets=8,
+        bucket_cols=["o_custkey"],
+        sort_cols=["o_custkey"],
+    )
+    c = spark.table("bdps_o5_customer")
+    o = spark.table("bdps_o5_orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "segment_value"),
+        )
     )

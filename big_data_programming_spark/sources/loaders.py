@@ -97,6 +97,33 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S6b — bucketed parquet table (external, at ``path``).
+
+    Bucketing is the at-rest half of the shuffle story: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange on either side — at 100 TB that deletes the single most
+    expensive stage of every fact-fact join and repeated fact-dim
+    aggregation. ``sort_cols`` additionally pre-sorts within buckets so
+    a sort-merge join skips its sort. Requires ``saveAsTable`` (bucket
+    metadata lives in the catalog, not the files); the table is
+    external so the warehouse dir is never touched.
+    """
+    w = df.write.mode(mode).format("parquet").option("path", path)
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7 — CSV export."""
     df.write.mode(mode).option("header", True).csv(path)

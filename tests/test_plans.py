@@ -13,17 +13,14 @@ import re
 
 from pyspark.sql import functions as F
 
+from big_data_programming_spark.plans import (
+    executed_plan as plan_of,
+    formatted_plan as formatted,
+    scan_read_columns,
+)
 from big_data_programming_spark.registry import queries
 from big_data_programming_spark.sources.loaders import load
 from tests.conftest import SF_DIR
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
 def test_filter_pushdown_reaches_parquet():
@@ -42,11 +39,7 @@ def test_column_pruning_narrows_scan():
 
     spark = S.get_spark("plan-tests", cpus=8)
     li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
-    plan = formatted(li)
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m, plan
-    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
-    assert set(read_cols) == {"l_orderkey", "l_quantity"}
+    assert set(scan_read_columns(li)) == {"l_orderkey", "l_quantity"}
 
 
 def test_flagship_q1_has_partial_aggregate():
@@ -145,6 +138,40 @@ def test_salted_join_shuffles_on_composite_key():
     assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0], plan
 
 
+def test_partitioned_write_prunes_partitions():
+    """S6: the partition-column filter must prune at file-listing time
+    (PartitionFilters on the scan), not per-row after reading."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["s6_partitioned_roundtrip"](spark, SF_DIR)
+    plan = formatted(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*o_orderpriority[^\]]*IN ?\(", plan), plan
+    # partition column comes from the directory names, never the files
+    assert "o_orderpriority" not in scan_read_columns(df)
+
+
+def test_bucketed_join_has_no_exchange():
+    """O5: with both sides bucketed on the join key, the sort-merge
+    join must plan with NO Exchange on either side — the write-time
+    shuffle is the only shuffle that ever happens for this key."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    queries()["o5_bucketed_join"](spark, SF_DIR)  # writes the bucketed tables
+    c = spark.table("bdps_o5_customer")
+    o = spark.table("bdps_o5_orders")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = c.join(o, c.c_custkey == o.o_custkey)
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_no_accidental_cartesian_in_catalog():
     """Catalog-wide sweep: no declarative query may plan a
     CartesianProduct or an un-broadcast nested loop over non-tiny
@@ -155,7 +182,7 @@ def test_no_accidental_cartesian_in_catalog():
     from big_data_programming_spark.registry import catalog
 
     spark = S.get_spark("plan-tests", cpus=8)
-    skip_prefixes = ("st", "s2", "s3", "l2c", "l3e", "ud7")
+    skip_prefixes = ("st", "s2", "s3", "s6", "o5", "l2c", "l3e", "ud7")
     intentional_cross = {"j5_cross_join"}
     offenders = []
     for name, q in catalog().items():
