@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_programming_spark.functions.canonical import DEC, oracle_dsum
+from big_data_programming_spark.operators.upsert import latest_per_key
 from big_data_programming_spark.queries.events import E2_SLIDING_ORACLE
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
@@ -383,3 +384,82 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
     return drain(joined, "append")
+
+
+@register(
+    "st11_incremental_upsert",
+    oracle="""
+SELECT user_id,
+       event_id AS last_event_id,
+       ts AS last_ts,
+       event_type AS last_type,
+       value AS last_value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    tags=("ST9", "ST11", "S8", "S6", "W6"),
+)
+def st11_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert (CDC snapshot): maintain a per-user
+    latest-event table across micro-batches via foreachBatch — the
+    MERGE pattern every incremental training-data pipeline needs.
+
+    The events table is staged as several files and streamed with
+    ``maxFilesPerTrigger=1`` so the drain runs REAL multi-batch merges:
+    each micro-batch reduces to its per-key latest rows
+    (operators/upsert.py), merges with the current snapshot, and writes
+    a NEW versioned directory (copy-on-write, the Delta/Iceberg MERGE
+    shape — never overwrite the directory being read). The final
+    snapshot must equal the batch latest-per-key over all events, which
+    is the oracle. Because ``latest_per_key`` is associative and
+    idempotent, the result is independent of how files land in batches
+    — the property that makes the pipeline restartable at scale."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="bdps_st11_stage_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+    )
+
+    base = tempfile.mkdtemp(prefix="bdps_st11_snap_")
+    current: dict[str, str] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = latest_per_key(batch_df, ["user_id"], ["ts", "event_id"])
+        if "path" in current:
+            prev = spark.read.schema(
+                "user_id long, event_id long, ts timestamp_ntz, "
+                "event_type string, value double"
+            ).parquet(current["path"])
+            latest = latest_per_key(
+                prev.unionByName(latest), ["user_id"], ["ts", "event_id"]
+            )
+        new_path = f"{base}/v{batch_id}"
+        latest.write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path
+
+    drain_foreach_batch(stream, upsert)
+
+    snap = spark.read.schema(
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double"
+    ).parquet(current["path"])
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -238,3 +238,31 @@ def test_ivf_partial_probe_recall(spark, emb):
     truth = {r.vec_id for r in topk_cosine(emb, qdf, k=10).collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.7, f"IVF nprobe=4/8 recall {recall}"
+
+
+def test_latest_per_key_merge_invariance(spark):
+    """ST11 core property: reducing batch-by-batch then merging equals
+    reducing the whole input at once — the restartability guarantee of
+    the incremental-upsert pipeline, for any batch split."""
+    from big_data_programming_spark.operators.upsert import latest_per_key
+
+    ev = load(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    keys, order = ["user_id"], ["ts", "event_id"]
+    whole = latest_per_key(ev, keys, order)
+
+    # split into 3 arbitrary batches by event_id residue and fold
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    snap = latest_per_key(batches[0], keys, order)
+    for b in batches[1:]:
+        snap = latest_per_key(
+            snap.unionByName(latest_per_key(b, keys, order)), keys, order
+        )
+
+    assert snap.count() == whole.count()
+    assert snap.exceptAll(whole).count() == 0
+    assert whole.exceptAll(snap).count() == 0
+    # idempotence: re-reducing a snapshot is a no-op
+    again = latest_per_key(snap, keys, order)
+    assert again.exceptAll(snap).count() == 0
