@@ -334,3 +334,28 @@ def a12_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
         .filter(F.col("n_orders") >= 12)
     )
+
+
+@register(
+    "a9c_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("A9",),
+)
+def a9c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (Spark 4 DataFrame API): the per-flag,
+    per-status, and grand-total aggregates in ONE pass over the fact
+    table — a single Expand + hash aggregate instead of three scans,
+    which is the point at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+    )

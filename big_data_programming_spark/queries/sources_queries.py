@@ -287,3 +287,27 @@ def o5_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "segment_value"),
         )
     )
+
+
+@register(
+    "o6_range_layout",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+""",
+    tags=("O6", "O1", "O3", "S6"),
+)
+def o6_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, locally-sorted layout: `repartitionByRange`
+    on ship date + `sortWithinPartitions` — the time-series archive
+    write shape. Files come out globally range-clustered, so parquet
+    min/max stats make any date-range scan skip whole files (and the
+    range boundaries come from a sampled sketch, Spark's scalable
+    sort machinery — no global sort barrier). Content is unchanged,
+    which the oracle checks; layout is a plan property."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )

@@ -184,11 +184,27 @@ def test_no_accidental_cartesian_in_catalog():
     spark = S.get_spark("plan-tests", cpus=8)
     skip_prefixes = ("st", "s2", "s3", "s6", "o5", "l2c", "l3e", "ud7")
     intentional_cross = {"j5_cross_join"}
-    offenders = []
+    # BNLJ is acceptable ONLY when the broadcast side is provably tiny:
+    # scalar subqueries (q11/q22/l4c), 1-row query vectors (l3*), or a
+    # literal constant dim (s4/j6). Any new query planning one fails here.
+    tiny_side_bnlj = {
+        "q11_important_part_value",
+        "q22_idle_rich_customers",
+        "s4_in_memory_source",
+        "j6_range_join",
+        "l4c_tfidf_top_terms",
+        "l3_cosine_topk",
+        "l3d_knn_label_vote",
+        "l3f_ivf_probe_topk",
+    }
+    offenders, nl_offenders = [], []
     for name, q in catalog().items():
         if name.startswith(skip_prefixes) or name in intentional_cross:
             continue
         plan = plan_of(q.fn(spark, SF_DIR))
         if "CartesianProduct" in plan:
             offenders.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in tiny_side_bnlj:
+            nl_offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+    assert not nl_offenders, f"unexpected nested-loop joins in: {nl_offenders}"
