@@ -186,3 +186,44 @@ def ivf_topk(
     qdf = spark.createDataFrame([(query,)], f"q array<double>")
     cand = assigned.filter(F.col("list_id").isin(probe))
     return topk_cosine(cand, qdf, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_salt: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN join: top-k cosine neighbors in ``corpus`` for EVERY
+    row of ``queries`` (columns ``query_id``, ``q`` array<double>).
+
+    ``queries`` is broadcast (the batch-of-queries ANN shape: small
+    query set, huge corpus), so candidate generation is a map-only
+    corpus scan. The per-query top-k then runs in two stages: stage 1
+    takes top-k within (query_id, salt) — ``n_salt`` sub-keys per
+    query, so the shuffle spreads over query×salt keys instead of
+    hot-keying a handful of query_ids — stage 2 reduces the q·salt·k
+    survivors (tiny) to the exact global top-k. Exact because any
+    global top-k row is necessarily top-k within its own salt."""
+    from pyspark.sql import Window
+
+    sim = cosine_similarity_col(
+        as_double_array(F.col(vec_col)), F.col("q")
+    ).alias("cosine_sim")
+    pairs = (
+        corpus.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, sim)
+        .withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salt)))
+    )
+    order = [F.col("cosine_sim").desc(), F.col(id_col)]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )

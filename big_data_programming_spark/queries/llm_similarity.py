@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from big_data_programming_spark.operators.similarity import (
     as_double_array,
+    knn_join,
     bucketed_near_pairs,
     cosine_similarity_col,
     label_centroids,
@@ -255,3 +256,32 @@ def l3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centers = ivf_build(emb, n_lists=16)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
     return ivf_topk(assigned, centers, query, k=10, nprobe=4)
+
+
+@register(
+    "l3g_batch_knn_join",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+SELECT q.query_id, e.vec_id,
+       {_COS.format(a='e.embedding', b='q.qv')} AS cosine_sim,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS.format(a='e.embedding', b='q.qv')} DESC, e.vec_id
+       ) AS INT) AS rank
+FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+QUALIFY rank <= 5
+""",
+    tags=("L3", "W6", "J8", "sk1"),
+)
+def l3g_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: exact top-5 neighbors for each of 5 query
+    vectors in one pass — broadcast query set, salted two-stage
+    per-query top-k (operators/similarity.py:knn_join) so few query
+    keys never hot-key the shuffle. The shape of embedding-based
+    retrieval-eval and hard-negative mining jobs."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("q"),
+    )
+    return knn_join(emb, queries, k=5)
