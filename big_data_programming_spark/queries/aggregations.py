@@ -359,3 +359,29 @@ def a9c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "a13_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{c}' AS "column",
+       COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("A13", "A3", "A11"),
+)
+def a13_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders in ONE scan (operators/profile.py):
+    null/distinct/min/max for key + categorical columns, unpivoted to
+    a tidy report. The pre-curation data-quality pass."""
+    from big_data_programming_spark.operators.profile import profile_table
+
+    return profile_table(load(spark, sf_dir, "orders"), list(_PROFILE_COLS))

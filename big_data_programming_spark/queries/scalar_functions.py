@@ -260,3 +260,34 @@ def f7_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
         F.length(F.md5(F.col("c_name").cast("binary"))).alias("md5_len"),
     )
+
+
+@register(
+    "f8_try_funcs",
+    oracle="""
+SELECT event_id,
+       CASE WHEN user_id % 3 = 0 THEN NULL
+            ELSE value / CAST(user_id % 3 AS DOUBLE) END AS safe_ratio,
+       TRY_CAST(event_type AS INTEGER) AS bogus_int,
+       TRY_CAST(event_type AS TIMESTAMP) AS bogus_ts,
+       string_split(event_type, '')[99] AS oob_char
+FROM events
+""",
+    tags=("F8", "F1", "F3"),
+)
+def f8_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic/casts (Spark 4 runs ANSI mode ON, so plain
+    division by zero or a bad cast *throws*): the try_* family turns
+    per-row failures into NULLs — the dirty-data posture every large
+    ETL needs, since one malformed row must not kill a 1000-executor
+    job. Oracle spells the same semantics via CASE/TRY_CAST."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), (F.col("user_id") % 3).cast("double")).alias(
+            "safe_ratio"
+        ),
+        F.col("event_type").try_cast("int").alias("bogus_int"),
+        F.try_to_timestamp(F.col("event_type")).cast("timestamp_ntz").alias("bogus_ts"),
+        F.try_element_at(F.split(F.col("event_type"), ""), F.lit(99)).alias("oob_char"),
+    )

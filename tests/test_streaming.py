@@ -93,3 +93,62 @@ def test_stream_dedup_restores_exactly_once(spark):
     )
     want = load(spark, SMOKE_SF_DIR, "events").select("event_id", "user_id")
     assert spark_result(got) == spark_result(want)
+
+
+def test_late_rows_past_watermark_are_dropped(spark):
+    """ST8: a row arriving AFTER the watermark passed its window must
+    be discarded — the bound that keeps state finite on an unbounded
+    stream. Two files staged with ordered mtimes + maxFilesPerTrigger=1
+    force: batch 1 = on-time data (watermark advances to hour 9),
+    batch 2 = stragglers for hour 0 (now > 1h late) — whose counts
+    must NOT appear in the emitted windows."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    # batch a (on-time): one event per hour 0..10 -> watermark hour 9.
+    # batch b: one fresh row, so hour 9 becomes the PREVIOUS batch's
+    # watermark (Spark filters late events with the watermark of the
+    # prior batch - watermarkForLateEvents - while eviction uses the
+    # current one). batch c: 5 stragglers for hour 0, now provably late.
+    on_time = [(i, ts(i)) for i in range(11)]
+    fresh = [(50, ts(10, 30))]
+    late = [(100 + i, ts(0, 5 + i)) for i in range(5)]
+
+    stage = tempfile.mkdtemp(prefix="bdps_late_stage_")
+    schema = "event_id long, ts timestamp"
+    for name, rows, age in (("a", on_time, 300), ("b", fresh, 200), ("c", late, 100)):
+        d = tempfile.mkdtemp(prefix=f"bdps_late_{name}_")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        (part,) = glob.glob(f"{d}/part-*.parquet")
+        dst = f"{stage}/{name}.parquet"
+        shutil.copy(part, dst)
+        mtime = 1_700_000_000 - age  # a older than b -> processed first
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+    got = {r["ws"].hour: r["n"] for r in drain(agg, "append").collect()}
+
+    # final watermark = hour 10:30 - 1h = 9:30: windows 0..8 emitted
+    assert sorted(got) == list(range(9)), got
+    # the hour-0 window holds ONLY the on-time event; stragglers dropped
+    assert got[0] == 1, got
+    assert all(n == 1 for n in got.values()), got
