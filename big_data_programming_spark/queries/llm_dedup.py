@@ -197,3 +197,47 @@ def l2e_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(drop), docs.doc_id == F.col("drop_id"), "left_anti"
         ).select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "l2f_blocked_fuzzy_pairs",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lower(text) AS t, substr(lower(text), 1, 12) AS blk
+  FROM documents
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(levenshtein(substr(l.t, 1, 60), substr(r.t, 1, 60)) AS INT) AS edit_dist
+FROM b l JOIN b r ON l.blk = r.blk AND l.doc_id < r.doc_id
+WHERE levenshtein(substr(l.t, 1, 60), substr(r.t, 1, 60)) <= 5
+""",
+    tags=("L2", "F1", "J1"),
+)
+def l2f_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs with prefix blocking: an
+    equi-join on the first 12 normalized chars generates candidates —
+    linear shuffle, never all-pairs — then exact Levenshtein on a
+    60-char prefix verifies. The blocking trades recall for scale
+    (an edit inside the block key hides a pair), which is the standard
+    deal every fuzzy-join makes; MinHash-LSH (l2c) is the
+    recall-guaranteed alternative for token-level similarity."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.col("text")).alias("t"),
+        F.substring(F.lower(F.col("text")), 1, 12).alias("blk"),
+    )
+    lft = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("t", 1, 60).alias("ta"),
+        "blk",
+    )
+    rgt = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("t", 1, 60).alias("tb"),
+        "blk",
+    )
+    pairs = lft.join(rgt, ["blk"]).filter(F.col("doc_a") < F.col("doc_b"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    return pairs.filter(dist <= 5).select(
+        "doc_a", "doc_b", dist.cast("int").alias("edit_dist")
+    )

@@ -168,3 +168,30 @@ def p5b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.substring(key, 1, 1).isin("0", "1")).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "p5c_stratified_hash_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE CASE WHEN lang = 'en'
+           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0', '1', '2', '3', '4', '5', '6', '7') END
+""",
+    tags=("P5", "F7"),
+)
+def p5c_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (majority
+    'en' kept at ~12.5%, minority languages at ~50%) via hash-prefix
+    thresholds — the language-rebalancing step of corpus curation.
+    Same scale properties as p5b (pure scan-side filter: no RNG state,
+    no shuffle, stable under reruns and appends), but the rate is a
+    function of the stratum column."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(
+        F.col("lang") == "en", prefix.isin("0", "1")
+    ).otherwise(prefix.isin(*"01234567"))
+    return d.filter(keep).select("doc_id", "lang")

@@ -256,3 +256,60 @@ def ud7_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         """
     )
+
+
+@register(
+    "ud8_cogroup",
+    oracle="""
+SELECT COALESCE(o.k, e.k) AS id,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.order_cents, 0) AS order_cents,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.value_cents, 0) AS value_cents
+FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS order_cents
+      FROM orders GROUP BY 1) o
+FULL JOIN
+     (SELECT user_id AS k, COUNT(*) AS n_events,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+      FROM events GROUP BY 1) e
+  ON o.k = e.k
+""",
+    tags=("UD8", "UD4", "J2b"),
+)
+def ud8_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: align each key's order rows AND event
+    rows in one Python function — the two-sided escape hatch (custom
+    per-entity reconciliation, feature joins pandas can express but
+    SQL can't). Both sides shuffle once on the key, then Arrow ships
+    each (key, left-frame, right-frame) pair to Python. Money is
+    summed in integer cents so the result is order-independent and the
+    plain full-outer-join SQL is an exact oracle."""
+
+    def reconcile(key: tuple, orders: pd.DataFrame, events: pd.DataFrame) -> pd.DataFrame:
+        def cents(s: pd.Series) -> int:
+            return int((s * 100 + 0.5).astype("int64").sum()) if len(s) else 0
+
+        return pd.DataFrame(
+            {
+                "id": [key[0]],
+                "n_orders": [len(orders)],
+                "order_cents": [cents(orders["o_totalprice"]) if len(orders) else 0],
+                "n_events": [len(events)],
+                "value_cents": [cents(events["value"]) if len(events) else 0],
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "id long, n_orders long, order_cents long, "
+                "n_events long, value_cents long"
+            ),
+        )
+    )
