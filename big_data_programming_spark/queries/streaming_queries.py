@@ -18,6 +18,7 @@ holds one fixed-width tuple per user. Nothing here buffers raw events.
 
 from __future__ import annotations
 
+import importlib.util
 from collections.abc import Iterator
 
 import pandas as pd
@@ -463,3 +464,95 @@ def st11_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+def st12_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas: per-user MapState keyed by
+    event_type holding (count, cents) — the successor API to
+    applyInPandasWithState (st6) with typed composite state
+    (Value/List/Map), timers, and TTL. Requires the RocksDB state
+    store, which is what an at-scale deployment runs anyway (HDFS-
+    backed state cannot hold 100 TB-pipeline key cardinalities in
+    executor heap). Money sums in integer cents keep the result
+    order-independent, so the batch GROUP BY is an exact oracle."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getMapState(
+                "totals", "event_type string", "n long, cents long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            acc: dict[str, tuple[int, int]] = {}
+            for pdf in rows:
+                cents = (pdf["value"] * 100 + 0.5).astype("int64")
+                for et, grp in pdf.groupby("event_type"):
+                    n0, c0 = acc.get(et, (0, 0))
+                    acc[et] = (n0 + len(grp), c0 + int(cents[grp.index].sum()))
+            for et, (n_new, c_new) in acc.items():
+                if self.totals.containsKey((et,)):
+                    n_old, c_old = self.totals.getValue((et,))
+                else:
+                    n_old, c_old = 0, 0
+                self.totals.updateValue((et,), (n_old + n_new, c_old + c_new))
+            out = [
+                (key[0], et_row[0], val[0], val[1])
+                for et_row, val in self.totals.iterator()
+            ]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n_events", "total_cents"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = events_stream(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=PerTypeTotals(),
+            outputStructType=(
+                "user_id long, event_type string, n_events long, total_cents long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        return drain(out, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+# transformWithState's control plane speaks protobuf between the JVM and
+# a driver-side Python worker; without google.protobuf installed the
+# worker crashes on import (verified: STREAMING_PYTHON_RUNNER_
+# INITIALIZATION_FAILURE, "cannot import name 'descriptor'"). Gate the
+# registration so the query activates automatically in environments
+# that carry the dependency; st6 covers ST6 via the protobuf-free
+# predecessor API either way.
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no `google` namespace package at all
+    _HAS_PROTOBUF = False
+if _HAS_PROTOBUF:  # pragma: no cover
+    register(
+        "st12_transform_with_state",
+        oracle="""
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY 1, 2
+""",
+        tags=("ST6", "ST12", "S8", "UD4"),
+    )(st12_transform_with_state)
