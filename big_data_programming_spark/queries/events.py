@@ -164,3 +164,102 @@ def e5_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)).alias("new_users"),
         )
     )
+
+
+@register(
+    "e6_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+  GROUP BY 1
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+)
+""",
+    tags=("E6", "J1", "A1", "W2"),
+)
+def e6_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase, each step
+    within 24h of the previous (greedy earliest-qualifying-event
+    semantics, so the result is deterministic). Each stage is one
+    filtered aggregate joined to the previous stage's first-touch
+    time — three key-partitioned shuffles total, no window over the
+    whole event stream, no per-user collect."""
+    e = load(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+
+    def first_after(prev: DataFrame, prev_ts: str, etype: str, alias: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter((F.col("ts") > F.col(prev_ts)) & (F.col("ts") <= F.col(prev_ts) + day))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = first_after(v, "v_ts", "click", "c_ts")
+    p = first_after(c, "c_ts", "purchase", "p_ts")
+    counts = [
+        v.agg(F.lit("1_view").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("2_click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit("3_purchase").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    return counts[0].unionAll(counts[1]).unionAll(counts[2])
+
+
+@register(
+    "e7_retention_cohorts",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events GROUP BY 1, 2
+), firsts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM daily GROUP BY 1
+)
+SELECT f.cohort_day,
+       DATE_DIFF('day', CAST(f.cohort_day AS DATE), CAST(d.day AS DATE)) AS day_k,
+       COUNT(*) AS n_users
+FROM daily d JOIN firsts f USING (user_id)
+WHERE DATE_DIFF('day', CAST(f.cohort_day AS DATE), CAST(d.day AS DATE)) BETWEEN 0 AND 7
+GROUP BY 1, 2
+""",
+    tags=("E7", "A1", "A3", "J1"),
+)
+def e7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each of the next 7 days they return. Two hash
+    aggregates + one key join on user_id — the daily-distinct
+    pre-aggregation shrinks the join input to (days × users), so the
+    fact table is scanned once regardless of event volume."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    daily = e.select(day.alias("day"), "user_id").distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # DuckDB's DATE_DIFF yields BIGINT; widen Spark's int to match.
+    k = F.date_diff(F.col("day"), F.col("cohort_day")).cast("long")
+    return (
+        daily.join(firsts, "user_id")
+        .withColumn("day_k", k)
+        .filter(F.col("day_k").between(0, 7))
+        .groupBy("cohort_day", "day_k")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
