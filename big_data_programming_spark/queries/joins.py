@@ -296,3 +296,38 @@ def j9_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o1.o_custkey").alias("o_custkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs_within_30d"))
     )
+
+
+@register(
+    "j10_null_safe_join",
+    oracle="""
+WITH counts AS (
+  SELECT NULLIF(l_linenumber % 4, 0) AS kn, COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1
+), qtys AS (
+  SELECT NULLIF(l_linenumber % 4, 0) AS kn,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS BIGINT) AS total_qty
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT c.kn, c.n_lines, q.total_qty
+FROM counts c JOIN qtys q ON c.kn IS NOT DISTINCT FROM q.kn
+""",
+    tags=("J10", "J1", "A1"),
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — required when a derived
+    bucketing key is legitimately absent and both sides must still
+    line up. Planner-wise it stays a hash-partitionable equi-join
+    (EqualNullSafe is a valid shuffle key), NOT a nested loop."""
+    li = load(spark, sf_dir, "lineitem")
+    kn = F.nullif(F.col("l_linenumber") % 4, F.lit(0)).alias("kn")
+    counts = li.groupBy(kn).agg(F.count(F.lit(1)).alias("n_lines"))
+    qtys = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(kn)
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("bigint").alias("total_qty"))
+    )
+    return counts.alias("c").join(
+        qtys.alias("q"), F.col("c.kn").eqNullSafe(F.col("q.kn"))
+    ).select("c.kn", "n_lines", "total_qty")

@@ -266,3 +266,24 @@ def test_latest_per_key_merge_invariance(spark):
     # idempotence: re-reducing a snapshot is a no-op
     again = latest_per_key(snap, keys, order)
     assert again.exceptAll(snap).count() == 0
+
+
+def test_observe_metrics_single_scan(spark):
+    """Pipeline accounting via df.observe: row counts and gate
+    pass-rates collected as a side effect of the one real action — at
+    scale the alternative (a second count() scan per metric) doubles
+    I/O. The Observation rides the existing job; no extra scan."""
+    from pyspark.sql import Observation
+
+    docs = load(spark, SMOKE_SF_DIR, "documents")
+    obs = Observation("quality_gate")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col("n_chars") >= 100, 1).otherwise(0)).alias("rows_pass"),
+    ).filter(F.col("n_chars") >= 100)
+    n_out = gated.count()
+
+    metrics = obs.get
+    assert metrics["rows_in"] == docs.count()
+    assert metrics["rows_pass"] == n_out
