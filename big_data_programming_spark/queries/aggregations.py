@@ -385,3 +385,39 @@ def a13_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_programming_spark.operators.profile import profile_table
 
     return profile_table(load(spark, sf_dir, "orders"), list(_PROFILE_COLS))
+
+
+@register(
+    "a14_histogram",
+    oracle="""
+SELECT CAST(CASE WHEN value < 0 THEN 0
+            WHEN value >= 100 THEN 11
+            ELSE FLOOR(value / ((100.0 - 0.0) / 10)) + 1 END AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(value) AS DOUBLE) AS lo_seen,
+       CAST(MAX(value) AS DOUBLE) AS hi_seen
+FROM events
+GROUP BY 1
+""",
+    tags=("A14", "F3", "A1"),
+)
+def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value via width_bucket — one
+    map-side-combined aggregate, the value-distribution profiling pass
+    (DuckDB 1.0 lacks width_bucket; the oracle replicates its exact
+    arithmetic — FLOOR(v / ((hi-lo)/n)) + 1 with under/overflow
+    buckets 0 and n+1 — using the same double operations, so floors
+    agree bitwise)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo_seen"),
+            F.max("value").alias("hi_seen"),
+        )
+    )

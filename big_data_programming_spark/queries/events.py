@@ -263,3 +263,50 @@ def e7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_k")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "e8_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(DATE_TRUNC('hour', ts)) AS TIMESTAMP) AS lo,
+         CAST(MAX(DATE_TRUNC('hour', ts)) AS TIMESTAMP) AS hi
+  FROM events
+), hours AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT h.hour, t.event_type, COALESCE(c.n_events, 0) AS n_events
+FROM hours h
+CROSS JOIN types t
+LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+""",
+    tags=("E8", "F2", "F4", "J2"),
+)
+def e8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: an explicit hour×event_type grid
+    (sequence + explode over the observed bounds, cross join with the
+    tiny type dimension) left-joined to the real counts, zeros filled
+    — silent gaps become visible zeros, which downstream anomaly
+    detection and charting require. The grid is dimension-sized
+    (hours × types, never event-sized), so the only full scan is the
+    one hourly aggregate."""
+    e = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    bounds = e.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        hours.crossJoin(types)
+        .join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )

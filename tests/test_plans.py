@@ -197,6 +197,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l3d_knn_label_vote",
         "l3f_ivf_probe_topk",
         "l3g_batch_knn_join",  # 5-row broadcast query set, non-equi self-exclusion
+        "e8_gap_fill",  # hours-grid × 5-type dimension densification, both tiny
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
