@@ -311,3 +311,63 @@ def o6_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
     )
+
+
+#: Deliberately dirty CSV staged by s2b — two malformed lines among
+#: five good ones. A fixed literal, so the expected output is too.
+_DIRTY_CSV = """id,qty,price
+1,10,1.5
+2,twenty,2.5
+3,30,3.5
+4,40,not-a-price
+5,50,5.5
+6,60,6.5
+"""
+
+
+@register(
+    "s2b_corrupt_records",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 10, 1.5, FALSE),
+  (2, NULL, 2.5, TRUE),
+  (3, 30, 3.5, FALSE),
+  (4, 40, NULL, TRUE),
+  (5, 50, 5.5, FALSE),
+  (6, 60, 6.5, FALSE)
+) t(id, qty, price, is_corrupt)
+""",
+    tags=("S2", "P2", "F8"),
+)
+def s2b_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with corrupt-record capture: malformed
+    fields become NULL and the raw line is preserved in a
+    ``_corrupt_record`` column instead of killing the job — on a
+    100 TB ingest a handful of bad lines is a certainty, and FAILFAST
+    would turn each into a full-job retry. The query flags (not drops)
+    bad rows, keeping the quarantine decision downstream. Input is a
+    fixed literal, so the oracle is the expected literal output."""
+    out = tempfile.mkdtemp(prefix="bdps_s2b_")
+    with open(f"{out}/dirty.csv", "w") as f:
+        f.write(_DIRTY_CSV)
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("qty", IntegerType()),
+            StructField("price", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return raw.select(
+        "id",
+        "qty",
+        "price",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )

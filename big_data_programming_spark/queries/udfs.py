@@ -313,3 +313,42 @@ def ud8_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ud9_map_in_arrow",
+    oracle="""
+SELECT s_suppkey,
+       CAST(OCTET_LENGTH(encode(s_name)) AS BIGINT) AS name_bytes,
+       CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+FROM supplier
+""",
+    tags=("UD9", "UD6"),
+)
+def ud9_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python boundary — raw
+    pyarrow.RecordBatch in, RecordBatch out, no pandas conversion on
+    either side. The right seam for libraries that speak Arrow
+    natively (tokenizers, polars, duckdb-in-executor). Arithmetic is
+    integer-only so the result is exactly the SQL twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def arrow_features(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            name_bytes = pc.binary_length(pc.cast(b.column("s_name"), pa.binary()))
+            cents = pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(b.column("s_acctbal"), pa.scalar(100.0)), pa.scalar(0.5))
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("s_suppkey"), pc.cast(name_bytes, pa.int64()), cents],
+                names=["s_suppkey", "name_bytes", "acctbal_cents"],
+            )
+
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return s.mapInArrow(
+        arrow_features, schema="s_suppkey long, name_bytes long, acctbal_cents long"
+    )
