@@ -421,3 +421,42 @@ def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi_seen"),
         )
     )
+
+
+@register(
+    "a15_hll_sketch_rollup",
+    oracle=None,  # Datasketches HLL binaries are engine-specific — bounds + mergeability asserted in tests/test_approx.py
+    tags=("A4", "A15"),
+)
+def a15_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB pattern for distinct
+    counting over hierarchies: build one Datasketches HLL sketch of
+    user_id per (event_type, day) partition (`hll_sketch_agg`), then
+    roll up to per-event_type totals by merging the constant-size
+    sketches (`hll_union_agg`) instead of re-scanning raw events.
+
+    Why it matters at scale: daily sketches are tiny (~KB) and
+    associative, so the rollup stage shuffles O(days × types × KB)
+    regardless of event volume, and the same daily sketches serve ANY
+    enclosing rollup (weekly, monthly, all-time) without touching the
+    fact table again. `distinct_users` deliberately differs from
+    SUM(daily estimates) — users active on several days are counted
+    once by the union, which the naive sum cannot do.
+
+    tests/test_approx.py asserts estimate-vs-exact error bounds and
+    that union-of-daily-sketches matches the single-pass sketch."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch"))).cast("bigint")
+            .alias("distinct_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

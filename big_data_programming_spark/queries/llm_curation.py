@@ -1,0 +1,251 @@
+"""Training-data curation operators beyond the core L-family
+(SURVEY.md §2.12 X15-X18): context-window chunking, PII masking,
+Gopher-style repetition signals, and benchmark decontamination.
+
+All four are pure built-in-expression plans (split/HOF/regexp/window)
+— whole-stage codegen, no Python crossing. Chunking and masking are
+embarrassingly parallel maps; repetition needs one hash-partitioned
+aggregate; decontamination is a broadcast join against the (small)
+eval-set shingle table. Each shape survives 100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.operators.text import tokenize
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+#: Chunking geometry: 200-char windows, 150-char stride (50 overlap).
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "l4f_chunk_documents",
+    oracle=f"""
+SELECT doc_id,
+       CAST((s.start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(s.start AS BIGINT) AS chunk_start,
+       CAST(LENGTH(SUBSTRING(text, CAST(s.start AS INT), {CHUNK_LEN})) AS INT) AS chunk_len,
+       md5(SUBSTRING(text, CAST(s.start AS INT), {CHUNK_LEN})) AS chunk_md5
+FROM documents, UNNEST(generate_series(1, n_chars, {CHUNK_STRIDE})) AS s(start)
+WHERE n_chars >= 1
+""",
+    tags=("L4", "F1", "F4"),
+)
+def l4f_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into fixed 200-char
+    windows with 50-char overlap (the shape of an embedding / training
+    chunker). Pure per-row map — `sequence` builds the start offsets,
+    `posexplode` emits one row per chunk, `substring` slices. No
+    shuffle at all; at 100 TB this is a single map stage whose output
+    partitioning inherits the scan's."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    starts = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(CHUNK_STRIDE))
+    chunk = F.substring(F.col("text"), F.col("start") + 1, CHUNK_LEN)
+    return (
+        d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            (F.col("start") + 1).cast("bigint").alias("chunk_start"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+#: POSIX-simple PII patterns — Java regex and RE2 agree on these.
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "l4g_pii_mask",
+    oracle=f"""
+WITH with_pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS masked_md5
+FROM with_pii
+""",
+    tags=("L5", "F1"),
+)
+def l4g_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask email / phone patterns.
+
+    The fixture corpus is synthetic word-soup with no real PII, so the
+    query first *injects* a deterministic email+phone per document and
+    then redacts it — the masking expressions (`regexp_count`,
+    chained global `regexp_replace`) are exactly the production ones.
+    Pure map stage: no shuffle, trivially parallel at any scale."""
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(masked.cast("binary")).alias("masked_md5"),
+    )
+
+
+@register(
+    "l4h_repetition_signals",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), freq AS (
+  SELECT doc_id, MAX(c) AS max_freq
+  FROM (SELECT doc_id, u.token, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS u(token)
+        GROUP BY doc_id, u.token)
+  GROUP BY doc_id
+), arr AS (
+  SELECT doc_id,
+         LEN(t) AS n_tokens,
+         LEN(list_distinct(t)) AS distinct_tokens,
+         list_transform(generate_series(1, LEN(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1]) AS bg
+  FROM toks
+)
+SELECT a.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+       CAST(f.max_freq AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(LEN(bg) AS BIGINT) AS n_bigrams,
+       CAST(LEN(bg) - LEN(list_distinct(bg)) AS DOUBLE)
+         / NULLIF(LEN(bg), 0) AS dup_bigram_frac
+FROM arr a JOIN freq f ON a.doc_id = f.doc_id
+""",
+    tags=("L4", "L5", "A1", "F4"),
+)
+def l4h_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-token
+    frequency fraction and duplicate-bigram fraction (high values mark
+    boilerplate / degenerate text for the quality gate).
+
+    Array-side signals (distinct tokens, bigram dedup) are computed
+    with HOFs inside the row — no explode, no shuffle. Only the
+    top-token frequency needs an aggregate, and it shuffles
+    per-(doc, token) counts already shrunk by map-side combine. All
+    fractions are raw IEEE double divisions of integers — bitwise
+    identical across engines, no rounding step to disagree on."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("t"))
+    freq = (
+        base.select("doc_id", F.explode(F.col("t")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_freq"))
+    )
+    n = F.size(F.col("t"))
+    bg = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    arr = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.col("t"))).cast("bigint").alias("distinct_tokens"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        (F.size(bg) - F.size(F.array_distinct(bg))).cast("bigint").alias("dup_bigrams"),
+    )
+    return arr.join(freq, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        (F.col("max_freq").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        "n_bigrams",
+        (
+            F.col("dup_bigrams").cast("double")
+            / F.nullif(F.col("n_bigrams"), F.lit(0))
+        ).alias("dup_bigram_frac"),
+    )
+
+
+#: Decontamination geometry: 8-token shingles; every ~13th doc is "eval".
+_DECON_K = 8
+_EVAL_MOD = 13
+
+
+@register(
+    "l4i_decontamination",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(LEN(string_split(text, ' ')) - {_DECON_K - 1}, 1)),
+           i -> md5(array_to_string(
+                  list_slice(string_split(text, ' '), i, i + {_DECON_K - 1}), ' '))
+         )) AS sh
+  FROM documents
+), eval_sh AS (
+  SELECT DISTINCT u.h FROM shingled, UNNEST(sh) AS u(h)
+  WHERE doc_id % {_EVAL_MOD} = 0
+), train AS (
+  SELECT doc_id, u.h FROM shingled, UNNEST(sh) AS u(h)
+  WHERE doc_id % {_EVAL_MOD} <> 0
+)
+SELECT t.doc_id, COUNT(*) AS n_overlap_shingles
+FROM train t JOIN eval_sh e ON t.h = e.h
+GROUP BY t.doc_id
+""",
+    tags=("L4", "L2", "J3", "F7"),
+)
+def l4i_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token shingle with the eval set (here: every 13th doc stands in
+    for a benchmark). Output = contaminated doc → overlapping-shingle
+    count.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs,
+    not billions), so its distinct shingle hashes BROADCAST and the
+    check is a map-side hash probe over the training corpus — no
+    corpus-wide shuffle. The per-(doc, shingle) count aggregate is the
+    only exchange, and only matched rows (rare in real corpora) reach
+    it."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_DECON_K - 1), F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _DECON_K)).cast("binary")),
+        )
+    )
+    shingled = d.select("doc_id", shingles.alias("sh"))
+    eval_sh = (
+        shingled.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", F.explode(F.col("sh")).alias("h")
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
+    )

@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "scalar_functions",
     "events",
     "llm_text",
+    "llm_curation",
     "llm_dedup",
     "llm_similarity",
     "llm_multimodal",

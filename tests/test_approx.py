@@ -58,3 +58,38 @@ def test_percentile_approx_matches_exact_on_coarse_grid(spark):
     vals = sorted(v[0] for v in d.select("n_chars").collect())
     assert approx in vals
     assert abs(vals.index(approx) - len(vals) // 2) <= max(2, 0.001 * len(vals))
+
+
+def test_hll_sketch_rollup_bounds_and_mergeability(spark):
+    """a15's two-level sketch rollup: (1) the merged estimate lands
+    within HLL error bounds of the exact per-type distinct user count;
+    (2) union-of-daily-sketches equals the single-pass whole-history
+    sketch exactly (same lgK, same items → identical sketch state) —
+    the associativity that makes pre-aggregated rollups trustworthy."""
+    e = load(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = {
+        r["event_type"]: r["est"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .collect()
+    }
+    single = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for t, ex in exact.items():
+        assert abs(merged[t] - ex) <= 0.1 * ex, (t, merged[t], ex)
+        # merge path and single-pass path must agree to float precision
+        assert abs(merged[t] - single[t]) <= 1e-6 * max(single[t], 1.0), t
