@@ -210,3 +210,69 @@ def test_no_accidental_cartesian_in_catalog():
             nl_offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
     assert not nl_offenders, f"unexpected nested-loop joins in: {nl_offenders}"
+
+
+def test_chunking_is_shuffle_free():
+    """X15: l4f must be a pure map — generate/explode/project with no
+    Exchange at all; at 100 TB it runs at scan speed."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["l4f_chunk_documents"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # the posexplode
+
+
+def test_decontamination_broadcasts_eval_side():
+    """X18: the eval-set shingle table must broadcast — the training
+    corpus is probed map-side, never shuffled for the join."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["l4i_decontamination"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning():
+    """Catalyst injects a bloom-filter runtime filter on the fact side
+    of a selective join (Spark 3.3+ InjectRuntimeFilter): the filter is
+    built from the dim side's join keys and applied at the fact scan,
+    skipping rows that cannot match BEFORE the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the ~matching fraction. Thresholds are lowered here only
+    to trigger the rewrite on 60k-row fixtures — production sizes clear
+    the defaults on their own."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        # force a shuffle join so the runtime filter has a shuffle to save
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, SF_DIR, "lineitem")
+        o = load(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "l_quantity")
+        plan = formatted(j)
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
