@@ -249,3 +249,45 @@ def l4i_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap_shingles"))
     )
+
+
+#: Per-source document cap (domain balancing).
+_CAP_N = 30
+
+
+@register(
+    "l4j_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_CAP_N}
+""",
+    tags=("L5", "W6", "P5"),
+)
+def l4j_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap sampling: keep at most N documents per source,
+    chosen by deterministic hash order (md5 of doc_id) so the kept set
+    is a uniform, reproducible sample — the domain-balancing pass that
+    stops a handful of giant crawl domains from dominating the corpus.
+
+    One hash-partitioned window per source; with AQE skew handling the
+    giant-domain partitions split automatically. The rank order is a
+    total order (hash, then doc_id) so re-runs keep identical rows —
+    required for incremental corpus rebuilds."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _CAP_N)
+    )

@@ -291,3 +291,51 @@ def f8_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_timestamp(F.col("event_type")).cast("timestamp_ntz").alias("bogus_ts"),
         F.try_element_at(F.split(F.col("event_type"), ""), F.lit(99)).alias("oob_char"),
     )
+
+
+@register(
+    "f9_url_funcs",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) || '?ref=' || source
+           || '&page=' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param,
+       regexp_extract(url, 'https?://(?:[^/.]+\\.)*([^/.]+\\.[^/.]+)(?:/|$)', 1)
+         AS reg_domain
+FROM urls
+""",
+    tags=("F9", "F1"),
+)
+def f9_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dissection — host / path / query / named query param /
+    registrable domain — via Spark's native `parse_url` (plus a regexp
+    for the domain tail). Web-crawl curation runs this on every record:
+    per-domain caps, blocklists, and dedup keys all start from these
+    fields. URLs are synthesized deterministically from the fixture
+    columns (corpus has none), so both engines parse identical inputs;
+    the oracle twins `parse_url` with POSIX regexps."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("source"),
+        F.lit("&page="), (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.regexp_extract(
+            url, r"https?://(?:[^/.]+\.)*([^/.]+\.[^/.]+)(?:/|$)", 1
+        ).alias("reg_domain"),
+    )
