@@ -460,3 +460,63 @@ def a15_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@register(
+    "a16_regression",
+    oracle=f"""
+WITH comp AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(HOUR(ts) AS BIGINT)) AS sx,
+         SUM(CAST(HOUR(ts) AS BIGINT) * HOUR(ts)) AS sxx,
+         {oracle_dsum('value', 'sy')},
+         {oracle_dsum('value * value', 'syy')},
+         {oracle_dsum('HOUR(ts) * value', 'sxy')}
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM comp
+""",
+    tags=("A16", "A5", "A1"),
+)
+def a16_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope / intercept / R²) of
+    event value on hour-of-day, per event type — the regr_slope /
+    regr_intercept / regr_r2 family, computed from sufficient
+    statistics in ONE map-side-combined pass.
+
+    Spark ships native `F.regr_*`, but their streaming-merge algorithm
+    is partition-order-dependent in the last float bits, so (like a5)
+    the canon computes the five sufficient sums exactly — integer sums
+    for x, decimal-canon sums for the double terms — and derives the
+    coefficients with identical IEEE double arithmetic on both
+    engines. Same single-aggregate plan shape as the native form; at
+    100 TB the sums are what any engine shuffles anyway."""
+    e = load(spark, sf_dir, "events")
+    x = F.hour("ts").cast("bigint")
+    comp = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        dsum("value", "sy"),
+        dsum(F.col("value") * F.col("value"), "syy"),
+        dsum(x * F.col("value"), "sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return comp.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        (
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+        ).alias("r2"),
+    )

@@ -339,3 +339,36 @@ def f9_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             url, r"https?://(?:[^/.]+\.)*([^/.]+\.[^/.]+)(?:/|$)", 1
         ).alias("reg_domain"),
     )
+
+
+@register(
+    "f10_bitwise_funcs",
+    oracle="""
+SELECT event_type,
+       bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS presence_mask,
+       bit_count(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))) AS slots_used,
+       bit_xor(user_id) AS xor_digest,
+       bit_and(user_id | 1) AS and_low_bits
+FROM events
+GROUP BY event_type
+""",
+    tags=("F10", "F3", "A1"),
+)
+def f10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + bitmap-aggregate surface: build a 32-slot
+    presence bitmap per event type (`shiftleft` + `bit_or`), popcount
+    it (`bit_count`), and fold XOR/AND digests. The bitmap-rollup
+    idiom is the cheap exact-distinct for SMALL key domains — a
+    64-bit mask per group instead of a distinct shuffle — and, like
+    the HLL sketch (a15), it merges associatively across partitions.
+    All integer ops: bit-identical across engines by construction."""
+    e = load(spark, sf_dir, "events")
+    # PySpark's shiftleft() only takes a literal shift; the SQL form
+    # accepts a per-row column
+    slot = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+    return e.groupBy("event_type").agg(
+        F.bit_or(slot).alias("presence_mask"),
+        F.bit_count(F.bit_or(slot)).alias("slots_used"),
+        F.bit_xor("user_id").alias("xor_digest"),
+        F.bit_and(F.col("user_id").bitwiseOR(F.lit(1))).alias("and_low_bits"),
+    )

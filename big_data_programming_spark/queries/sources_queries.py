@@ -371,3 +371,50 @@ def s2b_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+def _zorder_oracle_expr() -> str:
+    """DuckDB twin of the 6-bit×2 Morton interleave in o7."""
+    terms = []
+    for i in range(6):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "o7_zorder_layout",
+    oracle=f"""
+WITH keyed AS (
+  SELECT p_partkey,
+         CAST(p_size & 63 AS BIGINT) AS x,
+         CAST(p_partkey % 64 AS BIGINT) AS y
+  FROM part
+)
+SELECT p_partkey, x, y, CAST({_zorder_oracle_expr()} AS BIGINT) AS zval
+FROM keyed
+""",
+    tags=("O7", "O6", "F3", "S6"),
+)
+def o7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout: interleave the bits of two
+    query dimensions into one sort key, then range-partition and
+    locally sort on it — multi-dimensional data skipping from
+    one-dimensional file layout. After this write shape, parquet
+    min/max stats prune files for predicates on EITHER dimension
+    (a date-only or size-only range sort can prune only its own
+    column). The interleave is pure integer bit arithmetic in
+    whole-stage codegen; the range partitioner samples boundaries, so
+    there is no global sort barrier. Content is what the oracle
+    checks; clustering is a layout property (cf. o6)."""
+    p = load(spark, sf_dir, "part")
+    x = (F.col("p_size").cast("bigint").bitwiseAND(F.lit(63))).alias("x")
+    y = (F.col("p_partkey") % 64).cast("bigint").alias("y")
+    keyed = p.select("p_partkey", x, y)
+    z = None
+    for i in range(6):
+        xb = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = xb + yb if z is None else z + xb + yb
+    zdf = keyed.withColumn("zval", z.cast("bigint"))
+    return zdf.repartitionByRange(8, "zval").sortWithinPartitions("zval", "p_partkey")
