@@ -520,3 +520,77 @@ def a16_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
         ).alias("r2"),
     )
+
+
+@register(
+    "a17_bitmap_distinct_rollup",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         DATE_TRUNC('day', ts) AS d,
+         COUNT(DISTINCT user_id) AS day_users,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+monthly AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS month_users
+  FROM events
+  GROUP BY 1
+)
+SELECT daily.event_type,
+       COUNT(*) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(SUM(day_users) AS BIGINT) AS sum_daily_users,
+       monthly.month_users
+FROM daily JOIN monthly USING (event_type)
+GROUP BY daily.event_type, monthly.month_users
+""",
+    tags=("A17", "A3", "F10"),
+)
+def a17_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable distinct-count rollup via RoaringBitmap-style
+    aggregates: the EXACT counterpart of the HLL sketch rollup (a15).
+
+    Level 1 scans the fact table ONCE, building one compressed bitmap
+    of user ids per (event_type, day, bitmap_bucket) with map-side
+    combine. Everything after that is sketch algebra on tiny state:
+    popcounts summed per bucket give per-day distincts, `bitmap_or_agg`
+    unions the daily bitmaps into monthly ones — so the month-level
+    distinct needs NO second fact scan and NO count-distinct shuffle
+    of raw user ids. Day coverage rides along as a 30-bit presence
+    mask (f10 idiom). At 100 TB this is the canonical daily→monthly
+    uniques rollup: per-(key, bucket) state is bounded (4 KiB bitmap
+    segments), associative, and cheap to persist for incremental
+    refresh; raw-id recounts are neither."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    per_day_bucket = (
+        e.groupBy(
+            "event_type",
+            day.alias("d"),
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "day_bit",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(datediff(CAST(d AS DATE), DATE'2024-01-01') AS INT))"
+            ),
+        )
+    )
+    per_bucket = per_day_bucket.groupBy("event_type", "bkt").agg(
+        F.bitmap_or_agg("bm").alias("mbm"),
+        F.sum(F.bitmap_count("bm")).alias("part_daily_users"),
+        F.sum("n").alias("part_events"),
+        F.bit_or("day_bit").alias("day_mask"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.bit_count(F.bit_or("day_mask")).cast("bigint").alias("n_days"),
+        F.sum("part_events").alias("total_events"),
+        F.sum("part_daily_users").alias("sum_daily_users"),
+        F.sum(F.bitmap_count("mbm")).alias("month_users"),
+    )

@@ -310,3 +310,82 @@ def e8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["hour", "event_type"], "left")
         .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
     )
+
+
+@register(
+    "e9_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+         event_type,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+rolled AS (
+  SELECT hour, event_type, n_events,
+         COUNT(*) OVER w AS w_n,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, event_type, n_events,
+       ROUND(CAST(s AS DOUBLE) / w_n, 6) AS mean_24h,
+       ROUND((n_events - CAST(s AS DOUBLE) / w_n)
+             / SQRT(GREATEST((ss - CAST(s AS DOUBLE) * s / w_n) / (w_n - 1), 1e-12)), 6)
+         AS zscore,
+       CASE WHEN ABS((n_events - CAST(s AS DOUBLE) / w_n)
+             / SQRT(GREATEST((ss - CAST(s AS DOUBLE) * s / w_n) / (w_n - 1), 1e-12))) > 2.5
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM rolled
+WHERE w_n = 24
+""",
+    tags=("W4", "W5", "A5", "F2"),
+)
+def e9_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly event-count
+    series: each (type, hour)'s count is scored against the mean/stddev
+    of the previous 24 observed hours; |z| > 2.5 flags an anomaly.
+
+    Two-level shape built for scale: the raw stream first collapses to
+    the tiny hourly grid (one map-side-combined aggregate — the only
+    shuffle that sees raw events), then the window pass runs over
+    ~720 rows per type. The rolling stddev is derived from integer
+    window sums (Σn, Σn²) rather than `stddev` — the integer sums are
+    exact and associative, so the derivation is bit-identical across
+    engines AND across partition counts, where streaming Welford
+    kernels are not. The 1e-12 variance floor absorbs the
+    constant-series case without branching."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    rolled = hourly.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+    ).filter(F.col("w_n") == 24)
+    mean = F.col("s").cast("double") / F.col("w_n")
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("w_n")) / (
+        F.col("w_n") - 1
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return rolled.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.round(mean, 6).alias("mean_24h"),
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("is_anomaly"),
+    )

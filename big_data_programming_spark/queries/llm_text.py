@@ -276,3 +276,117 @@ def l5b_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+#: BM25 query terms (all present in the synthetic corpus vocabulary)
+#: and the standard Okapi parameters.
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"LEN(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"""CAST(ROUND(
+            LN((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)
+            * (CAST(tf_{t} AS DOUBLE) * 2.2
+               / (CAST(tf_{t} AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6)
+          AS DECIMAL(38,10))"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, LEN(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(CAST(SUM(CAST(dl AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, dl,
+       {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+       CAST({score_terms} AS DOUBLE) AS score
+FROM base CROSS JOIN g
+WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "l4k_bm25_search",
+    oracle=_bm25_oracle(),
+    tags=("L4", "L3", "A2", "F4"),
+)
+def l4k_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-20 documents for a fixed
+    multi-term query, scored with the standard (k1=1.2, b=0.75)
+    saturation/length-normalization formula.
+
+    Plan shape: the corpus is scanned ONCE computing per-doc term
+    frequencies in-row (array `filter` HOFs — no explode, no shuffle
+    of token rows); corpus statistics (N, avgdl, per-term df) reduce
+    to a single broadcast row; scoring is then a pure map and the
+    top-20 is a TakeOrdered — no global sort. At 100 TB the scan is
+    embarrassingly parallel and the only data movement is the one
+    statistics row; for a standing query workload the per-doc tf/dl
+    row (the `base` relation) is the thing to persist, turning every
+    new query into a map + top-k over it. Determinism: avgdl via the
+    decimal canon, each term's contribution rounded to 6 dp then
+    summed in exact decimal (same component order on both engines)."""
+    d = load(spark, sf_dir, "documents")
+
+    def tf(term: str):
+        return F.size(F.filter(tokenize(F.col("text")), lambda x: x == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("dl"),
+        *[tf(t).cast("bigint").alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(g))
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}")
+        idf = F.log((F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        tfw = tf * F.lit(2.2) / (
+            tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.round(idf * tfw, 6).cast("decimal(38,10)")
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    any_tf = F.col(f"tf_{_BM25_TERMS[0]}")
+    for t in _BM25_TERMS[1:]:
+        any_tf = any_tf + F.col(f"tf_{t}")
+    return (
+        scored.withColumn("score", score.cast("double"))
+        .filter(any_tf > 0)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

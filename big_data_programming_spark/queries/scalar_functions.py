@@ -372,3 +372,40 @@ def f10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("user_id").alias("xor_digest"),
         F.bit_and(F.col("user_id").bitwiseOR(F.lit(1))).alias("and_low_bits"),
     )
+
+
+@register(
+    "f6b_variant_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+       'OBJECT<k: BIGINT>' AS var_schema,
+       CAST(NULL AS INTEGER) AS missing_int
+FROM events
+""",
+    tags=("F6", "P4"),
+)
+def f6b_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: `parse_json`
+    shreds the JSON payload into the binary VARIANT encoding once,
+    then `variant_get` does typed path extraction without re-parsing.
+
+    At 100 TB this is the semi-structured scale play: VARIANT columns
+    persist as shredded binary (parse cost paid once at ingest, not
+    per query), extraction stays in codegen, and `try_variant_get`
+    gives the ANSI-safe NULL-on-miss behavior dirty payloads need.
+    The oracle re-derives each typed value with DuckDB json_extract;
+    `schema_of_variant` is asserted against the known payload shape
+    (every props row is {"k": <int>})."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.schema_of_variant(v).alias("var_schema"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+    )

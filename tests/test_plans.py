@@ -198,6 +198,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l3f_ivf_probe_topk",
         "l3g_batch_knn_join",  # 5-row broadcast query set, non-equi self-exclusion
         "e8_gap_fill",  # hours-grid × 5-type dimension densification, both tiny
+        "l4k_bm25_search",  # 1-row corpus-statistics broadcast
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
@@ -276,3 +277,35 @@ def test_runtime_bloom_filter_join_pruning():
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_bm25_single_scan_broadcast_stats_topk():
+    """l4k: corpus statistics join must broadcast (one tiny row), the
+    top-20 must compile to TakeOrderedAndProject, and the scoring scan
+    must read only the two columns BM25 needs."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["l4k_bm25_search"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert set(scan_read_columns(df)) <= {"doc_id", "text"}, scan_read_columns(df)
+
+
+def test_bitmap_rollup_single_fact_scan():
+    """a17: the daily→monthly exact-distinct rollup must scan the fact
+    table ONCE — everything above level 1 is bitmap algebra on tiny
+    state, never a second pass over raw events."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["a17_bitmap_distinct_rollup"](spark, SF_DIR)
+    df.collect()
+    # AQE's string rendering repeats the tree under "== Initial Plan ==";
+    # count scans in the final plan only.
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert "bitmap_construct_agg" in plan, plan
