@@ -64,27 +64,37 @@ def main() -> None:
     def drain(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # warm-up: JVM, codegen, parquet footer caches
-    drain(cat["q1_pricing_summary"].fn(spark, sf_dir))
+    # warm-up: JVM, codegen, parquet footer caches. Best-effort — a
+    # broken flagship must not zero the whole round's numbers.
+    try:
+        drain(cat["q1_pricing_summary"].fn(spark, sf_dir))
+    except Exception:
+        pass
 
+    # Per-query isolation: one broken query records an "err" entry and
+    # the rest of the suite still produces timings; the JSON line is
+    # ALWAYS emitted (driver contract — BENCH_r{N}.json must parse).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in suite:
         t0 = time.perf_counter()
-        drain(cat[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            drain(cat[name].fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

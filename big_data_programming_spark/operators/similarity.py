@@ -161,30 +161,39 @@ def ivf_build(
 def ivf_topk(
     assigned: DataFrame,
     centers: list,
-    query: list,
+    query: DataFrame | list,
     k: int = 10,
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF probe: rank centroids by cosine to the query (driver-side —
-    k × dim floats of index metadata), scan only the ``nprobe`` nearest
-    inverted lists, exact top-k within them. ``nprobe = n_lists``
-    degrades gracefully to exact brute force; smaller nprobe trades
-    recall for scanning ~nprobe/n_lists of the corpus — with the
-    assigned table partitioned by list_id the filter is partition
-    pruning, not even a scan."""
-    import math
+    """IVF probe: rank centroids by cosine to the query, scan only the
+    ``nprobe`` nearest inverted lists, exact top-k within them.
 
-    def cos(a: list, b: list) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
-
-    ranked = sorted(range(len(centers)), key=lambda i: (-cos(centers[i], query), i))
-    probe = ranked[:nprobe]
+    ``query`` is a 1-row DataFrame with column ``q array<double>`` (a
+    plain Python list is also accepted for ad-hoc use). The whole probe
+    is JVM-side: centroids (k × dim floats of index metadata) become a
+    tiny DataFrame, the query row never round-trips through the driver,
+    and the candidate restriction is a broadcast join on ``list_id`` —
+    at scale, with the assigned table written partitioned by list_id,
+    that broadcast join drives dynamic partition pruning, so non-probed
+    lists are never read. ``nprobe = n_lists`` degrades gracefully to
+    exact brute force; smaller nprobe trades recall for scanning
+    ~nprobe/n_lists of the corpus."""
     spark = assigned.sparkSession
-    qdf = spark.createDataFrame([(query,)], f"q array<double>")
-    cand = assigned.filter(F.col("list_id").isin(probe))
+    qdf = query if isinstance(query, DataFrame) else spark.createDataFrame([(query,)], "q array<double>")
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "list_id int, c array<double>",
+    )
+    probe = (
+        centers_df.crossJoin(F.broadcast(qdf))
+        .select("list_id", cosine_similarity_col(F.col("c"), F.col("q")).alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "list_id")
+        .limit(nprobe)
+        .select("list_id")
+    )
+    cand = assigned.join(F.broadcast(probe), "list_id")
     return topk_cosine(cand, qdf, k=k, vec_col=vec_col, id_col=id_col)
 
 

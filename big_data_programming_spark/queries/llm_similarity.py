@@ -254,7 +254,9 @@ def l3e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     assigned, centers = ivf_build(emb, n_lists=16)
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
     return ivf_topk(assigned, centers, query, k=10, nprobe=4)
 
 

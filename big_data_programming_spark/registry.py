@@ -18,24 +18,31 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: queries/ modules that register themselves on import (order = catalog order).
+#:
+#: Order matters operationally: the driver's correctness pass checks the
+#: FIRST 50 catalog entries only, so modules are rotated each round to
+#: give never-verified operators a driver row. Round 3 window: events(9)
+#: + aggregations(18) + windows(6) + setops(10) + scalar_functions(7 of
+#: 11) = 50. Already driver-green in r1/r2 (tpch, sources, projection,
+#: joins) sit at the back.
 _QUERY_MODULES = (
-    "tpch",
-    "sources_queries",
-    "projection",
-    "joins",
+    "events",
     "aggregations",
     "windows",
     "setops",
     "scalar_functions",
-    "events",
     "llm_text",
     "llm_curation",
     "llm_dedup",
     "llm_similarity",
     "llm_multimodal",
-    "streaming_queries",
     "udfs",
+    "streaming_queries",
     "skew_queries",
+    "tpch",
+    "sources_queries",
+    "projection",
+    "joins",
 )
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from big_data_programming_spark.sources.schemas import SCHEMAS
@@ -35,22 +34,17 @@ TABLES: tuple[str, ...] = (
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """S1 — parquet scan of one fixture table at a scale-factor dir.
 
-    ``events.ts`` is nanosecond parquet (FIXTURES.md), which Spark 4
-    rejects outright (PARQUET_TYPE_ILLEGAL). We read it through the
-    ``nanosAsLong`` escape hatch and truncate ns→µs with *integer*
-    division (epoch-ns ≈ 1.7e18 exceeds double's 2^53 mantissa, so a
-    float divide would corrupt microseconds), landing on exactly the
-    µs values DuckDB produces for the same file. The conf is set
-    per-call so the driver's own SparkSession works without pre-setup.
+    Every table, ``events`` included, reads natively: PySpark 4.1
+    reads the ns-precision ``events.ts`` parquet column directly as
+    ``TIMESTAMP_NTZ`` truncated to µs, which is bit-identical to what
+    DuckDB (the oracle) yields for the same file — verified
+    empirically, no conf or cast needed. Keeping the scan bare also
+    preserves filter pushdown into the parquet relation (a
+    ``withColumn`` over ``ts`` would block ``PushedFilters`` on it).
     """
     if table not in SCHEMAS:
         raise KeyError(f"unknown fixture table: {table!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{table}.parquet")
-    if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-        )
     return spark.read.parquet(path)
 
 

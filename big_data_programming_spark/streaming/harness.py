@@ -25,15 +25,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: events schema as the *streaming file source* must declare it: with
-#: ``nanosAsLong`` in force (sources/loaders.py), the ns-precision
-#: parquet ``ts`` arrives as a raw epoch-nanos LongType.
+#: events schema as the *streaming file source* must declare it:
+#: PySpark 4.1 reads the ns-precision parquet ``ts`` natively as
+#: TIMESTAMP_NTZ truncated to µs — same as the batch loader
+#: (sources/loaders.py:load).
 _EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -55,8 +57,8 @@ def _ckpt_base() -> str | None:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 — the events table as an unbounded stream.
 
-    Same ns→µs truncation as the batch loader (integer division — see
-    sources/loaders.py:load) so the streaming and batch plans see
+    Same native ns→µs parquet read as the batch loader
+    (sources/loaders.py:load) so the streaming and batch plans see
     bit-identical timestamps. One deliberate difference: ``ts`` is
     emitted as TIMESTAMP (session-zoned), not TIMESTAMP_NTZ, because
     ``withWatermark`` requires a zoned event-time column
@@ -65,7 +67,6 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast window bounds back to TIMESTAMP_NTZ on output to match their
     batch twins.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source requires a *directory*; select the single
     # fixture file out of the sf dir with a glob filter.
     raw = (
@@ -73,7 +74,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def drain(df: DataFrame, output_mode: str) -> DataFrame:

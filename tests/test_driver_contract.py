@@ -1,0 +1,104 @@
+"""Driver-contract replay with a FRESH, un-tuned SparkSession.
+
+The driver builds its own SparkSession with its own (unknown) conf —
+none of the repo's session.py posture is guaranteed to be in force.
+Round 2 burned on exactly this class of bug: the events loader
+depended on a conf that was a no-op under the driver's PySpark 4.1.2
+session (VERDICT.md r2 item 1). This test replays the contract in a
+clean subprocess: bare ``SparkSession.builder.master("local[4]")``,
+no repo confs, import ``__spark_entry__``, run ``entry()`` plus one
+query per module (every fixture table touched at least once).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+#: One representative per query module — chosen to touch every fixture
+#: table (events via e1, documents via l1/l4, embeddings via l3) so a
+#: loader/env-coupling regression on any table fails here first.
+SAMPLE_QUERIES = [
+    "e1_hourly_event_stats",
+    "a2_global_agg",
+    "w1_ranking",
+    "u4_distinct",
+    "f2_datetime_funcs",
+    "l1_exact_dedup",
+    "l4_text_stats",
+    "l3_cosine_topk",
+    "l4f_chunk_documents",
+    "ud2_pandas_scalar",
+    "st1_watermark_tumbling",
+    "q1_pricing_summary",
+    "s2_csv_roundtrip",
+    "p4_cast",
+    "j6_range_join",
+    "j7_asof_join",
+]
+
+_CHILD = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# The driver's posture: a session WE did not configure.
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("driver-contract-replay")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entrymod
+
+results = {}
+
+try:
+    df = entrymod.entry(spark)
+    n = df.count()
+    results["entry"] = "ok" if n >= 0 else "empty"
+except Exception as exc:
+    results["entry"] = f"{type(exc).__name__}: {exc}"[:200]
+
+qs = entrymod.queries()
+oracles = entrymod.oracle_sql()
+results["n_queries"] = len(qs)
+results["n_oracles"] = len(oracles)
+
+sample = json.loads(sys.argv[1])
+for name in sample:
+    if name not in qs:
+        results[name] = "MISSING_FROM_CATALOG"
+        continue
+    try:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+        results[name] = "ok"
+    except Exception as exc:
+        results[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+print("CONTRACT_RESULT " + json.dumps(results))
+"""
+
+
+def test_driver_contract_fresh_session():
+    sample = [q for q in SAMPLE_QUERIES]
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, json.dumps(sample)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    marker = [l for l in proc.stdout.splitlines() if l.startswith("CONTRACT_RESULT ")]
+    assert marker, (
+        f"contract replay produced no result line\nstdout:\n{proc.stdout[-2000:]}"
+        f"\nstderr:\n{proc.stderr[-2000:]}"
+    )
+    results = json.loads(marker[0][len("CONTRACT_RESULT "):])
+    bad = {k: v for k, v in results.items() if k not in ("n_queries", "n_oracles") and v != "ok"}
+    assert not bad, f"driver-contract failures under a fresh session: {bad}"
+    assert results["n_queries"] >= 150
+    assert results["n_oracles"] >= 145
