@@ -236,3 +236,90 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
     )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of a string column, as an
+    array. Pure in-row array construction — whole-stage codegen, no
+    Python. Callers must pre-filter ``length(text) >= n`` (Spark's
+    ``sequence(1, 0)`` would count DOWN, not return empty)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: F.substring(text, i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard near-duplicate pairs.
+
+    Shingling on character n-grams (vs whitespace tokens in
+    :func:`jaccard_pairs`) is order-sensitive: shared vocabulary in a
+    different arrangement scores near zero, while true edits/rewrites
+    of the same passage keep most of their shingles — the standard
+    near-dup signal for web-scale corpora. Shape is the same
+    inverted-index equi-join (shuffle on the shingle, never a cross
+    join), with one extra scale lever: shingles are md5-hashed to
+    60-bit ints BEFORE the shuffle, so the exchange moves 8-byte keys
+    instead of n-char strings. The hash is portable (same md5 bytes,
+    same hex-prefix parse in DuckDB), so the oracle replays it
+    bit-for-bit. Exact-but-quadratic worst case, like jaccard_pairs:
+    the 100 TB production path is MinHash-LSH banding; this is the
+    n-gram ground truth it is recall-tested against."""
+    grams = docs.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hashed = grams.select("doc", _token_hash60(F.col("gram")).alias("h"))
+    sizes = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+NGRAM_JACCARD_ORACLE_SQL = """
+WITH grams AS (
+  SELECT doc_id AS doc,
+         CAST(CONCAT('0x', SUBSTRING(md5(g.gram), 1, 15)) AS BIGINT) AS h
+  FROM documents,
+       UNNEST(list_distinct(list_transform(
+         generate_series(1, length(text) - {nm1}),
+         i -> substr(text, i, {n})))) AS g(gram)
+  WHERE length(text) >= {n}
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_grams FROM grams GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.h = b.h AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= {threshold}
+"""

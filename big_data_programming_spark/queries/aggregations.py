@@ -594,3 +594,28 @@ def a17_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("part_daily_users").alias("sum_daily_users"),
         F.sum(F.bitmap_count("mbm")).alias("month_users"),
     )
+
+
+@register(
+    "a18_freq_items",
+    oracle="""
+SELECT list_sort(list(DISTINCT event_type)) AS freq_event_types
+FROM events
+""",
+    tags=("A4", "A7"),
+)
+def a18_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass approximate heavy hitters (`df.stat.freqItems`,
+    Karp/Misra-Gries family): one scan, constant state of ~1/support
+    counters per partition, merged map-side — no shuffle of the raw
+    column, which is the whole point at 100 TB (an exact top-k
+    group-by shuffles every distinct key). Guarantee: every item with
+    frequency > support is present (false positives possible under
+    eviction). On this column the counter capacity (1/0.05 = 20)
+    exceeds the type cardinality (5), so no eviction occurs, the
+    result is the exact value set at ANY partitioning, and the oracle
+    can pin it: the sorted distinct event types."""
+    e = load(spark, sf_dir, "events")
+    return e.stat.freqItems(["event_type"], support=0.05).select(
+        F.array_sort(F.col("event_type_freqItems")).alias("freq_event_types")
+    )

@@ -331,3 +331,83 @@ def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.alias("c").join(
         qtys.alias("q"), F.col("c.kn").eqNullSafe(F.col("q.kn"))
     ).select("c.kn", "n_lines", "total_qty")
+
+
+@register(
+    "j6b_binned_range_join",
+    oracle=f"""
+WITH promos AS (
+  SELECT i AS promo_id,
+         TIMESTAMP '2024-01-01 00:30:00' + to_hours(7 * i) AS p_start,
+         TIMESTAMP '2024-01-01 00:30:00' + to_hours(7 * i + 2) AS p_end
+  FROM generate_series(0, 99) AS t(i)
+)
+SELECT p.promo_id,
+       COUNT(*) AS n_events,
+       {oracle_dsum('e.value', 'total_value')}
+FROM events e
+JOIN promos p ON e.ts >= p.p_start AND e.ts < p.p_end
+GROUP BY 1
+""",
+    tags=("J6", "J1", "A1"),
+)
+def j6b_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join — the scale path for interval/theta joins.
+
+    A bare ``e.ts BETWEEN p.start AND p.end`` join has no equi
+    component, so Spark plans a BroadcastNestedLoopJoin: O(|e|·|p|)
+    comparisons, and a hard wall once the interval side outgrows the
+    broadcast threshold (at 100 TB a promo/maintenance/campaign table
+    easily reaches 1e6+ rows). The binned formulation makes the join
+    an EQUI join on a coarse time bucket: each interval is exploded to
+    the hour-bins it overlaps (bounded fan-out: a 2-hour window spans
+    ≤3 bins), each event maps to exactly ONE bin, the join key is the
+    bin, and the true range predicate rides along as a residual
+    filter. Catalyst then plans a plain hash join — broadcast here
+    (the exploded side is tiny), shuffle-hash at scale — and both
+    sides partition-prune and scale linearly. Because an event lands
+    in exactly one bin, no post-join dedup is needed.
+
+    Promo windows are deterministic literals (100 two-hour windows
+    every 7 h from 2024-01-01 00:30), offset from hour boundaries so
+    the residual predicate and the multi-bin expansion are both
+    actually exercised.
+    """
+    e = load(spark, sf_dir, "events")
+    promos = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("promo_id"),
+            (
+                F.lit("2024-01-01 00:30:00").cast("timestamp_ntz")
+                + F.expr("make_interval(0, 0, 0, 0, CAST(id * 7 AS INT), 0, 0)")
+            ).alias("p_start"),
+        )
+        .withColumn("p_end", F.col("p_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    binned_promos = promos.select(
+        "promo_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("p_start")),
+                F.date_trunc("hour", F.col("p_end") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    binned_events = e.withColumn("bin", F.date_trunc("hour", F.col("ts")))
+    return (
+        binned_events.join(
+            binned_promos,
+            (binned_events.bin == binned_promos.bin)
+            & (binned_events.ts >= binned_promos.p_start)
+            & (binned_events.ts < binned_promos.p_end),
+        )
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )

@@ -8,14 +8,17 @@ from pyspark.sql import functions as F
 
 from big_data_programming_spark.operators.clustering import (
     CLUSTERS_ORACLE_SQL,
+    connected_components_two_phase,
     dedup_clusters,
 )
 from big_data_programming_spark.operators.dedup import (
     JACCARD_ORACLE_SQL,
+    NGRAM_JACCARD_ORACLE_SQL,
     SIMHASH_ORACLE_SQL,
     exact_dedup_keys,
     jaccard_pairs,
     minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     normalize_text,
     simhash,
 )
@@ -240,4 +243,44 @@ def l2f_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("ta"), F.col("tb"))
     return pairs.filter(dist <= 5).select(
         "doc_a", "doc_b", dist.cast("int").alias("edit_dist")
+    )
+
+
+@register(
+    "l2g_ngram_jaccard",
+    oracle=NGRAM_JACCARD_ORACLE_SQL.format(n=5, nm1=4, threshold=0.4),
+    tags=("L2", "F1", "F7", "J1", "A1"),
+)
+def l2g_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs at J >= 0.4.
+
+    The order-sensitive twin of l2's token-set Jaccard: on this corpus
+    the 5-gram measure separates cleanly (true near-dups score > 0.4,
+    coincidental vocabulary overlap collapses to < 0.2), which is why
+    char shingles are the standard web-dedup signal. Shingles are
+    md5-hashed to 60-bit ints before the shuffle (8-byte exchange
+    keys); the inverted-index equi-join shape and the LSH scale story
+    match l2/l2c (operators/dedup.py docstrings)."""
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.4, n=5)
+
+
+@register(
+    "l2d2_cc_two_phase",
+    oracle=CLUSTERS_ORACLE_SQL.format(pairs_sql=_CLUSTER_PAIRS_SQL),
+    tags=("L2", "L7", "J1", "A1"),
+)
+def l2d2_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as l2d, computed by the large-star/small-star
+    contraction algorithm instead of label propagation
+    (operators/clustering.py:connected_components_two_phase). Both
+    run against the identical recursive-CTE oracle, which pins the two
+    implementations to each other — the graph-contraction variant is
+    the 100 TB insurance for high-diameter components, where
+    propagation's round count (= diameter) explodes but contraction
+    stays O(log n)."""
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    comp = connected_components_two_phase(pairs.select("doc_a", "doc_b"))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("keep_doc_id"),
     )

@@ -100,3 +100,61 @@ def l6c_chunk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-sample analogue) — built-in binary slicing + per-chunk
     hashes, fully JVM-side."""
     return sample_chunks(synthesize_blobs(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "l6d_frame_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, n_bytes, t.i AS frame_idx,
+         (t.i * (n_bytes - 48)) // 3 AS byte_offset
+  FROM b, (SELECT UNNEST(generate_series(0, 3)) AS i) t
+  WHERE n_bytes >= 48
+)
+SELECT doc_id, frame_idx, byte_offset,
+       substr(b.payload_hex, CAST(2 * byte_offset + 1 AS BIGINT), 96) AS frame_hex
+FROM frames JOIN b USING (doc_id, n_bytes)
+""",
+    tags=("L6", "F4", "F1"),
+)
+def l6d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling over temporal media payloads: for
+    each 'video/audio' blob (the synthesized wav cohort), take 4
+    48-byte frames at offsets proportional to payload length — one
+    ROW per frame (posexplode), which is the shape a downstream
+    frame-embedding or ASR stage consumes, vs l6c's in-row array.
+    Offsets are exact integer arithmetic; the frame bytes surface as
+    hex so both engines compare them byte-for-byte. All built-in
+    expressions (sequence → posexplode → hex slice), shuffle-free; a
+    real decoder would replace the hex slice with a mapInPandas
+    decode at the seam documented in operators/multimodal.py."""
+    blobs = synthesize_blobs(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    )
+    sized = blobs.select(
+        "doc_id", "payload", F.length(F.col("payload")).alias("n_bytes")
+    ).filter(F.col("n_bytes") >= 48)
+    frames = sized.select(
+        "doc_id",
+        "n_bytes",
+        F.hex(F.col("payload")).alias("payload_hex"),
+        F.posexplode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx", "_i"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.expr("(frame_idx * (n_bytes - 48)) div 3").alias("byte_offset"),
+        "payload_hex",
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "byte_offset",
+        F.substring(
+            F.col("payload_hex"), (F.lit(2) * F.col("byte_offset") + 1).cast("int"), 96
+        ).alias("frame_hex"),
+    )

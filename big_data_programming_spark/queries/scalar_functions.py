@@ -409,3 +409,40 @@ def f6b_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("var_schema"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
     )
+
+
+@register(
+    "f11_crypto_funcs",
+    oracle="""
+SELECT doc_id,
+       sha256(text) AS sha256_hex,
+       to_base64(encode(substr(text, 1, 12))) AS b64_prefix,
+       TRUE AS aes_roundtrip_ok
+FROM documents
+WHERE doc_id < 50
+""",
+    tags=("F7", "F1"),
+)
+def f11_crypto_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic scalar functions (F7 extension): SHA-256 content
+    fingerprints, base64 transport encoding, and an AES
+    encrypt→decrypt round trip proved in-plan (ECB keeps it
+    deterministic — demo only; production row-level crypto uses GCM,
+    whose random IV is exactly what makes it non-oracle-checkable).
+    The oracle recomputes sha256/base64 and pins the round trip to
+    literal TRUE; crc32/xxhash64 live in f7 (no DuckDB twins)."""
+    key = F.lit("0123456789abcdef")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        F.base64(F.substring(F.col("text"), 1, 12).cast("binary")).alias("b64_prefix"),
+        (
+            F.aes_decrypt(
+                F.aes_encrypt(F.col("text").cast("binary"), key, F.lit("ECB")),
+                key,
+                F.lit("ECB"),
+            ).cast("string")
+            == F.col("text")
+        ).alias("aes_roundtrip_ok"),
+    )

@@ -418,3 +418,108 @@ def o7_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = xb + yb if z is None else z + xb + yb
     zdf = keyed.withColumn("zval", z.cast("bigint"))
     return zdf.repartitionByRange(8, "zval").sortWithinPartitions("zval", "p_partkey")
+
+
+@register(
+    "s10_orc_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_totalprice > 300000.0
+""",
+    tags=("S2", "S7", "P2"),
+)
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan. ORC is the second columnar at-rest format
+    Spark supports natively (JVM-side reader/writer, predicate
+    pushdown, column pruning — same scan machinery as parquet), so a
+    lakehouse mixing parquet and ORC needs no extra code path. Types
+    survive the round trip bit-exactly; the oracle checks logical
+    content from the parquet original."""
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    out = tempfile.mkdtemp(prefix="bdps_s10_")
+    big.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@register(
+    "s11_text_source",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("S2", "S7", "F1", "A1"),
+)
+def s11_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink → text scan (spark.read.text): the
+    lowest-common-denominator interchange format (log shipping, WET
+    dumps). One delimited line per document is written through the
+    text sink, re-read as raw `value` lines, and parsed back with
+    split() — the parse stays JVM-side in whole-stage codegen. The
+    aggregate proves the round trip preserved every row and field."""
+    docs = load(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("n_chars")).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="bdps_s11_")
+    lines.write.mode("overwrite").text(out)
+    parts = F.split(F.col("value"), r"\|")
+    return (
+        spark.read.text(out)
+        .select(
+            parts.getItem(1).alias("lang"),
+            parts.getItem(2).cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "s12_binaryfile_source",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < 8
+""",
+    tags=("S2", "L6"),
+)
+def s12_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the ingest path for opaque media payloads
+    (images/audio/video, SURVEY.md §2.11 L6): each file becomes one
+    row of (path, modificationTime, length, content BINARY). Fixture
+    files are materialized executor-side via foreachPartition (no
+    driver collect; on a cluster this setup step would target shared
+    storage — the READ path under test is identical either way). The
+    query verifies payload integrity end-to-end: byte length and md5
+    of the binary content against the source-of-truth text."""
+    out = tempfile.mkdtemp(prefix="bdps_s12_")
+
+    def _write_files(rows) -> None:
+        import os
+
+        for r in rows:
+            with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    docs.select("doc_id", "text").foreachPartition(_write_files)
+    return (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )

@@ -287,3 +287,34 @@ def test_observe_metrics_single_scan(spark):
     metrics = obs.get
     assert metrics["rows_in"] == docs.count()
     assert metrics["rows_pass"] == n_out
+
+
+def test_two_phase_cc_matches_label_propagation_on_chain(spark):
+    """Large-star/small-star must agree with label propagation on the
+    adversarial case it exists for: a high-diameter chain (diameter 49
+    — propagation needs ~25 rounds, contraction O(log n)). Plus a few
+    disjoint blobs to check component separation."""
+    from big_data_programming_spark.operators.clustering import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    edges = [(i, i + 1) for i in range(49)]            # chain 0..49
+    edges += [(100, 101), (101, 102), (100, 102)]       # triangle
+    edges += [(200, 201)]                               # pair
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_iterations=60).collect()
+    }
+    b = {
+        (r["node"], r["component"])
+        for r in connected_components_two_phase(df).collect()
+    }
+    assert a == b
+    comps = {}
+    for node, comp in b:
+        comps.setdefault(comp, set()).add(node)
+    assert comps[0] == set(range(50))
+    assert comps[100] == {100, 101, 102}
+    assert comps[200] == {200, 201}

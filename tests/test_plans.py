@@ -309,3 +309,19 @@ def test_bitmap_rollup_single_fact_scan():
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1, plan
     assert "bitmap_construct_agg" in plan, plan
+
+
+def test_binned_range_join_is_equi_join():
+    """J6b: the binned interval join must key on the hour bin (hash
+    join with the range predicate as a residual), never the
+    nested-loop plan a bare theta join would produce."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["j6b_binned_range_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "SortMergeJoin" in plan
+    )
