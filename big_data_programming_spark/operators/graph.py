@@ -1,0 +1,183 @@
+"""Distributed graph analytics on DataFrames (SURVEY.md §2.12 X36/X37).
+
+Training-data pipelines meet graphs twice: the near-duplicate
+similarity graph (clusters, density/triangles) and provenance/link
+graphs used for source-quality weighting (PageRank is the canonical
+web-crawl importance score). Both operators here are pure DataFrame
+compositions — equi-joins and hash aggregates only, no driver-side
+graph object, no library dependency — so they inherit Spark's
+partitioning/AQE behavior and scale like any other join pipeline.
+
+Determinism across engines: per-node double sums are cast to
+``DECIMAL(38,10)`` before aggregation (functions/canonical.py
+rationale) so every PageRank iteration is bit-identical to the DuckDB
+oracle's unrolled-CTE replay at any partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.functions.canonical import DEC
+
+
+def canonical_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge set as (u < v) canonical rows, self-loops
+    dropped, deduplicated."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts.
+
+    Classic two-join formulation over id-ordered edges: a triangle
+    a<b<c appears exactly once as edges (a,b),(a,c),(b,c) — the wedge
+    join (shared lower endpoint, ordered upper endpoints) plus one
+    closing-edge equi-join. Every join is an equi-join on node ids;
+    nothing driver-side. At 100 TB-graph scale the standard refinement
+    is DEGREE-ordered orientation (orient each edge toward the
+    higher-degree endpoint) which bounds wedge fan-out by O(m^1.5)
+    under power-law skew; triangle sets are orientation-invariant, so
+    that is a drop-in swap of the ordering key — id order keeps the
+    oracle twin trivially identical here.
+    """
+    e = canonical_undirected(edges, src, dst)
+    ab, ac, bc = e.alias("ab"), e.alias("ac"), e.alias("bc")
+    tri = (
+        ab.join(ac, (F.col("ab.u") == F.col("ac.u")) & (F.col("ab.v") < F.col("ac.v")))
+        .join(bc, (F.col("bc.u") == F.col("ab.v")) & (F.col("bc.v") == F.col("ac.v")))
+        .select(
+            F.col("ab.u").alias("a"), F.col("ab.v").alias("b"), F.col("ac.v").alias("c")
+        )
+    )
+    roles = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+TRIANGLES_ORACLE_SQL = """
+WITH raw({src}, {dst}) AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT LEAST({src}, {dst}) AS u, GREATEST({src}, {dst}) AS v
+  FROM raw WHERE {src} <> {dst}
+),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, ac.v AS c
+  FROM e ab
+  JOIN e ac ON ab.u = ac.u AND ab.v < ac.v
+  JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
+),
+roles AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM roles GROUP BY node
+"""
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Per iteration: each node splits its rank over its out-edges, each
+    node collects 0.15/N + 0.85 * (incoming contributions) — one
+    equi-join (ranks ⋈ edges on src) plus one hash aggregate (sum by
+    dst) per round, ranks checkpointed so round k+1 doesn't re-execute
+    1..k. Dangling-node mass is dropped (the common simplification;
+    redistribute-uniformly is one extra scalar broadcast if needed) —
+    the oracle replays the identical choice. Contribution sums go
+    through DECIMAL(38,10) so each iteration's doubles are
+    order-independent and bit-equal to the unrolled DuckDB CTE.
+    """
+    dedges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        dedges.select(F.col("src").alias("node"))
+        .unionAll(dedges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    outdeg = dedges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_total))
+    base = (1.0 - damping) / n_total
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(outdeg, ranks.node == outdeg.src)
+            .join(dedges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("r") / F.col("outdeg")).cast(DEC).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def pagerank_oracle_sql(edges_sql: str, iterations: int = 8, damping: float = 0.85) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`pagerank` — same edge
+    dedup, same dangling-mass drop, same DECIMAL(38,10) contribution
+    sums, one CTE per iteration (recursive CTEs can't aggregate over
+    the recursive relation, so fixed iterations are unrolled)."""
+    head = f"""
+WITH raw(src, dst) AS ({edges_sql}),
+dedges AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (
+  SELECT src AS node FROM dedges UNION SELECT dst FROM dedges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM dedges GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)
+"""
+    # Every literal is CAST(... AS DOUBLE): DuckDB would otherwise do
+    # DECIMAL arithmetic on 1.0/0.85 where Spark/Python do IEEE double
+    # (1.0 - 0.85 is 0.15000000000000002 in doubles, NOT decimal 0.15),
+    # and the decimal→double sum takes the VARCHAR route (oracle_dsum
+    # rationale: DuckDB's direct cast is occasionally 1 ulp off).
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(CAST(SUM(CAST(p.r / outdeg.outdeg AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s
+  FROM r{i - 1} p
+  JOIN outdeg ON outdeg.src = p.node
+  JOIN dedges e ON e.src = p.node
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n
+           + CAST({damping} AS DOUBLE) * COALESCE(c{i}.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+        )
+    return head + "".join(iters) + f"\nSELECT node, r AS pagerank FROM r{iterations}"

@@ -619,3 +619,36 @@ def a18_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.stat.freqItems(["event_type"], support=0.05).select(
         F.array_sort(F.col("event_type_freqItems")).alias("freq_event_types")
     )
+
+
+@register(
+    "a19_quantile_profile",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       [quantile_disc(n_chars, 0.25), quantile_disc(n_chars, 0.5),
+        quantile_disc(n_chars, 0.9), quantile_disc(n_chars, 0.99)] AS len_quantiles
+FROM documents
+GROUP BY source
+""",
+    tags=("A6", "A4", "L4"),
+)
+def a19_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate-quantile profile per source
+    (`percentile_approx`, Greenwald-Khanna sketch): the
+    length-distribution fingerprint a curation pipeline keeps per
+    domain. Unlike the exact sort-based percentiles in a6, the GK
+    sketch has constant-bounded state, merges associatively across
+    partitions, and never materializes the group — the shape that
+    survives a 100 TB fact table. At accuracy 1e4 the sketch is
+    rank-EXACT for groups up to ~1e4 rows (all fixture SFs qualify),
+    which is what lets the oracle pin it to DuckDB's quantile_disc;
+    at production scale the same plan degrades gracefully to
+    rank-within-1e-4 estimates."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("n_chars", [0.25, 0.5, 0.9, 0.99], 10000).alias(
+            "len_quantiles"
+        ),
+    )

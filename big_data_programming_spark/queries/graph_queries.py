@@ -1,0 +1,77 @@
+"""Graph analytics queries (SURVEY.md §2.12 X36/X37) — thin wrappers
+over operators/graph.py.
+
+Two graphs from the fixtures: the document near-duplicate similarity
+graph (the structure every dedup pipeline builds anyway — l2d/l2d2
+cluster it, g1 measures its local density) and the supplier→customer
+fulfillment graph (a directed bipartite provenance graph — g2's
+PageRank is the canonical importance/quality weighting, as used for
+web-crawl source scoring in training-data curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.operators.dedup import JACCARD_ORACLE_SQL, jaccard_pairs
+from big_data_programming_spark.operators.graph import (
+    TRIANGLES_ORACLE_SQL,
+    pagerank,
+    pagerank_oracle_sql,
+    triangle_counts,
+)
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+_NEARDUP_EDGES_SQL = (
+    "SELECT doc_a, doc_b FROM (" + JACCARD_ORACLE_SQL.format(threshold=0.8) + ")"
+)
+
+_FULFILL_EDGES_SQL = """
+SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register(
+    "g1_triangle_counts",
+    oracle=TRIANGLES_ORACLE_SQL.format(
+        edges_sql=_NEARDUP_EDGES_SQL, src="doc_a", dst="doc_b"
+    ),
+    tags=("L2", "J1", "J9", "A1"),
+)
+def g1_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the J≥0.8 near-dup graph — local
+    density: a doc in many triangles sits in a tight duplicate clique
+    (transcoded boilerplate), one in few is a chain artifact. Two
+    equi-joins + one aggregate (operators/graph.py:triangle_counts);
+    the degree-orientation skew lever for web-scale graphs is
+    documented there."""
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return triangle_counts(pairs, src="doc_a", dst="doc_b")
+
+
+@register(
+    "g2_pagerank",
+    oracle=pagerank_oracle_sql(_FULFILL_EDGES_SQL, iterations=8, damping=0.85),
+    tags=("J1", "A1", "L7"),
+)
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-iteration PageRank over the supplier→customer fulfillment
+    graph. Iterative join+aggregate per round with checkpointed
+    lineage (operators/graph.py:pagerank); contribution sums ride the
+    decimal canon, so all 8 iterations of doubles are bit-identical
+    to the oracle's unrolled CTE at any partition count."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=8, damping=0.85)

@@ -291,3 +291,67 @@ def l4j_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= _CAP_N)
     )
+
+
+@register(
+    "l4l_char_diversity",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) AS chars
+  FROM documents
+  WHERE length(text) >= 1
+), d AS (
+  SELECT doc_id, n,
+         list_transform(
+           list_sort(list_distinct(chars)),
+           ch -> len(list_filter(chars, x -> x = ch))) AS counts
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(counts) AS BIGINT) AS n_distinct_chars,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(counts, k -> (CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n))),
+         (x, y) -> x + y) AS simpson_index,
+       CAST(list_max(counts) AS DOUBLE) / n AS top_char_frac
+FROM d
+""",
+    tags=("L4", "F1", "F4"),
+)
+def l4l_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signals — the log-free cousins of
+    Shannon entropy (Simpson index = collision probability; its
+    reciprocal is the effective alphabet size): low diversity / high
+    top-char fraction flags gibberish, ASCII-art, and
+    single-character flooding that survive word-level filters (l4h
+    covers token-level repetition). Deliberately Simpson rather than
+    Shannon: the sum is pure fixed-order IEEE arithmetic over the
+    in-row array (sorted distinct chars), bit-identical across
+    engines, where log2's last-ulp behavior is libm-specific. All
+    in-row HOFs (sequence → substring shingle → filter counts),
+    shuffle-free, whole-stage codegen."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.substring(F.col("text"), i, F.lit(1)),
+    )
+    n = F.length("text").cast("double")
+    withc = d.select(
+        "doc_id",
+        n.alias("n"),
+        F.transform(
+            F.array_sort(F.array_distinct(chars)),
+            lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+        ).alias("counts"),
+    )
+    frac_sq = lambda k: (k.cast("double") / F.col("n")) * (k.cast("double") / F.col("n"))  # noqa: E731
+    return withc.select(
+        "doc_id",
+        F.size("counts").cast("bigint").alias("n_distinct_chars"),
+        F.aggregate(
+            F.col("counts"), F.lit(0.0), lambda acc, k: acc + frac_sq(k)
+        ).alias("simpson_index"),
+        (F.array_max("counts").cast("double") / F.col("n")).alias("top_char_frac"),
+    )

@@ -556,3 +556,32 @@ GROUP BY 1, 2
 """,
         tags=("ST6", "ST12", "S8", "UD4"),
     )(st12_transform_with_state)
+
+
+@register(
+    "st13_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+""",
+    tags=("ST5", "ST1", "U4", "S8"),
+)
+def st13_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the BOUNDED-state form of st5:
+    dedup state is evicted once the event-time watermark passes a key,
+    so state size tracks the duplicate-arrival horizon (here 1 hour)
+    instead of growing with every id ever seen. This is the only
+    streaming dedup that survives an unbounded run at 100 TB/day;
+    plain dropDuplicates (st5) retains state forever. Correctness on
+    the bounded replay is identical — every duplicate in the doubled
+    stream arrives within the horizon — which the batch-distinct
+    oracle pins."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    deduped = (
+        a.unionAll(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return drain(deduped, "append")

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "llm_dedup",
     "llm_similarity",
     "llm_multimodal",
+    "graph_queries",
     "udfs",
     "streaming_queries",
     "skew_queries",

@@ -325,3 +325,26 @@ def test_binned_range_join_is_equi_join():
     assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "SortMergeJoin" in plan
     )
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns():
+    """X27: the ORC read path must get the same scan hygiene as
+    parquet — predicates as PushedFilters, projection narrowing the
+    read schema. Format parity is what makes s10 a real second
+    columnar path rather than a demo."""
+    import tempfile
+
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    out = tempfile.mkdtemp(prefix="bdps_orc_plan_")
+    load(spark, SF_DIR, "orders").write.mode("overwrite").orc(out)
+    df = (
+        spark.read.orc(out)
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    fmt = formatted(df)
+    assert "PushedFilters: [" in fmt and "o_totalprice" in fmt.split("PushedFilters")[1][:200]
+    cols = scan_read_columns(df)
+    assert cols and set(cols) <= {"o_orderkey", "o_totalprice"}
