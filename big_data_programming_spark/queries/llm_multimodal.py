@@ -158,3 +158,62 @@ def l6d_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("payload_hex"), (F.lit(2) * F.col("byte_offset") + 1).cast("int"), 96
         ).alias("frame_hex"),
     )
+
+
+@register(
+    "l6e_resize_stride",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE doc_id % 3 = 0
+), strided AS (
+  SELECT doc_id, n_bytes,
+         (SELECT STRING_AGG(substr(payload_hex, 2 * (i - 1) + 1, 2), '' ORDER BY i)
+          FROM UNNEST(generate_series(1, n_bytes, 4)) AS t(i)) AS resized_hex
+  FROM b
+)
+SELECT doc_id, n_bytes,
+       CAST((n_bytes + 3) // 4 AS BIGINT) AS resized_bytes,
+       md5(resized_hex) AS resized_md5
+FROM strided
+""",
+    tags=("L6", "F4", "F7"),
+)
+def l6e_resize_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample analogue on opaque payloads: keep every 4th
+    byte (the stride-sampling shape of an image downscale or audio
+    decimation), verified by md5 of the downsampled bytes. Like
+    l6c/l6d this is the real Spark plumbing with the decode step
+    deferred: a production resize swaps the in-row stride gather for
+    a Pillow/ffmpeg call inside mapInPandas at the seam documented in
+    operators/multimodal.py — partitioning, schema, and the
+    downstream integrity check stay identical. The gather is
+    `sequence` + `transform` + `substring` over the hex encoding,
+    whole-stage codegen, shuffle-free."""
+    blobs = synthesize_blobs(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    )
+    sized = blobs.select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("payload_hex"),
+        F.length(F.col("payload")).alias("n_bytes"),
+    )
+    strided = sized.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_bytes"), F.lit(4)),
+                lambda i: F.substring(F.col("payload_hex"), (i - 1) * 2 + 1, F.lit(2)),
+            ),
+            "",
+        ).alias("resized_hex"),
+    )
+    return strided.select(
+        "doc_id",
+        "n_bytes",
+        F.expr("(n_bytes + 3) div 4").cast("bigint").alias("resized_bytes"),
+        F.md5(F.col("resized_hex").cast("binary")).alias("resized_md5"),
+    )

@@ -318,3 +318,34 @@ def test_two_phase_cc_matches_label_propagation_on_chain(spark):
     assert comps[0] == set(range(50))
     assert comps[100] == {100, 101, 102}
     assert comps[200] == {200, 201}
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    """K4 (every node in 3 triangles), a triangle with a pendant
+    vertex, and a square (no triangles)."""
+    from big_data_programming_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tri_pendant = [(10, 11), (11, 12), (10, 12), (12, 13)]
+    square = [(20, 21), (21, 22), (22, 23), (20, 23)]
+    df = spark.createDataFrame(k4 + tri_pendant + square, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_pagerank_partition_invariant_and_sane(spark):
+    """The decimal-canon contribution sums must make PageRank
+    bit-identical at different partition counts, and a node with more
+    in-links must outrank one with fewer."""
+    from big_data_programming_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+        ("a", "leaf"), ("hub", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {r["node"]: r["pagerank"] for r in pagerank(df.repartition(1)).collect()}
+    r7 = {r["node"]: r["pagerank"] for r in pagerank(df.repartition(7)).collect()}
+    assert r1 == r7  # bit-exact, not approximately equal
+    assert r1["hub"] > r1["leaf"] > r1["b"] == r1["c"] == r1["d"]
+    assert 0.0 < sum(r1.values()) <= 1.0 + 1e-9  # dangling mass only leaks
