@@ -42,6 +42,10 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # materialize once: every propagation round joins sym, and
+        # without the cut each round would re-execute the (expensive)
+        # upstream pair-generation pipeline that produced the edges
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))

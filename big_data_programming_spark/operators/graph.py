@@ -49,7 +49,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     that is a drop-in swap of the ordering key — id order keeps the
     oracle twin trivially identical here.
     """
-    e = canonical_undirected(edges, src, dst)
+    # Materialize the canonical edge list once: the three join aliases
+    # below would otherwise each re-execute the full upstream pipeline
+    # that produced the edges (pair generation is far more expensive
+    # than the edge list is large). On a cluster this is a cached /
+    # checkpointed table; locally localCheckpoint serves the same cut.
+    e = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
     ab, ac, bc = e.alias("ab"), e.alias("ac"), e.alias("bc")
     tri = (
         ab.join(ac, (F.col("ab.u") == F.col("ac.u")) & (F.col("ab.v") < F.col("ac.v")))
@@ -107,7 +112,14 @@ def pagerank(
     through DECIMAL(38,10) so each iteration's doubles are
     order-independent and bit-equal to the unrolled DuckDB CTE.
     """
-    dedges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Materialize the static relations once — every iteration joins
+    # dedges and outdeg, and without the cut each round would re-run
+    # the upstream pipeline that produced the edge list.
+    dedges = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         dedges.select(F.col("src").alias("node"))
         .unionAll(dedges.select(F.col("dst").alias("node")))
@@ -115,7 +127,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_total = nodes.count()
-    outdeg = dedges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = dedges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
     ranks = nodes.withColumn("r", F.lit(1.0 / n_total))
     base = (1.0 - damping) / n_total
     for _ in range(iterations):

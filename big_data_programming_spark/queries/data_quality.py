@@ -1,0 +1,183 @@
+"""Data-quality / validation operators (SURVEY.md §2.12 X41/X42) —
+the Deequ/dbt-test-shaped surface: declarative constraint checks with
+violation accounting, and snapshot diffing for change auditing.
+
+Both are plain aggregate/join plans: constraint checks are one
+scan-side aggregate per rule over dimension-bounded output; the
+snapshot diff is a single full-outer equi-join on the key comparing
+row fingerprints. At 100 TB each rule's aggregate is map-side
+combined, and the diff join is the one shuffle — the same plan a CDC
+reconciliation job runs nightly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+
+@register(
+    "dq1_constraint_checks",
+    oracle="""
+SELECT 'o_totalprice_positive' AS rule,
+       COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
+       COUNT(*) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'l_discount_in_unit_range',
+       COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1),
+       COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'o_orderkey_unique',
+       COUNT(*) - COUNT(DISTINCT o_orderkey),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'l_shipdate_not_null',
+       COUNT(*) FILTER (WHERE l_shipdate IS NULL),
+       COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'o_custkey_references_customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders)
+""",
+    tags=("A2", "A3", "J4", "U1"),
+)
+def dq1_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation: range, uniqueness, not-null,
+    and referential-integrity rules, each reported as (rule,
+    n_violations, n_checked). Every rule is a map-side-combined
+    aggregate (uniqueness via count-minus-distinct, FK via left-anti
+    count); output is rule-bounded, so a 100 TB table still returns
+    five rows. This is the gate a production pipeline runs before
+    publishing a partition."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    def one(rule: str, df: DataFrame, viol, checked) -> DataFrame:
+        return df.agg(
+            F.lit(rule).alias("rule"),
+            viol.alias("n_violations"),
+            checked.alias("n_checked"),
+        )
+
+    cnt = F.count(F.lit(1))
+    r1 = one(
+        "o_totalprice_positive", o, F.count(F.when(F.col("o_totalprice") <= 0, 1)), cnt
+    )
+    r2 = one(
+        "l_discount_in_unit_range",
+        li,
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)),
+        cnt,
+    )
+    r3 = one(
+        "o_orderkey_unique", o, cnt - F.count_distinct(F.col("o_orderkey")), cnt
+    )
+    r4 = one(
+        "l_shipdate_not_null", li, F.count(F.when(F.col("l_shipdate").isNull(), 1)), cnt
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("o_custkey_references_customer").alias("rule"),
+            F.col("v").alias("n_violations"),
+        )
+    )
+    r5 = orphans.crossJoin(o.agg(cnt.alias("n_checked")))
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+
+
+@register(
+    "dq2_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 89 <> 1
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 1
+), j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         a.o_orderkey IS NULL AS added,
+         b.o_orderkey IS NULL AS removed,
+         a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+           AND (a.o_orderstatus <> b.o_orderstatus OR a.o_totalprice <> b.o_totalprice)
+           AS modified
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+            WHEN modified THEN 'modified' ELSE 'unchanged' END AS change_type,
+       COUNT(*) AS n_rows
+FROM j GROUP BY 1
+""",
+    tags=("J2", "A1", "F7"),
+)
+def dq2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change audit: reconcile two versions of a
+    keyed table into added/removed/modified/unchanged counts — the
+    nightly CDC-reconciliation shape. The second snapshot is
+    synthesized deterministically from the first (status mutation on
+    one key bucket, deletes on another, key-shifted inserts on a
+    third) so both engines diff identical inputs. One full-outer
+    equi-join on the key is the only shuffle; column comparison would
+    generalize to an md5 row fingerprint for wide tables (noted, not
+    needed on three columns)."""
+    v1 = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = load(spark, sf_dir, "orders")
+    v2 = (
+        base.filter(F.col("o_orderkey") % 89 != 1)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 1, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionAll(
+            base.filter(F.col("o_orderkey") % 101 == 1).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer").select(
+        F.col("a.o_orderkey").isNull().alias("added"),
+        F.col("b.o_orderkey").isNull().alias("removed"),
+        (
+            F.col("a.o_orderkey").isNotNull()
+            & F.col("b.o_orderkey").isNotNull()
+            & (
+                (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+                | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            )
+        ).alias("modified"),
+    )
+    return (
+        j.select(
+            F.when(F.col("added"), F.lit("added"))
+            .when(F.col("removed"), F.lit("removed"))
+            .when(F.col("modified"), F.lit("modified"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

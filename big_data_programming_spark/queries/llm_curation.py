@@ -355,3 +355,118 @@ def l4l_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simpson_index"),
         (F.array_max("counts").cast("double") / F.col("n")).alias("top_char_frac"),
     )
+
+
+#: Sequence-packing context size (tokens per packed bin).
+PACK_CAP = 512
+
+
+@register(
+    "l4m_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM toks
+)
+SELECT source,
+       start_offset // {PACK_CAP} AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM offs
+GROUP BY 1, 2
+""",
+    tags=("L4", "W4", "A1"),
+)
+def l4m_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate-and-cut assignment of documents
+    to fixed-token-budget training bins (the standard pretraining
+    batching shape: docs are concatenated per stream and cut every
+    PACK_CAP tokens; a doc belongs to the bin its start offset falls
+    in). One window cumsum per source + one aggregate; deterministic
+    given the (source, doc_id) order, so rebuilding the corpus
+    reproduces identical bins. At 100 TB the per-source window is the
+    only shuffle, and the giant-source skew case is the same one
+    l4j's AQE skew-split note covers."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offs.groupBy(
+            "source", F.expr(f"start_offset div {PACK_CAP}").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+@register(
+    "l4n_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars
+FROM keyed
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id) <= 10
+""",
+    tags=("L4", "P5", "W6", "F7"),
+)
+def l4n_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-biased sampling: keep the 10 docs per
+    source with the lowest hash-priority key = hash(doc_id) / weight
+    (weight = n_chars, standing in for a quality score) — longer/
+    higher-quality docs get proportionally smaller keys and higher
+    inclusion odds, and the same corpus always reproduces the same
+    sample (the md5 key is the RNG, as in p5b/l4j). For the exact
+    Efraimidis-Spirakis distribution the key becomes u^(1/w) — a
+    transcendental whose last-ulp behavior is libm-specific, so this
+    repo ships the rational-arithmetic variant the oracle can pin
+    bit-for-bit; the plan (per-group top-k window over a pure map) is
+    identical either way."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "llm_similarity",
     "llm_multimodal",
     "graph_queries",
+    "data_quality",
     "udfs",
     "streaming_queries",
     "skew_queries",
