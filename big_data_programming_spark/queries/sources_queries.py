@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from big_data_programming_spark.functions.canonical import dsum, oracle_dsum
+from big_data_programming_spark.functions.canonical import DEC, dsum, oracle_dsum
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import (
     load,
@@ -522,4 +522,40 @@ def s12_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").alias("n_bytes"),
             F.md5(F.col("content")).alias("content_md5"),
         )
+    )
+
+
+@register(
+    "s13_schema_evolution",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN p_size > 5 THEN p_retailprice END) AS n_with_price,
+       {oracle_dsum('CASE WHEN p_size > 5 THEN p_retailprice END', 'price_total')}
+FROM part
+""",
+    tags=("S1", "S6", "P2"),
+)
+def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (`mergeSchema`): two parquet batches with
+    different schemas — an old extract without `p_retailprice` and a
+    new one with it — land in one dataset; the merged scan unions the
+    footers into the superset schema and fills the missing column
+    with NULL for old files. This is the append-only lakehouse
+    reality (columns arrive over time; nobody rewrites 100 TB of old
+    files). mergeSchema costs a footer read per file at planning —
+    which is why it's an explicit option, and why production tables
+    pin the contract schema in a catalog once it stabilizes. The
+    aggregate proves NULL-fill and type union: rows from both
+    batches, prices only from the new one."""
+    p = load(spark, sf_dir, "part")
+    out = tempfile.mkdtemp(prefix="bdps_s13_")
+    old = p.filter(F.col("p_size") <= 5).select("p_partkey", "p_name")
+    new = p.filter(F.col("p_size") > 5).select("p_partkey", "p_name", "p_retailprice")
+    old.write.mode("overwrite").parquet(out + "/batch=1")
+    new.write.mode("overwrite").parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(out + "/batch=1", out + "/batch=2")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p_retailprice").alias("n_with_price"),
+        F.sum(F.col("p_retailprice").cast(DEC)).cast("double").alias("price_total"),
     )
