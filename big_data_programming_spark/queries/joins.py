@@ -371,8 +371,12 @@ def j6b_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Promo windows are deterministic literals (100 two-hour windows
     every 7 h from 2024-01-01 00:30), offset from hour boundaries so
     the residual predicate and the multi-bin expansion are both
-    actually exercised.
+    actually exercised. The join itself is the reusable
+    operators/interval_join.py:binned_interval_join, which a
+    theta-equivalence test exercises on adversarial boundary cases.
     """
+    from big_data_programming_spark.operators.interval_join import binned_interval_join
+
     e = load(spark, sf_dir, "events")
     promos = (
         spark.range(100)
@@ -385,26 +389,8 @@ def j6b_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("p_end", F.col("p_start") + F.expr("INTERVAL 2 HOURS"))
     )
-    binned_promos = promos.select(
-        "promo_id",
-        "p_start",
-        "p_end",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", F.col("p_start")),
-                F.date_trunc("hour", F.col("p_end") - F.expr("INTERVAL 1 MICROSECOND")),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("bin"),
-    )
-    binned_events = e.withColumn("bin", F.date_trunc("hour", F.col("ts")))
     return (
-        binned_events.join(
-            binned_promos,
-            (binned_events.bin == binned_promos.bin)
-            & (binned_events.ts >= binned_promos.p_start)
-            & (binned_events.ts < binned_promos.p_end),
-        )
+        binned_interval_join(e, promos, "ts", "p_start", "p_end", bin_unit="hour")
         .groupBy("promo_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -349,3 +349,49 @@ def test_pagerank_partition_invariant_and_sane(spark):
     assert r1 == r7  # bit-exact, not approximately equal
     assert r1["hub"] > r1["leaf"] > r1["b"] == r1["c"] == r1["d"]
     assert 0.0 < sum(r1.values()) <= 1.0 + 1e-9  # dangling mass only leaks
+
+
+def test_binned_interval_join_equals_theta_join(spark):
+    """X26: the binned formulation must be row-identical to the naive
+    theta join on adversarial boundary cases — timestamps exactly on
+    bin and interval edges, zero-length and sub-bin intervals,
+    multi-bin spans, and overlapping intervals (a fact in two
+    intervals yields two rows)."""
+    from datetime import datetime as dt
+
+    from big_data_programming_spark.operators.interval_join import binned_interval_join
+
+    facts = spark.createDataFrame(
+        [
+            (1, dt(2024, 3, 1, 10, 0, 0)),        # exactly on a bin edge
+            (2, dt(2024, 3, 1, 10, 30, 0)),       # mid-bin
+            (3, dt(2024, 3, 1, 11, 59, 59, 999999)),  # last µs of a bin
+            (4, dt(2024, 3, 1, 12, 0, 0)),        # == an interval end (excluded)
+            (5, dt(2024, 3, 2, 5, 15, 0)),        # matches nothing
+        ],
+        "fact_id long, ts timestamp_ntz",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, dt(2024, 3, 1, 10, 0, 0), dt(2024, 3, 1, 12, 0, 0)),   # aligned 2h
+            (11, dt(2024, 3, 1, 10, 30, 0), dt(2024, 3, 1, 10, 45, 0)),  # sub-bin
+            (12, dt(2024, 3, 1, 9, 59, 0), dt(2024, 3, 1, 13, 1, 0)),    # 5-bin span
+            (13, dt(2024, 3, 1, 10, 30, 0), dt(2024, 3, 1, 10, 30, 0)),  # empty
+            (14, dt(2024, 3, 1, 11, 0, 0), dt(2024, 3, 1, 10, 0, 0)),    # inverted
+        ],
+        "iv_id long, p_start timestamp_ntz, p_end timestamp_ntz",
+    )
+    binned = {
+        (r["fact_id"], r["iv_id"])
+        for r in binned_interval_join(facts, intervals, "ts", "p_start", "p_end").collect()
+    }
+    naive = {
+        (r["fact_id"], r["iv_id"])
+        for r in facts.join(
+            intervals,
+            (facts.ts >= intervals.p_start) & (facts.ts < intervals.p_end),
+        ).collect()
+    }
+    assert binned == naive
+    assert (1, 10) in binned and (4, 10) not in binned and (3, 12) in binned
+    assert not any(f == 5 for f, _ in binned)
