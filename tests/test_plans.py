@@ -199,6 +199,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l3g_batch_knn_join",  # 5-row broadcast query set, non-equi self-exclusion
         "e8_gap_fill",  # hours-grid × 5-type dimension densification, both tiny
         "l4k_bm25_search",  # 1-row corpus-statistics broadcast
+        "dq1_constraint_checks",  # 1-row × 1-row scalar-count attach (FK rule)
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
