@@ -652,3 +652,132 @@ def a19_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len_quantiles"
         ),
     )
+
+
+@register(
+    "a20_theta_retention",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+d1 AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+ret AS (
+  SELECT a.day, COUNT(*) AS retained
+  FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+  GROUP BY 1
+)
+SELECT d1.day,
+       d1.dau,
+       d2.dau AS dau_next,
+       COALESCE(ret.retained, 0) AS retained,
+       d1.dau - COALESCE(ret.retained, 0) AS churned,
+       d1.dau + d2.dau - COALESCE(ret.retained, 0) AS active_2day
+FROM d1 JOIN d1 d2 ON d2.day = d1.day + 1
+LEFT JOIN ret ON ret.day = d1.day
+""",
+    tags=("A4", "A15", "U2", "U3"),
+)
+def a20_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention by theta-sketch SET ALGEBRA — the
+    operation HLL cannot do: HLL sketches only union, theta sketches
+    (Datasketches `theta_sketch_agg`) also intersect and difference.
+    One fact scan builds a constant-size per-day sketch of user_id;
+    retained/churned/2-day-active then come from sketch algebra on
+    30 tiny rows — no per-day COUNT DISTINCT self-join of raw ids,
+    which at 100 TB/day is the difference between an O(days²·users)
+    id-shuffle and O(days) sketch ops. Exactness window: a theta
+    sketch is sampling-free below its nominal 4096 entries, and daily
+    uniques here (~134 at sf0.01, ~1.5k at sf0.1) stay inside it, so
+    every estimate is exact and the COUNT DISTINCT oracle pins it
+    bit-for-bit; at production cardinalities the same plan degrades
+    to ±1.6% estimates."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    nxt = daily.select(F.date_sub("day", 1).alias("day"), F.col("sk").alias("sk_next"))
+    return (
+        daily.join(nxt, "day", "inner")
+        .select(
+            "day",
+            F.theta_sketch_estimate("sk").alias("dau"),
+            F.theta_sketch_estimate("sk_next").alias("dau_next"),
+            F.theta_sketch_estimate(F.theta_intersection("sk", "sk_next")).alias(
+                "retained"
+            ),
+            F.theta_sketch_estimate(F.theta_difference("sk", "sk_next")).alias(
+                "churned"
+            ),
+            F.theta_sketch_estimate(F.theta_union("sk", "sk_next")).alias(
+                "active_2day"
+            ),
+        )
+    )
+
+
+@register(
+    "a21_kll_rank_profile",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         quantile_disc(n_chars, 0.5) AS median_chars,
+         quantile_disc(n_chars, 0.9) AS p90_chars,
+         CAST(COUNT(*) FILTER (WHERE n_chars <= 500) AS DOUBLE) / COUNT(*) AS short_frac
+  FROM documents
+  GROUP BY source
+)
+SELECT * FROM s
+UNION ALL
+SELECT '__all__' AS source,
+       COUNT(*) AS n_docs,
+       quantile_disc(n_chars, 0.5) AS median_chars,
+       quantile_disc(n_chars, 0.9) AS p90_chars,
+       CAST(COUNT(*) FILTER (WHERE n_chars <= 500) AS DOUBLE) / COUNT(*) AS short_frac
+FROM documents
+""",
+    tags=("A4", "A6", "L4"),
+)
+def a21_kll_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches with an IN-PLAN merge rollup: per-source
+    sketches of doc length (`kll_sketch_agg_bigint`, k=8192) answer
+    median/p90 AND the inverse query GK/percentile_approx can't —
+    `kll_sketch_get_rank` gives the fraction of docs ≤ 500 chars (the
+    short-doc gate rate a curation pipeline monitors per domain). The
+    corpus-level `__all__` row is NOT a second fact scan: the
+    per-source sketches are merged inside the plan by folding
+    `kll_sketch_merge_bigint` over `collect_list` of 20 sketch blobs
+    (`F.aggregate` HOF) — the mergeable-state rollup that lets a
+    100 TB pipeline keep per-domain profiles and still publish global
+    ones for free. Exactness window: KLL retains all items while
+    n ≤ k, and every group (25..5k docs) stays under k=8192, so
+    quantiles equal `quantile_disc` and rank is the exact inclusive
+    fraction — IEEE division of the same two integers in both
+    engines; at web scale the same plan degrades to ±1% normalized
+    rank error."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.kll_sketch_agg_bigint(F.col("n_chars"), F.lit(8192)).alias("sk"),
+    )
+    merged = (
+        per_src.agg(
+            F.sum("n_docs").alias("n_docs"), F.collect_list("sk").alias("sks")
+        )
+        .select(
+            F.lit("__all__").alias("source"),
+            "n_docs",
+            F.aggregate(
+                F.slice("sks", F.lit(2), F.size("sks") - 1),
+                F.element_at("sks", 1),
+                lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+            ).alias("sk"),
+        )
+    )
+    def stats(df: DataFrame) -> DataFrame:
+        return df.select(
+            "source",
+            "n_docs",
+            F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias("median_chars"),
+            F.kll_sketch_get_quantile_bigint("sk", F.lit(0.9)).alias("p90_chars"),
+            F.kll_sketch_get_rank_bigint("sk", F.lit(500)).alias("short_frac"),
+        )
+    return stats(per_src).unionAll(stats(merged))
