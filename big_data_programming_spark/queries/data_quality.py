@@ -181,3 +181,58 @@ def dq2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "dq3_partition_drift",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows FROM events GROUP BY 1
+),
+stats AS (
+  SELECT quantile_disc(n_rows, 0.5) AS med FROM daily
+),
+dev AS (
+  SELECT d.day, d.n_rows, ABS(d.n_rows - s.med) AS abs_dev, s.med
+  FROM daily d, stats s
+),
+mad AS (SELECT quantile_disc(abs_dev, 0.5) AS mad FROM dev)
+SELECT dev.day, dev.n_rows, dev.med AS median_rows, dev.abs_dev,
+       CASE WHEN dev.abs_dev > 3 * mad.mad THEN 1 ELSE 0 END AS is_anomalous
+FROM dev, mad
+""",
+    tags=("A6", "A2", "F2"),
+)
+def dq3_partition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition volume-drift detector — the freshness/completeness
+    monitor a 100 TB ingest runs before publishing each day's
+    partition: daily row counts scored against the table's own robust
+    baseline (median ± 3·MAD; median absolute deviation shrugs off
+    the very outliers it hunts, unlike mean/stddev). One fact scan
+    collapses to day-grain counts; median and MAD are computed over
+    those ~30 tiny rows and broadcast back — all arithmetic stays in
+    exact integers (counts, absolute differences, an integer
+    3·MAD threshold), so the oracle pins every bit. In production the
+    daily-count table is incrementally maintained and the check costs
+    one row per new partition."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    med = daily.agg(F.percentile_approx("n_rows", 0.5, 10000).alias("med"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_rows",
+        "med",
+        F.abs(F.col("n_rows") - F.col("med")).alias("abs_dev"),
+    )
+    mad = dev.agg(F.percentile_approx("abs_dev", 0.5, 10000).alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n_rows",
+        F.col("med").alias("median_rows"),
+        "abs_dev",
+        F.when(F.col("abs_dev") > 3 * F.col("mad"), 1).otherwise(0).alias(
+            "is_anomalous"
+        ),
+    )

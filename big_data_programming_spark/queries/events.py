@@ -389,3 +389,49 @@ def e9_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore"),
         F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@register(
+    "e10_rolling_7d_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT event_type, day FROM du)
+SELECT d.event_type, d.day, COUNT(DISTINCT u.user_id) AS users_7d
+FROM days d
+JOIN du u ON u.event_type = d.event_type AND u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1, 2
+""",
+    tags=("A3", "W5", "E7"),
+)
+def e10_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per event type (trailing WAU) —
+    the windowed-DISTINCT aggregate Spark's window frames cannot
+    express directly (no COUNT(DISTINCT) OVER). Formulated as
+    dedupe → bounded explode → count-distinct: the fact table
+    collapses to day-grain (event_type, day, user_id) rows FIRST, each
+    such row then fans out to the ≤7 window-ends it can serve, and one
+    hash aggregate counts distincts per (type, window-end). At 100 TB
+    the explode factor is a constant 7 on *day-grain deduped* data
+    (≪ raw events), every operator is an equi-shuffle, and no per-key
+    id set is ever materialized — contrast the collect_set-over-frame
+    formulation, whose per-row state is O(users/day × 7) and whose
+    frame re-evaluates per row. Window ends are restricted to observed
+    (type, day) combinations via a semi-join so an empty day emits no
+    phantom row."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("event_type", "day").distinct()
+    spans = du.select(
+        "event_type",
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+    )
+    return (
+        spans.join(days, ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )

@@ -287,3 +287,86 @@ def l3g_batch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_array(F.col("embedding")).alias("q"),
     )
     return knn_join(emb, queries, k=5)
+
+
+#: DuckDB fragment: cosine over two k-dim DOUBLE lists, Spark fold order.
+_COS_K = """
+list_reduce(list_transform(generate_series(1, {k}),
+            i -> {a}[i] * {b}[i]), (x, y) -> x + y)
+/ (SQRT(list_reduce(list_transform(generate_series(1, {k}),
+         i -> {a}[i] * {a}[i]), (x, y) -> x + y))
+   * SQRT(list_reduce(list_transform(generate_series(1, {k}),
+           i -> {b}[i] * {b}[i]), (x, y) -> x + y)))
+"""
+
+#: Hash-seeded ±1 projection matrix, 16 rows × 64 cols — identical
+#: expression in both engines (md5 parity of 'rp-{j}-{i}'), so the
+#: "random" projection is reproducible and oracle-portable.
+_RP_MATRIX_SQL = """transform(sequence(1, 16), j -> transform(sequence(1, 64), i ->
+  CASE WHEN substring(md5(concat('rp-', j, '-', i)), 1, 1) IN ('0','2','4','6','8','a','c','e')
+       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"""
+
+_RP_MATRIX_DUCK = """list_transform(generate_series(1, 16), j -> list_transform(generate_series(1, 64), i ->
+  CASE WHEN substring(md5(concat('rp-', j, '-', i)), 1, 1) IN ('0','2','4','6','8','a','c','e')
+       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"""
+
+
+@register(
+    "l3h_random_projection_topk",
+    oracle=f"""
+WITH m AS (SELECT {_RP_MATRIX_DUCK} AS mat),
+p AS (
+  SELECT vec_id, embedding,
+         list_transform(mat, row ->
+           list_reduce(list_transform(generate_series(1, 64),
+                       i -> row[i] * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS proj
+  FROM embeddings, m
+),
+q AS (SELECT proj AS qp, embedding AS qe FROM p WHERE vec_id = 0)
+SELECT p.vec_id,
+       {_COS_K.format(k=16, a='p.proj', b='q.qp')} AS proj_sim,
+       {_COS.format(a='p.embedding', b='q.qe')} AS cosine_sim
+FROM p CROSS JOIN q
+ORDER BY proj_sim DESC, p.vec_id
+LIMIT 10
+""",
+    tags=("L3", "F4", "O2"),
+)
+def l3h_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss candidate generation: project 64-d
+    embeddings to 16-d with a ±1 matrix whose entries are md5-hash
+    parities — a *reproducible* random projection (same matrix on any
+    engine, any rebuild; contrast lsh_sign_bucket's axis-aligned
+    planes, which ignore 56 of 64 coordinates). Top-10 candidates are
+    ranked by projected cosine with the exact 64-d cosine attached
+    for rescoring. Scale shape: the matrix is built ONCE as a 1-row
+    broadcast (no per-row md5 churn), projection is a pure JVM-side
+    map that shrinks every downstream byte 4× (64×f32 → 16-component
+    f64 sums read from 256→128 bytes, and real deployments project
+    768-d → 32-d), and top-k stays TakeOrderedAndProject. The 4×
+    dimension cut is what makes a billion-vector candidate pass
+    memory-feasible before exact rescoring of the survivors."""
+    emb = load(spark, sf_dir, "embeddings")
+    mat = spark.range(1).select(F.expr(_RP_MATRIX_SQL).alias("m"))
+    proj = F.expr(
+        """transform(m, row -> aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+           (acc, i) -> acc + element_at(row, i) * CAST(element_at(embedding, i) AS DOUBLE)))"""
+    )
+    p = emb.crossJoin(F.broadcast(mat)).select(
+        "vec_id", "embedding", proj.alias("proj")
+    )
+    q = p.filter(F.col("vec_id") == 0).select(
+        F.col("proj").alias("qp"), as_double_array(F.col("embedding")).alias("qe")
+    )
+    return (
+        p.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity_col(F.col("proj"), F.col("qp")).alias("proj_sim"),
+            cosine_similarity_col(
+                as_double_array(F.col("embedding")), F.col("qe")
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("proj_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -390,3 +390,74 @@ def l4k_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "l4o_bigram_novelty",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (
+  SELECT doc_id, UNNEST(list_transform(generate_series(1, LEN(toks) - 1),
+                        i -> concat(toks[i], ' ', toks[i + 1]))) AS bg
+  FROM t
+),
+top AS (SELECT bg FROM e GROUP BY bg ORDER BY COUNT(*) DESC, bg LIMIT 100)
+SELECT e.doc_id,
+       COUNT(*) AS n_bigrams,
+       COUNT(*) FILTER (WHERE e.bg IN (SELECT bg FROM top)) AS n_common,
+       CAST(COUNT(*) FILTER (WHERE e.bg IN (SELECT bg FROM top)) AS DOUBLE)
+         / COUNT(*) AS common_frac
+FROM e GROUP BY 1
+""",
+    tags=("L4", "A1", "O2", "J8"),
+)
+def l4o_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-coverage novelty signal: what fraction of each doc's
+    token bigrams fall in the corpus's top-100 — high coverage reads
+    as formulaic/templated text, low as novel (or gibberish; paired
+    with l4h's repetition signals it separates the two). Deliberately
+    log-free — counts and one IEEE division — so the oracle pins every
+    bit, unlike a perplexity score whose libm log calls drift across
+    engines. Scale shape: bigrams are formed in-row (no shuffle), the
+    top-100 aggregate is map-side combined before its exchange, the
+    tiny top list broadcasts back, and the per-doc score is one hash
+    aggregate — two shuffles total, both over already-reduced data.
+    Tie-break at the top-100 boundary is (count DESC, bigram) in both
+    engines, so the cut is deterministic."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    exploded = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    top = (
+        exploded.groupBy("bg")
+        .count()
+        .orderBy(F.col("count").desc(), "bg")
+        .limit(100)
+        .select("bg", F.lit(1).alias("is_top"))
+    )
+    return (
+        exploded.join(F.broadcast(top), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("is_top"), F.lit(0))).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_bigrams")).alias(
+                "common_frac"
+            ),
+        )
+    )

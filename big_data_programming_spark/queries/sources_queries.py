@@ -559,3 +559,51 @@ def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_retailprice").alias("n_with_price"),
         F.sum(F.col("p_retailprice").cast(DEC)).cast("double").alias("price_total"),
     )
+
+
+@register(
+    "s15_compaction",
+    oracle=f"""
+SELECT CAST(48 AS BIGINT) AS files_before,
+       CAST(4 AS BIGINT) AS files_after,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('l_quantity', 'total_qty')}
+FROM lineitem
+""",
+    tags=("S6", "O4", "S1"),
+)
+def s15_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance op every
+    streaming/incremental sink eventually needs: a fragmented table
+    (48 small parquet files, the shape micro-batch sinks produce) is
+    rewritten through ``coalesce(4)`` into 4 right-sized files.
+    ``coalesce`` merges partitions WITHOUT a shuffle (each output task
+    concatenates ~12 input files), which is the point at 100 TB: a
+    compaction pass is IO-bound rewriting, never an exchange;
+    ``repartition`` would shuffle every byte to re-sort what doesn't
+    need sorting. File counts are measured from the data itself
+    (distinct ``input_file_name`` before and after) and pinned by the
+    oracle to the spec'd 48→4; row count + quantity checksum prove the
+    rewrite lost nothing. In production the same job targets
+    ``spark.sql.files.maxPartitionBytes``-sized outputs per partition
+    directory and runs table-incrementally."""
+    frag_dir = tempfile.mkdtemp(prefix="bdps_s15_frag_")
+    comp_dir = tempfile.mkdtemp(prefix="bdps_s15_comp_")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(48).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(4).write.mode("overwrite").parquet(comp_dir)
+    comp = spark.read.parquet(comp_dir)
+    before = frag.select(F.input_file_name().alias("f")).agg(
+        F.count_distinct("f").alias("files_before")
+    )
+    return (
+        comp.select("l_quantity", F.input_file_name().alias("f"))
+        .agg(
+            F.count_distinct("f").alias("files_after"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "total_qty"),
+        )
+        .crossJoin(F.broadcast(before))
+        .select("files_before", "files_after", "n_rows", "total_qty")
+    )

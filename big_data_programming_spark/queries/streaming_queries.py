@@ -585,3 +585,69 @@ def st13_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
     )
     return drain(deduped, "append")
+
+
+@register(
+    "st14_checkpoint_recovery",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'total_value')}
+FROM events
+WHERE value >= 10.0
+GROUP BY 1
+""",
+    tags=("S8", "S9", "ST9"),
+)
+def st14_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a stream RESTART — the operational property
+    checkpointing exists for. Phase 1: half the events (even ids) land
+    in the source directory and a filtered stream drains them into a
+    parquet sink with a durable checkpoint. Phase 2: the other half
+    arrives and a NEW query object — same source, sink, and
+    checkpoint — resumes; the file-source checkpoint records which
+    files were committed, so the restart processes ONLY the new
+    arrivals. The final batch aggregate equals the single-pass batch
+    twin: any replay of phase-1 files would double n_events and break
+    the hash match, so the oracle directly certifies no-duplication +
+    no-loss. This is the recover-from-driver-crash contract a 100 TB
+    ingest pipeline leans on daily; at scale the checkpoint lives on
+    durable shared storage and the restart is a new cluster, not a
+    new query object."""
+    import tempfile
+
+    from big_data_programming_spark.streaming.harness import (
+        _EVENTS_RAW_SCHEMA,
+        _ckpt_base,
+    )
+
+    base = tempfile.mkdtemp(prefix="bdps_st14_")
+    indir, outdir = f"{base}/in", f"{base}/out"
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_", dir=_ckpt_base())
+    e = load(spark, sf_dir, "events")
+
+    def run_to_completion() -> None:
+        s = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(indir)
+        q = (
+            s.filter(F.col("value") >= 10.0)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    e.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(indir)
+    run_to_completion()
+    e.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(indir)
+    run_to_completion()
+
+    return (
+        spark.read.parquet(outdir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
