@@ -323,3 +323,73 @@ JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= {threshold}
 """
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-n-gram CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|).
+
+    The subset-detection complement of :func:`ngram_jaccard_pairs`:
+    when a short document is embedded inside a much longer one (quote
+    farms, boilerplate wrappers, concatenated crawls), Jaccard
+    collapses toward |A|/|B| and misses the pair, while containment
+    stays ~1. Same scale shape — in-row shingling, 60-bit hashed
+    shingles, inverted-index equi-join, never a cross join; only the
+    final scoring arithmetic differs (min() instead of union size),
+    so the two measures share one candidate pass in a fused
+    deployment. Exact-but-quadratic ground truth like its Jaccard
+    twin; the LSH-banded path is the production route."""
+    grams = docs.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hashed = grams.select("doc", _token_hash60(F.col("gram")).alias("h"))
+    sizes = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.least("n_a", "n_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+    )
+
+
+NGRAM_CONTAINMENT_ORACLE_SQL = """
+WITH grams AS (
+  SELECT doc_id AS doc,
+         CAST(CONCAT('0x', SUBSTRING(md5(g.gram), 1, 15)) AS BIGINT) AS h
+  FROM documents,
+       UNNEST(list_distinct(list_transform(
+         generate_series(1, length(text) - {nm1}),
+         i -> substr(text, i, {n})))) AS g(gram)
+  WHERE length(text) >= {n}
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_grams FROM grams GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.h = b.h AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams) >= {threshold}
+"""

@@ -397,3 +397,52 @@ def j6b_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "j12_dynamic_partition_pruning",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice', 'total_value')}
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1
+""",
+    tags=("J8", "S6", "P2"),
+)
+def j12_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    Hive-partitioned on o_orderpriority, and the *only* priority
+    filter lives on the joined dimension — no static predicate touches
+    the fact. At planning time Spark injects a dynamic pruning
+    subquery into the fact scan (asserted in tests/test_plans.py), so
+    only the 2 of 5 partition directories matching the broadcast dim
+    are ever listed and read. This is THE mechanism that makes
+    star-schema joins survive 100 TB facts: the dim filter prunes the
+    fact at file-listing time, reading 40% (here) or 0.1% (a date-dim
+    month filter in production) of the table without the query author
+    repeating the predicate on the fact side."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bdps_j12_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        "prio string, urgency int",
+    ).filter(F.col("urgency") <= 2)
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

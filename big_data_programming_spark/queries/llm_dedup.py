@@ -13,11 +13,13 @@ from big_data_programming_spark.operators.clustering import (
 )
 from big_data_programming_spark.operators.dedup import (
     JACCARD_ORACLE_SQL,
+    NGRAM_CONTAINMENT_ORACLE_SQL,
     NGRAM_JACCARD_ORACLE_SQL,
     SIMHASH_ORACLE_SQL,
     exact_dedup_keys,
     jaccard_pairs,
     minhash_dedup_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     normalize_text,
     simhash,
@@ -283,4 +285,22 @@ def l2d2_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keep_doc_id"),
+    )
+
+
+@register(
+    "l2h_ngram_containment",
+    oracle=NGRAM_CONTAINMENT_ORACLE_SQL.format(n=5, nm1=4, threshold=0.6),
+    tags=("L2", "F1", "F7", "J1", "A1"),
+)
+def l2h_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram containment pairs at C >= 0.6 — the
+    subset-detection complement of l2g: a short doc embedded in a
+    long one keeps containment ~1 while its Jaccard collapses toward
+    the length ratio, so this is the measure that catches boilerplate
+    wrappers and quote-farm inclusion. Shares l2g's inverted-index
+    candidate pass (operators/dedup.py:ngram_containment_pairs); only
+    the scoring denominator differs (min instead of union)."""
+    return ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.6, n=5
     )

@@ -446,3 +446,53 @@ def f11_crypto_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("text")
         ).alias("aes_roundtrip_ok"),
     )
+
+
+@register(
+    "f12_datetime_extended",
+    oracle="""
+SELECT event_id,
+       CAST(WEEK(ts) AS INTEGER) AS iso_week,
+       CAST(DAYOFYEAR(ts) AS INTEGER) AS doy,
+       CAST(HOUR(ts) AS INTEGER) AS hr,
+       CAST(MINUTE(ts) AS INTEGER) AS mi,
+       CAST(SECOND(ts) AS INTEGER) AS sec,
+       strftime(ts, '%Y-%m') AS year_month,
+       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+       CAST(CAST(ts AS DATE) +
+            CAST(CASE WHEN (1 - ISODOW(CAST(ts AS DATE)) + 7) % 7 = 0 THEN 7
+                      ELSE (1 - ISODOW(CAST(ts AS DATE)) + 7) % 7 END AS INTEGER)
+            AS DATE) AS next_monday,
+       make_date(CAST(YEAR(ts) AS INTEGER), CAST(MONTH(ts) AS INTEGER), 1)
+         AS month_first,
+       CAST(DATE_TRUNC('quarter', CAST(ts AS DATE)) AS DATE) AS quarter_start,
+       EPOCH_MS(ts) AS epoch_ms
+FROM events
+WHERE event_id <= 2000
+""",
+    tags=("F2",),
+)
+def f12_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time family on real (intra-day) event
+    timestamps: ISO week/day-of-year ordinals, time-of-day parts,
+    formatting, calendar arithmetic (add_months clamps end-of-month
+    identically in both engines; next_day spelled as ISO-dow modular
+    arithmetic in the oracle), constructors (make_date), quarter
+    truncation, and epoch-millis export. All pure row-local maps —
+    codegen'd, shuffle-free, pushdown-transparent."""
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return e.filter(F.col("event_id") <= 2000).select(
+        "event_id",
+        F.weekofyear(ts).alias("iso_week"),
+        F.dayofyear(ts).alias("doy"),
+        F.hour(ts).alias("hr"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("sec"),
+        F.date_format(ts, "yyyy-MM").alias("year_month"),
+        F.add_months(ts.cast("date"), 2).alias("plus_2mo"),
+        F.next_day(ts.cast("date"), "Mon").alias("next_monday"),
+        F.make_date(F.year(ts), F.month(ts), F.lit(1)).alias("month_first"),
+        F.trunc(ts.cast("date"), "quarter").alias("quarter_start"),
+        F.unix_millis(ts.cast("timestamp")).alias("epoch_ms"),
+    )

@@ -352,3 +352,14 @@ def test_orc_scan_pushes_filters_and_prunes_columns():
     assert "PushedFilters: [" in fmt and "o_totalprice" in fmt.split("PushedFilters")[1][:200]
     cols = scan_read_columns(df)
     assert cols and set(cols) <= {"o_orderkey", "o_totalprice"}
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan():
+    """j12: the priority filter lives ONLY on the dim; the fact scan
+    must still carry a dynamic pruning subquery in its PartitionFilters
+    (star-schema file-listing pruning — the 100 TB fact-read saver)."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(queries()["j12_dynamic_partition_pruning"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
