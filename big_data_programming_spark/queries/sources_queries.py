@@ -607,3 +607,46 @@ def s15_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(before))
         .select("files_before", "files_after", "n_rows", "total_qty")
     )
+
+
+@register(
+    "s16_python_datasource",
+    oracle="""
+SELECT category,
+       COUNT(*) AS n_rows,
+       SUM((i * 2654435761) % 2147483647) AS val_sum,
+       MIN(i) AS min_id,
+       MAX(i) AS max_id
+FROM (SELECT i, 'cat' || CAST(i % 5 AS VARCHAR) AS category
+      FROM generate_series(0, 7999) AS t(i))
+GROUP BY 1
+""",
+    tags=("S1", "S4", "A1"),
+)
+def s16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API: a pure-Python connector with
+    REAL input partitions — the planner asks for splits once, each
+    executor task reads only its own (sources/python_datasource.py),
+    so a Python reader for an internal API/queue/exotic format
+    parallelizes like a file scan instead of bottlenecking on the
+    driver. The generated telemetry is deterministic (Knuth
+    multiplicative hash), so the oracle replays all 8 partitions ×
+    1000 rows bit-for-bit; the aggregate shape proves the rows flow
+    through the normal JVM-side plan after the Arrow hand-off."""
+    from big_data_programming_spark.sources.python_datasource import (
+        register_telemetry_source,
+    )
+
+    register_telemetry_source(spark)
+    df = (
+        spark.read.format("synthetic_telemetry")
+        .option("partitions", "8")
+        .option("rowsPerPartition", "1000")
+        .load()
+    )
+    return df.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").alias("val_sum"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

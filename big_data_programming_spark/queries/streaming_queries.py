@@ -651,3 +651,82 @@ def st14_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "st16_incremental_agg_maintenance",
+    oracle=f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("ST9", "ST11", "A1", "A13", "S6"),
+)
+def st16_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-AGGREGATE maintenance — the other half
+    of st11's CDC story: instead of latest-row state, each micro-batch
+    folds its partial aggregates (count + decimal sum per
+    (event_type, day)) into a copy-on-write snapshot. Works because
+    the maintained state is MERGEABLE: counts and decimal(38,10) sums
+    are associative, so snapshot ⊕ batch-partial = snapshot-so-far at
+    any batch granularity — the same algebra Spark's own
+    partial→final aggregation rides on, lifted to cross-batch
+    persistence. The sum column stays DECIMAL inside every snapshot
+    (exactness across arbitrarily many merges; cast to double only at
+    the final read), which is what makes the incremental result
+    bit-equal to the one-pass batch twin the oracle runs. At 100 TB
+    this is how a daily dashboard table absorbs a day's events
+    without ever rescanning history — merge cost is O(|batch| +
+    |dirty keys|), not O(|table|)."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    stage = tempfile.mkdtemp(prefix="bdps_st16_stage_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+    )
+
+    base = tempfile.mkdtemp(prefix="bdps_st16_snap_")
+    snap_schema = "event_type string, day date, n_events long, sv decimal(38,10)"
+    current: dict[str, str] = {}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),
+        )
+        if "path" in current:
+            prev = spark.read.schema(snap_schema).parquet(current["path"])
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type", "day")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sv").cast(DEC).alias("sv"),
+                )
+            )
+        new_path = f"{base}/v{batch_id}"
+        part.select(
+            "event_type", "day", "n_events", F.col("sv").cast(DEC).alias("sv")
+        ).write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path
+
+    drain_foreach_batch(stream, merge)
+
+    snap = spark.read.schema(snap_schema).parquet(current["path"])
+    return snap.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sv").cast("double").alias("total_value"),
+    )

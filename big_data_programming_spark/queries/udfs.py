@@ -352,3 +352,46 @@ def ud9_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.mapInArrow(
         arrow_features, schema="s_suppkey long, name_bytes long, acctbal_cents long"
     )
+
+
+@register(
+    "ud10_arrow_python_udf",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+            WHEN o_totalprice >= 150000 THEN 'gold'
+            ELSE 'standard' END AS tier,
+       LENGTH(o_orderpriority) + o_orderkey % 7 AS mix
+FROM orders
+""",
+    tags=("UD1", "UD2"),
+)
+def ud10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-optimized Python UDF (`useArrow=True`): same
+    per-ROW programming model as ud1, but serialization crosses the
+    JVM↔Python boundary in Arrow record batches instead of pickled
+    rows — the drop-in upgrade when row logic can't be vectorized but
+    the pickle tax is the bottleneck. Sits between ud1 (row + pickle)
+    and ud2 (pandas-vectorized) on the measured slow-path ladder;
+    output is logic-identical to ud1's tier oracle plus a second
+    column proving multi-arg scalar support. Still a Python crossing:
+    the built-in CASE WHEN remains the production answer."""
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def tier(total: float) -> str:
+        if total >= 300000:
+            return "platinum"
+        if total >= 150000:
+            return "gold"
+        return "standard"
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def mix(prio: str, key: int) -> int:
+        return len(prio) + key % 7
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tier("o_totalprice").alias("tier"),
+        mix("o_orderpriority", "o_orderkey").alias("mix"),
+    )

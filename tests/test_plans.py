@@ -363,3 +363,44 @@ def test_dynamic_partition_pruning_reaches_fact_scan():
     spark = S.get_spark("plan-tests", cpus=8)
     plan = plan_of(queries()["j12_dynamic_partition_pruning"](spark, SF_DIR))
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_aqe_splits_skewed_join():
+    """§4 skew lever #2: beyond explicit salting (sk1/sk2), AQE must
+    re-plan a skewed sort-merge join at RUNTIME — the hot partition is
+    split into advisory-sized reads (AQEShuffleRead skewed) and the
+    join marks skew=true. Thresholds are scaled down to fixture size;
+    at 100 TB the defaults (256 MB / factor 5) fire on the same
+    mechanism with no query change."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of fact rows share key 0 -> one shuffle partition holds
+        # ~9x the average and far exceeds the tuned 64 KB threshold.
+        fact = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 3).alias("v"),
+        )
+        dim = spark.range(0, 100_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 100_000  # finalize THIS plan (count() builds its own)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:1500]
+    assert "AQEShuffleRead skewed" in plan, plan[:1500]
