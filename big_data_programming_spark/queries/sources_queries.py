@@ -650,3 +650,48 @@ def s16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@register(
+    "s17_python_source_pushdown",
+    oracle="""
+SELECT category,
+       COUNT(*) AS n_rows,
+       SUM((i * 2654435761) % 2147483647) AS val_sum,
+       MIN(i) AS min_id,
+       MAX(i) AS max_id
+FROM (SELECT i, 'cat' || CAST(i % 5 AS VARCHAR) AS category
+      FROM generate_series(2500, 5499) AS t(i))
+GROUP BY 1
+""",
+    tags=("S1", "S4", "P2", "A1"),
+)
+def s17_python_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO a Python data source (Spark 4.1
+    `pushFilters`): the id-range predicate is consumed by the reader,
+    which prunes 4 of 8 input partitions at planning time and
+    row-slices the survivors — Spark re-applies nothing (the post-scan
+    filter is bare isnotnull, plan-asserted in tests/test_plans.py).
+    This is the same pushdown contract parquet enjoys, extended to
+    custom connectors: at 100 TB it is the difference between a
+    Python API reader fetching everything and fetching the requested
+    key range. Because accepted filters are not re-checked by Spark,
+    the oracle directly certifies the reader's pruning arithmetic."""
+    from big_data_programming_spark.sources.python_datasource import (
+        register_pushdown_source,
+    )
+
+    register_pushdown_source(spark)
+    df = (
+        spark.read.format("pushdown_telemetry")
+        .option("partitions", "8")
+        .option("rowsPerPartition", "1000")
+        .load()
+        .filter((F.col("id") >= 2500) & (F.col("id") < 5500))
+    )
+    return df.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").alias("val_sum"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

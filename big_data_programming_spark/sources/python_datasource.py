@@ -63,3 +63,61 @@ class TelemetrySource(DataSource):
 def register_telemetry_source(spark: SparkSession) -> None:
     """Idempotent registration (re-registering replaces the entry)."""
     spark.dataSource.register(TelemetrySource)
+
+
+class _PushdownTelemetryReader(_TelemetryReader):
+    """Reader with FILTER PUSHDOWN: range predicates on ``id`` are
+    consumed here (Spark 4.1 `pushFilters`), pruning whole partitions
+    at planning time and row-slicing inside surviving ones. Filters we
+    accept are NOT yielded back, so Spark does not re-apply them —
+    which makes the oracle a real test of the Python-side pruning: an
+    off-by-one here produces extra/missing rows, not silent overlap."""
+
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
+        self.lo = 0
+        self.hi = self.n_parts * self.rows_per
+
+    def pushFilters(self, filters):  # noqa: ANN001, ANN201 - API signature
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+        for f in filters:
+            if isinstance(f, GreaterThanOrEqual) and f.attribute == ("id",):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, LessThan) and f.attribute == ("id",):
+                self.hi = min(self.hi, int(f.value))
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            InputPartition(i)
+            for i in range(self.n_parts)
+            if (i + 1) * self.rows_per > self.lo and i * self.rows_per < self.hi
+        ]
+
+    def read(self, partition: InputPartition):
+        base = partition.value * self.rows_per
+        for i in range(max(base, self.lo), min(base + self.rows_per, self.hi)):
+            yield (i, (i * _MULT) % _MOD, f"cat{i % 5}")
+
+
+class PushdownTelemetrySource(DataSource):
+    """`spark.read.format("pushdown_telemetry")` — X59 with pushFilters."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pushdown_telemetry"
+
+    def schema(self) -> str:
+        return "id bigint, val bigint, category string"
+
+    def reader(self, schema: StructType) -> _PushdownTelemetryReader:
+        return _PushdownTelemetryReader(self.options)
+
+
+def register_pushdown_source(spark: SparkSession) -> None:
+    """Register + enable Python-source filter pushdown (off by default;
+    scoped to Python data sources, so leaving it on is benign)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PushdownTelemetrySource)

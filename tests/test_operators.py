@@ -395,3 +395,37 @@ def test_binned_interval_join_equals_theta_join(spark):
     assert binned == naive
     assert (1, 10) in binned and (4, 10) not in binned and (3, 12) in binned
     assert not any(f == 5 for f, _ in binned)
+
+
+def test_containment_catches_substring_jaccard_misses(spark):
+    """The motivating case for l2h: a short doc strictly contained in a
+    much longer one must score containment ~1.0 while its Jaccard
+    collapses toward the length ratio — so the Jaccard threshold that
+    keeps the pair out must NOT keep it out of the containment pass."""
+    from big_data_programming_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog near the river bank"
+    long = ("completely unrelated preamble text that goes on for a while "
+            "with its own vocabulary and phrasing . " + short +
+            " and then a long unrelated epilogue follows with yet more "
+            "filler content to dilute the shingle overlap substantially "
+            "until the jaccard similarity drops well under any threshold")
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "entirely different third document "
+                                    "sharing nothing of substance here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] > 0.95, cont
+    assert (1, 2) not in jac, jac  # Jaccard at the same threshold misses it
+    assert (1, 3) not in cont and (2, 3) not in cont, cont

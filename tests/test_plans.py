@@ -404,3 +404,29 @@ def test_aqe_splits_skewed_join():
             spark.conf.set(k, v)
     assert "skew=true" in plan, plan[:1500]
     assert "AQEShuffleRead skewed" in plan, plan[:1500]
+
+
+def test_python_source_consumes_pushed_filters():
+    """s17: the id-range predicate must be consumed by the Python
+    reader (pushFilters), leaving only isnotnull in Spark's post-scan
+    Filter — proof the pruning happened source-side, not as a
+    read-everything-then-filter."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.sources.python_datasource import (
+        register_pushdown_source,
+    )
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    register_pushdown_source(spark)
+    df = (
+        spark.read.format("pushdown_telemetry")
+        .option("partitions", "8")
+        .option("rowsPerPartition", "1000")
+        .load()
+        .filter((F.col("id") >= 2500) & (F.col("id") < 5500))
+    )
+    plan = plan_of(df)
+    filter_lines = [l for l in plan.splitlines() if "Filter" in l]
+    assert filter_lines, plan
+    assert all(">= 2500" not in l and "< 5500" not in l for l in filter_lines), plan
+    assert "BatchScan pushdown_telemetry" in plan, plan
