@@ -695,3 +695,76 @@ def s17_python_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@register(
+    "s18_xml_roundtrip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier
+WHERE s_acctbal >= 0.0
+""",
+    tags=("S2", "S7", "P2"),
+)
+def s18_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → schema-explicit XML scan (built into Spark since 4.0
+    — no external package): the third markup round trip beside CSV
+    (s2) and JSON-lines (s3), covering the B2B/legacy-feed ingestion
+    path. As with the others, the declared schema is the contract (no
+    inference pass) and doubles survive the trip exactly via
+    shortest-roundtrip decimal printing. XML's scale caveat is
+    structural, not ours: one rowTag element per record keeps the
+    reader splittable per file; the multi-file directory layout is
+    what parallelizes."""
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 0.0)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+    out = tempfile.mkdtemp(prefix="bdps_s18_")
+    sup.write.format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).mode("overwrite").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+        .load(out)
+    )
+
+
+@register(
+    "s19_python_sink",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal
+FROM supplier
+""",
+    tags=("S7", "S2"),
+)
+def s19_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python custom SINK (Spark 4 `DataSourceWriter`) with the real
+    two-phase commit: executor tasks stage `_tmp_` files and return
+    commit messages; the driver's `commit()` renames them visible,
+    `abort()` deletes them — so speculative/failed tasks can never
+    publish partial output (sources/python_datasource.py). The sink's
+    output is read back through the schema-explicit CSV scan and must
+    equal the source projection, which certifies both the task
+    payloads and the commit protocol: an uncommitted or double-
+    committed task file breaks the hash. Completes the Python
+    connector matrix (batch read s16, pushdown s17, stream read st17,
+    batch write here)."""
+    from big_data_programming_spark.sources.python_datasource import (
+        register_tsv_sink,
+    )
+
+    register_tsv_sink(spark)
+    out = tempfile.mkdtemp(prefix="bdps_s19_")
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    sup.write.format("tsv_sink").option("path", out).mode("append").save()
+    return (
+        spark.read.schema("s_suppkey long, s_nationkey int, s_acctbal double")
+        .option("sep", "\t")
+        .csv(out + "/part_*.tsv")
+    )

@@ -730,3 +730,72 @@ def st16_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         "n_events",
         F.col("sv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "st17_python_stream_source",
+    oracle="""
+SELECT category,
+       COUNT(*) AS n_rows,
+       SUM((i * 2654435761) % 2147483647) AS val_sum,
+       MIN(i) AS min_id,
+       MAX(i) AS max_id
+FROM (SELECT i, 'cat' || CAST(i % 5 AS VARCHAR) AS category
+      FROM generate_series(0, 1999) AS t(i))
+GROUP BY 1
+""",
+    tags=("S8", "S9", "ST9"),
+)
+def st17_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python STREAMING data source (Spark 4
+    `SimpleDataSourceStreamReader`) drained across RESTARTS: the
+    source advances a dict offset by 700 ids per micro-batch (capped
+    at 2000); each `availableNow` run commits its offset to the
+    shared checkpoint, and the next run resumes exactly there — the
+    custom-connector twin of st14's file-source recovery, proving the
+    offset algebra (`initialOffset` / `read` / `readBetweenOffsets`)
+    delivers every id exactly once across 3 runs + uneven batch
+    boundaries. Any double-read or gap breaks the hash against the
+    closed-form oracle. This is the contract a Python queue/API
+    connector must honor at 100 TB/day; only the row generator is
+    fixture-specific."""
+    import tempfile
+
+    from big_data_programming_spark.sources.python_datasource import (
+        register_stream_source,
+    )
+    from big_data_programming_spark.streaming.harness import _ckpt_base
+
+    register_stream_source(spark)
+    outdir = tempfile.mkdtemp(prefix="bdps_st17_out_")
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_", dir=_ckpt_base())
+
+    def run_once() -> None:
+        s = spark.readStream.format("stream_telemetry").load()
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = -1
+    for _ in range(6):  # 2000/700 -> 3 productive runs, then no growth
+        run_once()
+        n = spark.read.parquet(outdir).count()
+        if n == prev:
+            break
+        prev = n
+
+    return (
+        spark.read.parquet(outdir)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").alias("val_sum"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )

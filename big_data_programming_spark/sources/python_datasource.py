@@ -22,7 +22,16 @@ the price is documented here and measured nowhere else in the repo
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 #: Knuth multiplicative constant / Mersenne modulus — fixture arithmetic
@@ -121,3 +130,108 @@ def register_pushdown_source(spark: SparkSession) -> None:
     scoped to Python data sources, so leaving it on is benign)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PushdownTelemetrySource)
+
+
+class _TelemetryStreamReader(SimpleDataSourceStreamReader):
+    """Python STREAMING source (Spark 4 `SimpleDataSourceStreamReader`):
+    offsets are plain dicts checkpointed by the engine; `read(start)`
+    returns (rows, next_offset) for one micro-batch and
+    `readBetweenOffsets` replays a committed range on recovery — the
+    exactly-once contract a queue/API connector must implement. The
+    fixture stream is a bounded deterministic range so the oracle can
+    replay it; a real connector swaps the generator for client reads
+    and keeps the offset algebra."""
+
+    INCREMENT = 700
+    CAP = 2000
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        s = start["i"]
+        e = min(s + self.INCREMENT, self.CAP)
+        rows = [(i, (i * _MULT) % _MOD, f"cat{i % 5}") for i in range(s, e)]
+        return iter(rows), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [(i, (i * _MULT) % _MOD, f"cat{i % 5}") for i in range(start["i"], end["i"])]
+        )
+
+
+class TelemetryStreamSource(DataSource):
+    """`spark.readStream.format("stream_telemetry")`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "stream_telemetry"
+
+    def schema(self) -> str:
+        return "id bigint, val bigint, category string"
+
+    def simpleStreamReader(self, schema: StructType) -> _TelemetryStreamReader:
+        return _TelemetryStreamReader()
+
+
+def register_stream_source(spark: SparkSession) -> None:
+    spark.dataSource.register(TelemetryStreamSource)
+
+
+@dataclass
+class _TsvCommitMessage(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _TsvSinkWriter(DataSourceWriter):
+    """Python custom SINK with the two-phase commit protocol every
+    exactly-once sink implements: each task writes to a `_tmp_` file
+    and returns a commit message; only the driver-side `commit()`
+    renames them visible (and `abort()` removes them), so a failed or
+    speculatively-duplicated task never publishes partial output. The
+    same shape carries a real connector's staging-area / PUT+finalize
+    API calls; only the file IO is fixture-specific."""
+
+    def __init__(self, options: dict) -> None:
+        self.base = options["path"]
+
+    def write(self, rows) -> _TsvCommitMessage:  # noqa: ANN001 - API signature
+        import os
+        import uuid
+
+        tmp = os.path.join(self.base, f"_tmp_{uuid.uuid4().hex}.tsv")
+        n = 0
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write("\t".join(str(x) for x in r) + "\n")
+                n += 1
+        return _TsvCommitMessage(path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:  # noqa: ANN001 - API signature
+        import os
+
+        for m in messages:
+            os.rename(m.path, m.path.replace("_tmp_", "part_"))
+
+    def abort(self, messages) -> None:  # noqa: ANN001 - API signature
+        import os
+
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class TsvSinkSource(DataSource):
+    """`df.write.format("tsv_sink").option("path", dir)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tsv_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> _TsvSinkWriter:
+        return _TsvSinkWriter(self.options)
+
+
+def register_tsv_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(TsvSinkSource)
