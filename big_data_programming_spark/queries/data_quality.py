@@ -236,3 +236,85 @@ def dq3_partition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomalous"
         ),
     )
+
+
+@register(
+    "dq4_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+grp AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM grp GROUP BY 1, 2, 3
+)
+SELECT user_id, version, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                 IS NULL THEN 1 ELSE 0 END AS is_current,
+       n_events
+FROM iv
+""",
+    tags=("W1", "W2", "W4", "A1"),
+)
+def dq4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each user's
+    event stream into versioned [valid_from, valid_to) intervals of
+    constant event_type — the warehouse dimension-versioning op every
+    CDC feed eventually needs (here the 'attribute' is event_type;
+    swap any tracked column). Change-flag → running-sum versioning →
+    interval aggregate → lead() close-off: all per-user window
+    algebra over ONE user_id exchange plus the final lead over the
+    already-tiny interval rows. NULL valid_to marks the open/current
+    version, exactly as an SCD2 dimension table ships. At 100 TB the
+    intervals table is maintained incrementally: only users present
+    in the day's batch recompute their tail interval."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    flagged = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "version",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    iv = grp.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return iv.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.when(F.lead("valid_from").over(wv).isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+        "n_events",
+    )

@@ -446,3 +446,43 @@ def j12_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "j13_lateral_join",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey <= 200
+""",
+    tags=("J1", "W6", "O2"),
+)
+def j13_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-customer top-2 orders spelled
+    as the SQL-standard lateral derived table. Catalyst DECORRELATES
+    it: rather than re-running the subquery per outer row (the naive
+    nested-loop reading of LATERAL), the plan rewrites to a single
+    join + per-key window/limit — which is why the construct survives
+    a 100 TB outer table. Covers the SQL surface w6 expresses with
+    the DataFrame window API; both engines agree on the deterministic
+    (price DESC, orderkey) tie-break."""
+    from big_data_programming_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 200
+        """
+    )

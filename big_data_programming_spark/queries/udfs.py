@@ -395,3 +395,66 @@ def ud10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier("o_totalprice").alias("tier"),
         mix("o_orderpriority", "o_orderkey").alias("mix"),
     )
+
+
+@register(
+    "ud11_polymorphic_udtf",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         GREATEST(1, LEN(string_split(text, ' ')) // 3) AS per
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       array_to_string(list_slice(toks, 1, per), ' ') AS piece_0,
+       array_to_string(list_slice(toks, per + 1, 2 * per), ' ') AS piece_1,
+       array_to_string(list_slice(toks, 2 * per + 1, LEN(toks)), ' ') AS piece_2
+FROM t
+""",
+    tags=("UD7", "F1"),
+)
+def ud11_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is computed
+    at ANALYSIS time from the literal argument (`analyze()` returns
+    an AnalyzeResult with n_pieces columns) — the table function
+    equivalent of generics, which fixed-schema ud7 cannot express.
+    Splitting each doc into 3 near-equal token spans is the
+    shard-for-context-window shape; called per-row via LATERAL
+    correlation. Scale posture matches every UDTF: a Python crossing
+    per row, so it belongs at the edge of a pipeline, not in the hot
+    path; the win here is API coverage with an arithmetic the oracle
+    replays exactly (per = max(1, n_tokens // 3), last piece takes
+    the remainder)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"piece_{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            per = max(1, len(toks) // n)
+            out = []
+            for i in range(n):
+                hi = (i + 1) * per if i < n - 1 else len(toks)
+                out.append(" ".join(toks[i * per : hi]))
+            yield tuple(out)
+
+    spark.udtf.register("bdps_split_fixed", SplitFixed)
+    from big_data_programming_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.piece_0, s.piece_1, s.piece_2
+        FROM documents d, LATERAL bdps_split_fixed(d.text, 3) s
+        WHERE d.doc_id < 100
+        """
+    )
