@@ -781,3 +781,40 @@ def a21_kll_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.kll_sketch_get_rank_bigint("sk", F.lit(500)).alias("short_frac"),
         )
     return stats(per_src).unionAll(stats(merged))
+
+
+@register(
+    "a22_listagg",
+    oracle="""
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       string_agg(CAST(n_nationkey AS VARCHAR), '|'
+                  ORDER BY n_nationkey DESC) AS keys_desc
+FROM nation
+GROUP BY 1
+""",
+    tags=("A7", "F1"),
+)
+def a22_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (SQL:2016, Spark 4.0+): ordered string concatenation
+    per group — the report/export shape a7's collect_list covers
+    structurally but not as the standard SQL surface. WITHIN GROUP
+    ordering is the determinism contract: an unordered listagg is a
+    partition-order lottery and could never hash-match across
+    engines, so both directions (name ASC, key DESC) pin explicit
+    sort keys. State is the group's concatenated payload — fine for
+    bounded groups (25 nations), documented as NOT the shape for
+    unbounded 100 TB groups, where a7's size caps or sketches
+    apply."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations_csv"
+        ),
+        F.expr(
+            "listagg(CAST(n_nationkey AS STRING), '|')"
+            " WITHIN GROUP (ORDER BY n_nationkey DESC)"
+        ).alias("keys_desc"),
+    )

@@ -799,3 +799,49 @@ def st17_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("id").alias("max_id"),
         )
     )
+
+
+@register(
+    "st18_rocksdb_state_store",
+    oracle=f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("ST2", "ST6", "S8", "S9"),
+)
+def st18_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation on the RocksDB state store provider — the
+    configuration that actually survives 100 TB streaming state: the
+    default HDFSBackedStateStore keeps every key's state in executor
+    HEAP (an OOM countdown for high-cardinality keys), while RocksDB
+    spills to local SSD with incremental changelog checkpointing, so
+    state capacity is disk-bounded and micro-batch cost tracks the
+    CHANGED keys, not the total. Results must be bit-identical to the
+    default-provider queries (the provider is a storage swap, never a
+    semantics change) — which is exactly what the batch-twin oracle
+    certifies. The provider is set per-query-start here; a production
+    job sets it once in the session conf."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = events_stream(spark, sf_dir)
+        agg = (
+            s.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            )
+        )
+        return drain(agg, "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -21,10 +21,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: Order matters operationally: the driver's correctness pass checks the
 #: FIRST 50 catalog entries only, so modules are rotated each round to
-#: give never-verified operators a driver row. Round 3 window: events(9)
-#: + aggregations(18) + windows(6) + setops(10) + scalar_functions(7 of
-#: 11) = 50. Already driver-green in r1/r2 (tpch, sources, projection,
-#: joins) sit at the back.
+#: give never-verified operators a driver row. Round 3 window: events(10)
+#: + aggregations(23) + windows(7) + setops(10) = 50 exactly. Already
+#: driver-green in r1/r2 (tpch, sources, projection, joins) sit at the
+#: back. ROUND 4 ROTATION: front-load scalar_functions, llm_text,
+#: llm_curation, llm_dedup, llm_similarity (≈50 never-driver-verified
+#: entries); round 5: llm_multimodal, graph, data_quality, udfs,
+#: streaming, skew + the new sources entries (s10-s19).
 _QUERY_MODULES = (
     "events",
     "aggregations",
