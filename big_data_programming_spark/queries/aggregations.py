@@ -818,3 +818,46 @@ def a22_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WITHIN GROUP (ORDER BY n_nationkey DESC)"
         ).alias("keys_desc"),
     )
+
+
+@register(
+    "a23_filtered_aggregates",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       COUNT(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+       {oracle_dsum('CASE WHEN l_discount > 0.05 THEN l_extendedprice END',
+                    'discounted_revenue')},
+       COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 30)
+         AS bulk_suppliers
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("A1", "A3", "A12"),
+)
+def a23_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (SQL:2003): several differently-
+    conditioned aggregates — plain, two filtered counts, a filtered
+    decimal sum, a filtered DISTINCT — computed in ONE scan and one
+    hash aggregate. The alternative (one subquery per condition)
+    multiplies fact scans; at 100 TB this is how a metrics job emits
+    a dozen conditioned KPIs for the price of one pass. Spark spells
+    the same thing as conditional expressions inside the aggregate
+    (the pre-2003 idiom), which Catalyst compiles identically; the
+    oracle uses the standard FILTER syntax — both reduce to the same
+    partial→final plan."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    bulk = F.col("l_quantity") >= 30
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(disc, 1)).alias("n_discounted"),
+        F.count(F.when(bulk, 1)).alias("n_bulk"),
+        F.sum(F.when(disc, F.col("l_extendedprice")).cast(DEC))
+        .cast("double")
+        .alias("discounted_revenue"),
+        F.count_distinct(F.when(bulk, F.col("l_suppkey"))).alias(
+            "bulk_suppliers"
+        ),
+    )

@@ -496,3 +496,51 @@ def f12_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(ts.cast("date"), "quarter").alias("quarter_start"),
         F.unix_millis(ts.cast("timestamp")).alias("epoch_ms"),
     )
+
+
+@register(
+    "f13_string_extended",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract_all(p_name, '[a-z]{5,}') AS long_words,
+       LEN(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+       split_part(p_type, ' ', 1) AS type_head,
+       split_part(p_type, ' ', -1) AS type_tail,
+       reverse(p_brand) AS brand_rev,
+       repeat('*', p_size % 5 + 1) AS size_stars,
+       translate(p_name, 'aeiou', '.....') AS dotted,
+       CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END AS has_steel,
+       CASE WHEN starts_with(p_brand, 'Brand#1') THEN 1 ELSE 0 END AS brand1x,
+       CASE WHEN ends_with(p_type, 'd') THEN 1 ELSE 0 END AS ends_d
+FROM part
+WHERE p_partkey <= 1000
+""",
+    tags=("F1",),
+)
+def f13_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family beyond f1: multi-match extraction
+    (`regexp_extract_all` — the list-out regex that powers shingling
+    and PII sweeps), field access by delimiter from both ends
+    (`substring_index`, spelled split_part in the oracle), reverse /
+    repeat / translate transforms, and LIKE / prefix / suffix
+    predicates. POSIX-simple patterns only, same rationale as f1
+    (Java and RE2 regex dialects agree on these); everything is a
+    row-local codegen'd map."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 1000).select(
+        "p_partkey",
+        F.expr("regexp_extract_all(p_name, '[a-z]{5,}', 0)").alias("long_words"),
+        F.size(F.expr("regexp_extract_all(p_name, '[aeiou]', 0)")).alias("n_vowels"),
+        F.substring_index("p_type", " ", 1).alias("type_head"),
+        F.substring_index("p_type", " ", -1).alias("type_tail"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5 + 1).cast("int")).alias(
+            "size_stars"
+        ),
+        F.translate("p_name", "aeiou", ".....").alias("dotted"),
+        F.when(F.col("p_name").like("%steel%"), 1).otherwise(0).alias("has_steel"),
+        F.when(F.startswith("p_brand", F.lit("Brand#1")), 1)
+        .otherwise(0)
+        .alias("brand1x"),
+        F.when(F.endswith("p_type", F.lit("d")), 1).otherwise(0).alias("ends_d"),
+    )

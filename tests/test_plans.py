@@ -430,3 +430,27 @@ def test_python_source_consumes_pushed_filters():
     assert filter_lines, plan
     assert all(">= 2500" not in l and "< 5500" not in l for l in filter_lines), plan
     assert "BatchScan pushdown_telemetry" in plan, plan
+
+
+def test_aqe_coalesces_small_shuffle_partitions():
+    """§4 AQE lever #1: a 32-partition shuffle whose output is tiny
+    must be coalesced at runtime (AQEShuffleRead coalesced) — on a
+    cluster this is what keeps reducer counts proportional to DATA,
+    not to the static spark.sql.shuffle.partitions, so thousands of
+    near-empty reducers never get scheduled."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        df = (
+            load(spark, SF_DIR, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert len(df.collect()) == 5  # finalize THIS adaptive plan
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+    assert "AQEShuffleRead coalesced" in plan, plan[:1500]
