@@ -238,6 +238,204 @@ def minhash_dedup_pairs(
     )
 
 
+#: Mersenne prime 2^31-1 for the universal-hash family below. Token
+#: base hashes are 28-bit (7 hex digits of md5), multipliers < 2^31,
+#: so a*h + b < 2^60 — no 64-bit overflow in either engine.
+_MINHASH_PRIME = 2147483647
+
+
+def _minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal hash functions
+    h_s(x) = (a_s * x + b_s) mod P, derived from md5 of the seed index
+    so the SAME literals are embedded in the Spark plan and the DuckDB
+    oracle — the whole LSH pipeline replays bit-for-bit cross-engine."""
+    import hashlib
+
+    out = []
+    for s in range(num_hashes):
+        d = hashlib.md5(f"bdps-minhash-{s}".encode()).hexdigest()
+        a = int(d[:7], 16) % (_MINHASH_PRIME - 1) + 1
+        b = int(d[7:14], 16) % _MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via hand-rolled MinHash + LSH banding, pure SQL
+    expressions end to end (no spark.ml) — the from-first-principles
+    twin of :func:`minhash_dedup_pairs`.
+
+    Per doc, IN-ROW (no explode, no shuffle): distinct tokens →
+    28-bit md5 base hashes → k=``num_hashes`` universal-hash minima =
+    the MinHash signature — one array HOF chain inside whole-stage
+    codegen. Banding: k/r bands of r signature slots each; docs
+    agreeing on ALL slots of some band become candidates via a
+    (band_idx, band_key) equi-join — the only shuffle moves
+    (doc, band_key) rows, never token lists. Candidates are then
+    exact-verified against true token Jaccard (candidates-only join).
+
+    The signature step costs O(tokens × k) multiply-mods as a pure
+    map; at 100 TB this is the canonical dedup shape (the GPL-free
+    rewrite of every web-dedup pipeline). Banding recall for a true
+    pair at similarity J is 1-(1-J^r)^(k/r): r=2, k=24 → 97% at
+    J=0.5, >99.9% at J=0.7; missed borderline pairs are missed
+    IDENTICALLY by the oracle, because the hash constants are shared
+    literals — the oracle certifies cross-engine determinism of the
+    full pipeline (recall vs ground truth is l2's job)."""
+    consts = _minhash_constants(num_hashes)
+    n_bands = num_hashes // rows_per_band
+    toks_arr = F.array_distinct(tokenize(F.col(text_col)))
+    base = docs.select(F.col(id_col).alias("doc"), toks_arr.alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    hv = base.select(
+        "doc",
+        F.transform(
+            F.col("ts"),
+            lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 7), 16, 10).cast(
+                "long"
+            ),
+        ).alias("h"),
+    )
+    def _uhash(a: int, b: int):
+        # closure factory: Spark infers HOF arity from the lambda
+        # signature, so the constants must be captured, not defaulted
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_PRIME)
+
+    sig = hv.select(
+        "doc",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("h"), _uhash(a, b)))
+                for (a, b) in consts
+            ]
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at("sig", j * rows_per_band + i + 1).cast(
+                                    "string"
+                                )
+                                for i in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    ta = toks.select(F.col("doc").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc").alias("doc_b"), "token")
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def minhash_banded_oracle_sql(
+    threshold: float = 0.5, num_hashes: int = 24, rows_per_band: int = 2
+) -> str:
+    """DuckDB identical-arithmetic twin of :func:`minhash_banded_pairs`
+    — same md5 base hashes, same (a, b) literals, same banding, same
+    exact-verify arithmetic, so the output (including any banding
+    misses) matches value-for-value."""
+    consts = _minhash_constants(num_hashes)
+    n_bands = num_hashes // rows_per_band
+    sig_items = ",\n           ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MINHASH_PRIME}))"
+        for (a, b) in consts
+    )
+    key_expr = " || '-' || ".join(
+        f"CAST(sig[j * {rows_per_band} + {i + 1}] AS VARCHAR)"
+        for i in range(rows_per_band)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents
+), hv AS (
+  SELECT doc,
+         list_transform(ts, t -> CAST(CONCAT('0x', SUBSTRING(md5(t), 1, 7)) AS BIGINT)) AS h
+  FROM base WHERE len(ts) > 0
+), sigs AS (
+  SELECT doc,
+         [{sig_items}] AS sig
+  FROM hv
+), bands AS (
+  SELECT doc, g.j AS band, {key_expr} AS key
+  FROM sigs, (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+), toks AS (
+  SELECT doc_id AS doc, UNNEST(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_tokens FROM toks GROUP BY doc
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN toks a ON a.doc = c.doc_a
+  JOIN toks b ON b.doc = c.doc_b AND b.token = a.token
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) >= {threshold}
+"""
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Distinct character n-gram shingles of a string column, as an
     array. Pure in-row array construction — whole-stage codegen, no

@@ -53,6 +53,52 @@ def g1_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, src="doc_a", dst="doc_b")
 
 
+_BFS_SQL = """
+WITH RECURSIVE walk(doc, dist) AS (
+  SELECT (SELECT MIN(doc_a) FROM {edges}) AS doc, 0 AS dist
+  UNION ALL
+  SELECT DISTINCT n.dst AS doc, w.dist + 1 AS dist
+  FROM walk w
+  JOIN (SELECT doc_a AS src, doc_b AS dst FROM {edges}
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM {edges}) n
+    ON w.doc = n.src
+  WHERE w.dist < 3
+)
+SELECT doc, CAST(MIN(dist) AS INT) AS hops
+FROM walk
+GROUP BY doc
+"""
+
+
+@register(
+    "g3_recursive_bfs",
+    oracle=_BFS_SQL.format(edges="(" + _NEARDUP_EDGES_SQL + ")"),
+    tags=("S5", "J1", "A1", "L2"),
+)
+def g3_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS via a SQL-standard recursive CTE (Spark 4): every
+    doc within ≤3 hops of the lowest-id doc in the J≥0.8 near-dup
+    graph, with its hop distance — 'how far does this duplicate
+    cluster bleed' as one declarative query. Each recursion step is an
+    equi-join of the frontier against the (undirected) edge list plus
+    a union — hash-partitionable at any scale; the depth bound makes
+    total work ≤ depth × |edges| exchanges. The recursive member is
+    SELECT DISTINCT, capping each level's frontier at |V| rows (bare
+    UNION ALL derives one row per PATH — exponential on the dense
+    near-dup cliques; it tripped Spark's 1M-row recursion guard on
+    this very fixture). Nodes re-entered at a later level still emit
+    rows and MIN(dist) canonicalizes them — the duplicate-tolerant
+    formulation both engines execute identically
+    (production BFS over an unbounded diameter belongs to the
+    iterative operators: operators/clustering.py cuts lineage per
+    round, which a single recursive plan cannot)."""
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    return spark.sql(_BFS_SQL.format(edges="{edges}"), edges=pairs)
+
+
 @register(
     "g2_pagerank",
     oracle=pagerank_oracle_sql(_FULFILL_EDGES_SQL, iterations=8, damping=0.85),

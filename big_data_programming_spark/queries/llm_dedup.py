@@ -18,6 +18,8 @@ from big_data_programming_spark.operators.dedup import (
     SIMHASH_ORACLE_SQL,
     exact_dedup_keys,
     jaccard_pairs,
+    minhash_banded_oracle_sql,
+    minhash_banded_pairs,
     minhash_dedup_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
@@ -285,6 +287,26 @@ def l2d2_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keep_doc_id"),
+    )
+
+
+@register(
+    "l2i_minhash_banded",
+    oracle=minhash_banded_oracle_sql(threshold=0.5, num_hashes=24, rows_per_band=2),
+    tags=("L2", "L7", "F7", "F4", "J1"),
+)
+def l2i_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled MinHash-LSH near-dedup, pure SQL expressions end to
+    end (operators/dedup.py:minhash_banded_pairs): in-row universal-hash
+    signatures (no explode), (band, key) equi-join candidates, exact
+    Jaccard verify on candidates only. Unlike l2c (spark.ml, whose
+    signatures are JVM-internal), every number here is md5-derived from
+    shared literals, so the DuckDB oracle replays the ENTIRE pipeline —
+    signatures, banding, misses and all — value-for-value. Banding
+    recall math and the 100 TB cost shape are in the operator
+    docstring."""
+    return minhash_banded_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, num_hashes=24, rows_per_band=2
     )
 
 

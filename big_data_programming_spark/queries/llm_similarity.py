@@ -370,3 +370,73 @@ def l3h_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("proj_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "l3i_scalar_quantization",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings
+), s AS (
+  SELECT vec_id, xs,
+         127.0 / list_max(list_transform(xs, v -> ABS(v))) AS scale
+  FROM x
+), q AS (
+  SELECT vec_id, xs, scale,
+         list_transform(xs, v -> GREATEST(-127.0, LEAST(127.0, FLOOR(v * scale + 0.5)))) AS qv
+  FROM s
+), d AS (
+  SELECT vec_id, xs, scale, qv,
+         list_transform(qv, v -> v / scale) AS deq
+  FROM q
+)
+SELECT vec_id,
+       CAST(len(list_filter(qv, v -> ABS(v) = 127.0)) AS INT) AS n_saturated,
+       list_max(list_transform(generate_series(1, 64), i -> ABS(xs[i] - deq[i]))) AS max_abs_err,
+       {_COS.format(a='xs', b='deq')} AS cosine_orig_deq
+FROM d
+""",
+    tags=("L3", "F4", "L7"),
+)
+def l3i_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage/bandwidth lever every billion-vector ANN index pulls
+    first (4× smaller vectors, SIMD int8 dot products): per vector,
+    scale = 127/max|x|, q_i = floor(x_i·scale + 0.5) clamped to
+    [-127, 127], plus the audit columns a quantization pass must
+    report — saturation count, max reconstruction error (≤ 1/(2·scale)
+    by construction), and the original↔dequantized cosine (>0.999
+    here, the 'recall will survive' certificate). Everything is in-row
+    array HOFs — a shuffle-free pure map over vector partitions at any
+    scale. floor(x+0.5) is used instead of round() in BOTH engines:
+    banker's-vs-half-up tie policies differ across engines, floor
+    arithmetic is IEEE-identical — which is what lets a quantization
+    (normally 'approximate') carry a full value-hash oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    xs = emb.select("vec_id", as_double_array(F.col("embedding")).alias("xs"))
+    s = xs.withColumn(
+        "scale", F.lit(127.0) / F.array_max(F.transform("xs", lambda v: F.abs(v)))
+    )
+    scale = F.col("scale")
+    q = s.withColumn(
+        "qv",
+        F.transform(
+            "xs",
+            lambda v: F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.floor(v * scale + 0.5))
+            ),
+        ),
+    )
+    d = q.withColumn("deq", F.transform("qv", lambda v: v / scale))
+    return d.select(
+        "vec_id",
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127.0))
+        .cast("int")
+        .alias("n_saturated"),
+        F.array_max(
+            F.zip_with("xs", "deq", lambda a, b: F.abs(a - b))
+        ).alias("max_abs_err"),
+        cosine_similarity_col(F.col("xs"), F.col("deq")).alias("cosine_orig_deq"),
+    )

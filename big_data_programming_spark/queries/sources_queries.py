@@ -768,3 +768,38 @@ def s19_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("sep", "\t")
         .csv(out + "/part_*.tsv")
     )
+
+
+@register(
+    "s20_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_totalprice >= 150000.0
+GROUP BY o_orderpriority
+""",
+    tags=("S5", "A1", "P2"),
+)
+def s20_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4): the table name binds through the
+    `IDENTIFIER(:tbl)` clause and the filter cutoff through a named
+    `:cutoff` parameter — both resolved by the PARSER, not string
+    interpolation, so user-supplied values can never splice SQL
+    (injection-safe templating, the multi-tenant/report-template
+    staple). Parameter markers bind literals into the plan before
+    Catalyst runs: the cutoff is a real pushable predicate, identical
+    to the hand-written query — zero plan cost for the indirection."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice >= :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "cutoff": 150000.0},
+    )

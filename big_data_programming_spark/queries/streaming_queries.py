@@ -845,3 +845,96 @@ def st18_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@register(
+    "st19_state_store_reader",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    tags=("ST6", "S8", "S9"),
+)
+def st19_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store DATA SOURCE read (Spark 4 `statestore` format): run
+    a per-user streaming count to completion, then open the query's
+    checkpoint as a DataFrame and read the live aggregation state
+    directly — key struct, value struct, one row per state entry.
+
+    This is the streaming-ops escape hatch at 100 TB: state is the
+    part of a streaming job you can't otherwise SELECT (it lives
+    sharded inside RocksDB/HDFS checkpoint files), and the state
+    reader turns debugging ('which keys are stuck', 'how big is the
+    skew') into a parquet-shaped scan with partition pruning per state
+    shard — no query restart, no instrumentation redeploy. The oracle
+    is the batch twin of the aggregation: for a drained bounded
+    stream, state == final answer, which also certifies no state row
+    was lost or double-applied across micro-batches. partition_id is
+    deliberately dropped: shard placement is engine topology, not
+    semantics."""
+    import tempfile
+
+    from big_data_programming_spark.streaming.harness import _ckpt_base, _sink_ids
+
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_state_", dir=_ckpt_base())
+    name = f"bdps_stream_sink_{next(_sink_ids)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "st20_update_mode",
+    oracle=f"""
+SELECT make_timestamp((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 * 3600) * 1000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("ST2", "ST8", "S8", "S9"),
+)
+def st20_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third output mode, completing the matrix (st1 append, st2
+    complete): *update* emits only the groups CHANGED in each
+    micro-batch — the sink contract for key-value stores where
+    downstream wants upserts, not the whole table and not
+    once-per-window finality. With the bounded fixture draining in one
+    availableNow batch every group changes exactly once, so the union
+    of update emissions equals the batch aggregate — the oracle — and
+    the memory sink holds no duplicate keys; a multi-batch replay
+    would re-emit updated keys, which is exactly the at-least-once
+    per-key contract update mode promises. State eviction still comes
+    from the watermark (2h here), so long-horizon state is bounded at
+    scale just like append mode."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return drain(agg, "update")

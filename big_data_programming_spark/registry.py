@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "sources_queries",
     "projection",
     "joins",
+    "relational_extras",
 )
 
 
