@@ -326,3 +326,83 @@ def l2h_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         load(spark, sf_dir, "documents"), threshold=0.6, n=5
     )
+
+
+@register(
+    "l2j_url_canonical_dedup",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://www.' || source || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+           WHEN 1 THEN 'http://' || source || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'
+           WHEN 2 THEN 'https://' || source || '.example.com:443/page/' || CAST(doc_id % 100 AS VARCHAR)
+           ELSE 'https://' || source || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
+         END AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(LOWER(url), '^https?://', ''),
+                   '^www\\.', ''),
+                 '#.*$', ''),
+               '[?&]utm_[^&]*', '', 'g'),
+             '^([^/]+):(443|80)/', '\\1/'),
+           '[/?]+$', '') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       COUNT(*) AS n_dupes,
+       MIN(doc_id) AS survivor_doc_id
+FROM canon
+GROUP BY 1
+""",
+    tags=("L2", "F9", "F1", "U5"),
+)
+def l2j_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup stage of every web
+    crawl, upstream of any content hashing: scheme, www prefix,
+    default port, #fragment, utm_* tracking params, and trailing
+    slashes are surface noise, so the same page fetched four ways must
+    collapse to ONE canonical key. Four deterministic surface variants
+    are synthesized per doc (the corpus has no real URLs — f9's
+    convention); the canonicalizer is a chain of six regexp_replace
+    maps (pure in-scan compute, POSIX-simple patterns per the f1
+    dialect rule), then one hash-partitioned groupBy on the canonical
+    key with min(doc_id) as the deterministic survivor — the same
+    single-shuffle shape as l1 exact dedup, because after
+    canonicalization URL dedup IS exact dedup. At 100 TB the canonical
+    key (~60 bytes) is what shuffles, never the page payload."""
+    d = load(spark, sf_dir, "documents")
+    variant = F.col("doc_id") % 4
+    page = (F.col("doc_id") % 100).cast("string")
+    base = F.concat(F.col("source"), F.lit(".example.com/page/"), page)
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://www."), base, F.lit("/")))
+        .when(variant == 1, F.concat(F.lit("http://"), base, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(variant == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com:443/page/"), page))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("#section-2")))
+    )
+    canon = F.col("u")
+    for pat, repl in (
+        (r"^https?://", ""),
+        (r"^www\.", ""),
+        (r"#.*$", ""),
+        (r"[?&]utm_[^&]*", ""),
+        (r"^([^/]+):(443|80)/", "$1/"),
+        (r"[/?]+$", ""),
+    ):
+        canon = F.regexp_replace(canon, pat, repl)
+    return (
+        d.select("doc_id", F.lower(url).alias("u"))
+        .select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )

@@ -938,3 +938,255 @@ def st20_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain(agg, "update")
+
+
+@register(
+    "st21_dynamic_gap_session",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, ts, event_id, value,
+         EPOCH_US(ts) AS s_us,
+         EPOCH_US(ts) + CASE WHEN event_type = 'view' THEN 600 ELSE 1800 END * 1000000 AS e_us
+  FROM events
+), flag AS (
+  SELECT *, CASE WHEN MAX(e_us) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR s_us >= MAX(e_us) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS is_new
+  FROM iv
+), ids AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY s_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flag
+), sess AS (
+  SELECT user_id,
+         make_timestamp(MIN(s_us)) AS session_start,
+         make_timestamp(MAX(e_us)) AS session_end,
+         COUNT(*) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS session_value
+  FROM ids GROUP BY user_id, sid
+), wm AS (SELECT {_WM_US.format(delay_ms=0)} AS wm_us FROM events)
+SELECT user_id, session_start, session_end, n_events, session_value
+FROM sess, wm
+WHERE EPOCH_US(session_end) <= wm_us
+""",
+    tags=("ST4", "S8"),
+)
+def st21_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap: short-attention
+    'view' events extend a session by 10 minutes, everything else by
+    30 — the per-event-type engagement horizon a static st4 gap can't
+    model. Each event contributes the interval [ts, ts+gap(event));
+    overlapping intervals merge, so session_end = max(ts_i + gap_i)
+    over the merged chain. The oracle replays exactly that as an
+    interval-union sweep: a new session starts iff the event's start
+    is >= the running max end of all prior intervals (strict-merge
+    rule matching st4's boundary semantics). State per open session is
+    still one row; the watermark (0s) still evicts — the gap column
+    changes merge arithmetic, not the state bound."""
+    s = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "view", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        s.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return drain(agg, "append")
+
+
+@register(
+    "st22_chained_stateful",
+    oracle=f"""
+WITH q AS (
+  SELECT make_timestamp((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900 * 900) * 1000000) AS q_start,
+         event_type, COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+), h AS (
+  SELECT make_timestamp((CAST(FLOOR(EPOCH(q_start)) AS BIGINT) // 3600 * 3600) * 1000000) AS hour_start,
+         make_timestamp((CAST(FLOOR(EPOCH(q_start)) AS BIGINT) // 3600 * 3600 + 3600) * 1000000) AS hour_end,
+         event_type,
+         SUM(n) AS n_events,
+         COUNT(*) AS n_active_quarters
+  FROM q GROUP BY 1, 2, 3
+), wm AS (SELECT {_WM_US.format(delay_ms=0)} AS wm_us FROM events)
+SELECT hour_start, event_type, n_events, n_active_quarters
+FROM h, wm
+WHERE EPOCH_US(hour_end) <= wm_us
+""",
+    tags=("ST2", "ST8", "S8"),
+)
+def st22_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in one streaming query (Spark
+    3.4+): a 15-minute tumbling count per event_type feeding an hourly
+    rollup keyed on `window_time()` of the inner window — the
+    multi-grain dashboard pipeline (fine grain for alerting, coarse
+    for trends) in a single pass with a single watermark. The inner
+    aggregate's event-time column propagates through window_time(), so
+    the outer aggregate finalizes an hour exactly when the watermark
+    passes hour_end; n_active_quarters counts the finalized 15-minute
+    buckets that had traffic. State: one row per open quarter + one
+    per open hour per key — both watermark-bounded."""
+    s = events_stream(spark, sf_dir)
+    quarter = (
+        s.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "15 minutes").alias("q"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = (
+        quarter.groupBy(
+            F.window(F.window_time("q"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_active_quarters"),
+        )
+        .select(
+            F.col("h.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_active_quarters",
+        )
+    )
+    return drain(hourly, "append")
+
+
+@register(
+    "st23_foreach_row_sink",
+    oracle="""
+SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+FROM events
+WHERE value >= 95.0
+""",
+    tags=("ST9", "S9"),
+)
+def st23_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level `foreach` sink (the per-ROW sibling of st9's
+    foreachBatch): a ForeachWriter with the open/process/close task
+    lifecycle — one writer instance per partition per epoch, `open`
+    returning True to accept the partition, `process` invoked per row,
+    `close` sealing the file. This is the contract for row-oriented
+    sinks (message queues, KV puts) where no batch DataFrame API
+    exists. Each partition-epoch writes its own staging file, so
+    parallel tasks never contend; the read-back proves no row was
+    lost or duplicated across the partition fan-out. At-least-once on
+    retry, exactly-once here because the bounded drain runs each task
+    once (st14 covers restart semantics; s19 covers a committing
+    sink)."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bdps_st23_out_")
+
+    class CentsWriter:
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            self._path = f"{out_dir}/p{partition_id}_e{epoch_id}.csv"
+            self._fh = open(self._path, "w")
+            return True
+
+        def process(self, row) -> None:
+            cents = int(row.value * 100 + 0.5)
+            self._fh.write(f"{row.event_id},{cents}\n")
+
+        def close(self, error) -> None:
+            self._fh.close()
+
+    s = events_stream(spark, sf_dir)
+    hot = s.filter(F.col("value") >= 95.0).select("event_id", "value")
+    import tempfile as _tf
+
+    ckpt = _tf.mkdtemp(prefix="bdps_ckpt_")
+    q = (
+        hot.writeStream.foreach(CentsWriter())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("event_id long, cents long").csv(out_dir)
+
+
+@register(
+    "st24_outer_stream_stream_join",
+    oracle="""
+WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+     p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+     wm AS (SELECT LEAST((EPOCH_MS((SELECT MAX(ts) FROM v)) - 3600000) * 1000,
+                         (EPOCH_MS((SELECT MAX(ts) FROM p)) - 3600000) * 1000) AS us)
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM v JOIN p
+  ON p.user_id = v.user_id AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT v.user_id, v.event_id, NULL, v.ts, NULL
+FROM v, wm
+WHERE NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.user_id = v.user_id
+                    AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+  AND EPOCH_US(v.ts) + 1800000000 <= wm.us
+""",
+    tags=("ST10", "J2", "S8"),
+)
+def st24_outer_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — st10's conversion join, but
+    views with no purchase emit a null-padded row, the shape funnel
+    analysis actually needs (matched AND abandoned). The outer side
+    makes the watermark load-bearing for *results*, not just state
+    size: an unmatched view can only be declared unmatched once the
+    watermark proves no qualifying purchase can still arrive, i.e.
+    when view_ts + 30min falls behind the global watermark
+    (min across both inputs of max-event-time − 1h delay, ms-floored).
+    Views too close to end-of-stream stay buffered and are NOT
+    emitted — the oracle reproduces exactly that cutoff in its
+    NOT-EXISTS branch. Matched rows emit eagerly as in st10. This
+    deferred-negative-evidence pattern is what any unbounded
+    reconciliation (payment matching, ad attribution) runs on."""
+    s = events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    return drain(joined, "append")

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "projection",
     "joins",
     "relational_extras",
+    "modern_sql",
 )
 
 

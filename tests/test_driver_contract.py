@@ -36,6 +36,8 @@ SAMPLE_QUERIES = [
     "p4_cast",
     "j6_range_join",
     "j7_asof_join",
+    "s21_pipe_syntax",
+    "ud14_apply_in_arrow",
 ]
 
 _CHILD = r"""

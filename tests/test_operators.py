@@ -429,3 +429,30 @@ def test_containment_catches_substring_jaccard_misses(spark):
     assert (1, 2) in cont and cont[(1, 2)] > 0.95, cont
     assert (1, 2) not in jac, jac  # Jaccard at the same threshold misses it
     assert (1, 3) not in cont and (2, 3) not in cont, cont
+
+
+def test_batch_observation_metrics(spark):
+    """df.observe(): in-plan metric collection — row counts and sums
+    computed DURING the job (no second scan, no separate count job),
+    the batch sibling of the streaming listener test (X71). The
+    observed values must equal a direct aggregate of the same data."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from big_data_programming_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") < 10)
+    obs = Observation("gate_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("qty_sum"),
+    )
+    kept = observed.count()  # one action drives both result and metrics
+    m = obs.get
+    assert m["n_rows"] == kept
+    expected = li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("s")
+    ).collect()[0]["s"]
+    assert m["qty_sum"] == expected

@@ -198,6 +198,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l3f_ivf_probe_topk",
         "l3g_batch_knn_join",  # 5-row broadcast query set, non-equi self-exclusion
         "e8_gap_fill",  # hours-grid × 5-type dimension densification, both tiny
+        "e11_interpolation",  # same hours×types densification grid as e8
         "l4k_bm25_search",  # 1-row corpus-statistics broadcast
         "dq1_constraint_checks",  # 1-row × 1-row scalar-count attach (FK rule)
         "l3h_random_projection_topk",  # 1-row projection matrix + 1-row query vector broadcasts
@@ -454,3 +455,52 @@ def test_aqe_coalesces_small_shuffle_partitions():
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
     assert "AQEShuffleRead coalesced" in plan, plan[:1500]
+
+
+def test_sql_udf_inlines_no_python_boundary():
+    """ud12/ud13: SQL-defined functions must inline into the Catalyst
+    plan — no BatchEvalPython / ArrowEvalPython stage (the whole point
+    vs a Python UDF), and the scalar UDF's aggregate keeps its
+    map-side partial phase."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["ud12_sql_scalar_udf"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    tdf = queries()["ud13_sql_table_udf"](spark, SF_DIR)
+    tplan = formatted(tdf)
+    assert "EvalPython" not in tplan, tplan
+    assert "Generate" in tplan, tplan  # decorrelated to a Generate, not a per-row loop
+
+
+def test_pipe_syntax_plans_like_classic_sql():
+    """s21: pipe-syntax stages must produce the same physical shape as
+    the classic query — pushed filter on the scan, partial/final hash
+    aggregate — proving the surface is parse-level only."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["s21_pipe_syntax"](spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    fplan = formatted(df)
+    assert "PushedFilters" in fplan and "l_shipdate" in fplan, fplan
+
+
+def test_dataset_split_is_single_scan_aggregate():
+    """l4p: split assignment must be computed in-scan (pure map) with
+    one partial/final aggregate — no join, no second scan, no
+    pre-aggregation shuffle of raw documents."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = queries()["l4p_dataset_split"](spark, SF_DIR)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert "Join" not in final, final
+    assert final.count("FileScan parquet") == 1, final
+    assert "partial_count" in final, final
