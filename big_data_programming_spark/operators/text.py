@@ -88,3 +88,30 @@ def shingle_fingerprint(text: Column, k: int = 8) -> Column:
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")),
     )
     return F.array_min(shingles)
+
+
+#: URL canonicalization rules, applied in order (l2j, X93). Each is a
+#: POSIX-simple (pattern, replacement) pair valid in both Java regex
+#: and RE2/DuckDB, so the oracle replays the identical chain. Order
+#: matters: scheme before port (the port rule anchors on ^host),
+#: fragment before params (a fragment could hide a ?), params before
+#: the trailing-separator sweep (dropping utm_* can leave a bare ?).
+URL_CANON_RULES: tuple[tuple[str, str], ...] = (
+    (r"^https?://", ""),
+    (r"^www\.", ""),
+    (r"#.*$", ""),
+    (r"[?&]utm_[^&]*", ""),
+    (r"^([^/:]+):(443|80)($|/)", "$1$3"),
+    (r"[/?]+$", ""),
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Web-crawl URL canonical key: lowercase, strip scheme / www. /
+    default port / #fragment / utm_* tracking params / trailing
+    separators. Idempotent (property-tested), pure map — runs in-scan
+    with whole-stage codegen at any scale."""
+    out = F.lower(url)
+    for pat, repl in URL_CANON_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -351,7 +351,7 @@ WITH raw AS (
                    '^www\\.', ''),
                  '#.*$', ''),
                '[?&]utm_[^&]*', '', 'g'),
-             '^([^/]+):(443|80)/', '\\1/'),
+             '^([^/:]+):(443|80)($|/)', '\\1\\3'),
            '[/?]+$', '') AS canonical_url
   FROM raw
 )
@@ -387,19 +387,10 @@ def l2j_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(variant == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com:443/page/"), page))
         .otherwise(F.concat(F.lit("https://"), base, F.lit("#section-2")))
     )
-    canon = F.col("u")
-    for pat, repl in (
-        (r"^https?://", ""),
-        (r"^www\.", ""),
-        (r"#.*$", ""),
-        (r"[?&]utm_[^&]*", ""),
-        (r"^([^/]+):(443|80)/", "$1/"),
-        (r"[/?]+$", ""),
-    ):
-        canon = F.regexp_replace(canon, pat, repl)
+    from big_data_programming_spark.operators.text import canonicalize_url
+
     return (
-        d.select("doc_id", F.lower(url).alias("u"))
-        .select("doc_id", canon.alias("canonical_url"))
+        d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_dupes"),

@@ -336,3 +336,293 @@ def l4p_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+@register(
+    "s23_session_variables",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+WHERE l_quantity >= 30.0 AND l_discount >= 0.05
+GROUP BY 1
+""",
+    tags=("S5", "P2", "A1"),
+)
+def s23_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4.0 `DECLARE VARIABLE` / `SET
+    VAR`): typed, session-scoped parameters referenced directly in
+    queries — the ANSI-standard alternative to string templating for
+    dashboard/report parameterization (s20's parameter markers are
+    per-statement; variables persist across statements). Variables
+    resolve to foldable literals at analysis time, so `l_quantity >=
+    qty_floor` is STILL a pushable parquet predicate — parameterization
+    without losing pruning is the scale property."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE disc_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR qty_floor = 30.0")
+    spark.sql("SET VAR disc_floor = 0.05")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_quantity >= qty_floor AND l_discount >= disc_floor
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "s24_execute_immediate",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 200000.0
+GROUP BY 1
+""",
+    tags=("S5", "P2", "A1"),
+)
+def s24_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`EXECUTE IMMEDIATE` (Spark 4.0): dynamic SQL with `?`
+    placeholder binding via USING — the injection-safe way to run a
+    query assembled at runtime (rule engines, saved-report runners).
+    Values bind as typed parameters in the parser, never concatenated
+    into the string, so a hostile value cannot change the statement
+    shape and the bound predicate still folds + pushes down. The
+    statement text itself is a constant here; only data binds late."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n_orders
+           FROM orders WHERE o_totalprice > ? GROUP BY 1'
+          USING 200000.0
+        """
+    )
+
+
+@register(
+    "s25_sql_scripting",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(*) AS n_rows,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+FROM lineitem
+WHERE l_quantity >= 30.0
+GROUP BY 1
+""",
+    tags=("S5", "P2", "A1"),
+)
+def s25_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0, SQL/PSM): BEGIN/END blocks with
+    DECLARE, WHILE and IF running entirely in the session — procedural
+    orchestration without a Python driver loop. The script derives its
+    filter threshold through control flow (a loop accumulating to 30),
+    then runs the real query; the RESULT is still one declarative
+    SELECT, so everything Catalyst owns (pushdown, partial aggs) is
+    untouched — scripting sequences queries, it never row-loops data.
+    The oracle pins the final threshold arithmetic."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold DOUBLE DEFAULT 0.0;
+          DECLARE i INT DEFAULT 1;
+          WHILE i <= 4 DO
+            SET threshold = threshold + 5.0 + i;
+            SET i = i + 1;
+          END WHILE;
+          IF threshold > 100.0 THEN
+            SET threshold = 100.0;
+          END IF;
+          SELECT l_linestatus,
+                 COUNT(*) AS n_rows,
+                 SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+          FROM lineitem
+          WHERE l_quantity >= threshold
+          GROUP BY 1;
+        END
+        """
+    )
+
+
+@register(
+    "ud15_cogroup_arrow",
+    oracle="""
+WITH o AS (
+  SELECT o_orderstatus AS status, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT l_linestatus AS status, COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(o.status, l.status) AS status,
+       COALESCE(o.n, 0) AS n_orders,
+       COALESCE(l.n, 0) AS n_lineitems
+FROM o FULL OUTER JOIN l ON l.status = o.status
+""",
+    tags=("UD8", "UD9", "J2"),
+)
+def ud15_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native COGROUPED map (Spark 4
+    `cogroup(...).applyInArrow`): both sides of a key arrive as
+    pyarrow.Tables in one Python call — two-sided reconciliation
+    (ud8's shape) without the pandas layer (ud14's win), completing
+    the Arrow-UDF matrix. Either side may be EMPTY for a key that
+    exists only in the other — the full-outer contract the batch twin
+    spells as FULL OUTER JOIN. Keyed on the 3-value status domain, so
+    groups are bounded; per-key volume streams through Arrow buffers
+    without object boxing."""
+    import pyarrow as pa
+
+    def reconcile(key: tuple, orders_t: pa.Table, items_t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": pa.array([key[0]], pa.string()),
+                "n_orders": pa.array([orders_t.num_rows], pa.int64()),
+                "n_lineitems": pa.array([items_t.num_rows], pa.int64()),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status"))
+    l = load(spark, sf_dir, "lineitem").select(F.col("l_linestatus").alias("status"))
+    return (
+        o.groupBy("status")
+        .cogroup(l.groupBy("status"))
+        .applyInArrow(reconcile, "status string, n_orders long, n_lineitems long")
+    )
+
+
+@register(
+    "s26_zstd_compression",
+    oracle="""
+SELECT 'ZSTD' AS codec,
+       COUNT(*) AS n_rows,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+""",
+    tags=("S6", "S1", "O6"),
+)
+def s26_zstd_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec control on the parquet sink: the fixture
+    slice is rewritten with zstd (the modern archive-tier default —
+    snappy-class decode speed at gzip-class ratios; at 100 TB the
+    codec choice IS multiple PB of storage and scan I/O) and read
+    back. The emitted `codec` column is read from the REAL parquet
+    footer via pyarrow, then compared against the oracle's pinned
+    'ZSTD' literal — so a silently ignored writer option fails the
+    hash match, and the row count + cents checksum prove the rewrite
+    was lossless. Codec metadata is per-column-chunk, so mixed-codec
+    tables stay readable — rewriting history is optional, not forced."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    out = tempfile.mkdtemp(prefix="bdps_s26_")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    li.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    part = next(f for f in sorted(os.listdir(out)) if f.endswith(".parquet"))
+    codec = pq.ParquetFile(os.path.join(out, part)).metadata.row_group(0).column(0).compression
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.lit(codec).alias("codec"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias("price_cents"),
+    )
+
+
+@register(
+    "a27_crosstab",
+    oracle="""
+SELECT event_type AS event_type_dow,
+       COUNT(*) FILTER (WHERE isodow(ts) = 1) AS "1",
+       COUNT(*) FILTER (WHERE isodow(ts) = 2) AS "2",
+       COUNT(*) FILTER (WHERE isodow(ts) = 3) AS "3",
+       COUNT(*) FILTER (WHERE isodow(ts) = 4) AS "4",
+       COUNT(*) FILTER (WHERE isodow(ts) = 5) AS "5",
+       COUNT(*) FILTER (WHERE isodow(ts) = 6) AS "6",
+       COUNT(*) FILTER (WHERE isodow(ts) = 7) AS "7"
+FROM events
+GROUP BY 1
+""",
+    tags=("A10", "A1", "F2"),
+)
+def a27_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.stat.crosstab` — the contingency-table shorthand (pairwise
+    frequency of two categorical columns), headers derived from the
+    data like pivot (a10) but with zero-filled cells and a combined
+    `col1_col2` corner name by convention. Day-of-week is emitted as
+    ISO 1-7 (Monday=1; Spark's `weekday`+1 == DuckDB's `isodow`) so
+    both engines agree on header names. Same execution shape as a
+    pivoted count: one hash aggregate over (type, dow) then a local
+    transpose of the 7×5 cell grid — crosstab is for bounded×bounded
+    domains only; at 100 TB the input scan dominates and the cell
+    grid stays KB-sized."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).cast("string").alias("dow")
+    )
+    return e.stat.crosstab("event_type", "dow")
+
+
+@register(
+    "f15_embedded_formats",
+    oracle="""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       event_id AS parsed_id,
+       event_type AS parsed_type,
+       cents AS parsed_cents,
+       ['cents=' || CAST(cents AS VARCHAR), 'type=' || event_type] AS meta_entries,
+       event_type AS map_type,
+       TRUE AS roundtrip_ok
+FROM base
+""",
+    tags=("F6", "F5", "S2"),
+)
+def f15_embedded_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-format scalar parsing — the functions for when a
+    COLUMN contains a serialized record (log lines, K=V tags) rather
+    than the file being CSV: `from_csv` parses a delimited string into
+    a typed struct with a declared schema, `to_csv` round-trips it
+    (pinned TRUE by the oracle), and `str_to_map` lifts k:v,k:v tags
+    into a MapType (emitted as key-sorted entries, the deterministic
+    cross-engine form) — f6's JSON family completed for the two other
+    wire-text shapes. All row-local codegen'd maps, no shuffle; the
+    cents column keeps the arithmetic integer-exact cross-engine."""
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    line = F.concat_ws(",", F.col("event_id"), F.col("event_type"), cents)
+    parsed = F.from_csv(line, F.lit("a BIGINT, b STRING, c BIGINT"))
+    kv = F.concat(
+        F.lit("type:"), F.col("event_type"), F.lit(",cents:"), cents.cast("string")
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    back = F.to_csv(F.struct(
+        parsed["a"].alias("a"), parsed["b"].alias("b"), parsed["c"].alias("c")
+    ))
+    return e.select(
+        "event_id",
+        parsed["a"].alias("parsed_id"),
+        parsed["b"].alias("parsed_type"),
+        parsed["c"].alias("parsed_cents"),
+        F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ).alias("meta_entries"),
+        F.element_at(m, "type").alias("map_type"),
+        (back == line).alias("roundtrip_ok"),
+    )

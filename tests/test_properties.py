@@ -171,3 +171,52 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         .collect()
     }
     assert got == want
+
+
+# ---------- URL canonicalization (l2j / X93) ----------
+
+_HOSTWORD = st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True)
+_PATHSEG = st.from_regex(r"[a-z0-9]{1,6}", fullmatch=True)
+
+
+@given(
+    host=_HOSTWORD,
+    segs=st.lists(_PATHSEG, min_size=0, max_size=3),
+    scheme=st.sampled_from(["http://", "https://"]),
+    www=st.booleans(),
+    port=st.sampled_from(["", ":443", ":80"]),
+    utm=st.booleans(),
+    frag=st.booleans(),
+    slash=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_url_canonicalization_idempotent_and_variant_invariant(
+    spark, host, segs, scheme, www, port, utm, frag, slash
+):
+    """Every surface decoration of the same logical URL must collapse
+    to one canonical key; applying the canonicalizer twice must be a
+    no-op (idempotence — the property that makes re-canonicalizing an
+    already-clean corpus safe)."""
+    from big_data_programming_spark.operators.text import canonicalize_url
+
+    path = "/" + "/".join(segs) if segs else ""
+    base = f"{host}.example.com{path}"
+    decorated = (
+        scheme
+        + ("www." if www else "")
+        + host
+        + ".example.com"
+        + port
+        + path
+        + ("?utm_source=x&utm_medium=y" if utm else "")
+        + ("#frag" if frag else "")
+        + ("/" if slash and path else "")
+    )
+    df = spark.createDataFrame([(base,), (decorated,)], ["u"])
+    rows = df.select(
+        canonicalize_url(F.col("u")).alias("c1"),
+    ).withColumn("c2", canonicalize_url(F.col("c1"))).collect()
+    canon_base, canon_dec = rows[0]["c1"], rows[1]["c1"]
+    assert canon_base == canon_dec, (base, decorated, canon_base, canon_dec)
+    for r in rows:
+        assert r["c2"] == r["c1"], ("not idempotent", r["c1"], r["c2"])
