@@ -397,3 +397,55 @@ def l2j_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("survivor_doc_id"),
         )
     )
+
+
+@register(
+    "l1c_incremental_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+), history AS (
+  SELECT DISTINCT content_hash FROM hashed WHERE doc_id < 250
+), batch AS (
+  SELECT * FROM hashed WHERE doc_id >= 250
+)
+SELECT content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_in_batch
+FROM batch
+WHERE content_hash NOT IN (SELECT content_hash FROM history)
+GROUP BY 1
+""",
+    tags=("L1", "J4", "U5", "F7"),
+)
+def l1c_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the shape a daily-ingest pipeline
+    actually runs: a new batch is deduplicated (a) against the
+    accumulated history of content hashes from every earlier run and
+    (b) within itself, without ever re-reading historical raw text.
+    Here history = docs with id < 250 (their hash SET is all that
+    persists between runs), batch = the rest. The cross-run check is
+    a left-anti equi-join on the 32-byte hash — at 100 TB the history
+    side is a hash table keyed on 16 bytes, so the anti-join shuffles
+    key-sized records, never documents; the within-batch step is l1's
+    single-shuffle min-survivor group-by. Anything passing both gates
+    appends its hash to history for the next run — state grows by
+    unique content only."""
+    from big_data_programming_spark.operators.dedup import normalize_text
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("content_hash"),
+    )
+    history = d.filter(F.col("doc_id") < 250).select("content_hash").distinct()
+    batch = d.filter(F.col("doc_id") >= 250)
+    return (
+        batch.join(history, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )

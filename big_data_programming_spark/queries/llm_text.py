@@ -461,3 +461,54 @@ def l4o_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "l4q_vocab_encode",
+    oracle="""
+WITH toks AS (
+  SELECT t.token FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+), vocab AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id,
+         COUNT(*) AS token_count
+  FROM toks GROUP BY token
+)
+SELECT d.doc_id, gs.i - 1 AS pos,
+       string_split(d.text, ' ')[gs.i] AS token,
+       v.token_id, v.token_count
+FROM documents d
+CROSS JOIN generate_series(1, 10) AS gs(i)
+JOIN vocab v ON v.token = string_split(d.text, ' ')[gs.i]
+WHERE gs.i <= LEN(string_split(d.text, ' '))
+""",
+    tags=("L4", "A1", "W1", "J8"),
+)
+def l4q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build + id encoding — the actual 'tokenize
+    the corpus' step between curation and training: (1) one
+    explode+count pass gives corpus term frequencies; (2) token ids
+    are assigned by deterministic frequency rank (count DESC, token
+    ASC tiebreak — the canonical most-frequent-gets-smallest-id
+    layout); (3) documents re-encode by joining tokens against the
+    broadcast vocab (first 10 positions emitted — the verification
+    slice). The global rank window runs over the VOCAB (cardinality
+    of distinct tokens, ~KB-MB even for 100 TB corpora), never the
+    corpus; the encode join broadcasts the same small vocab, so the
+    corpus side is one map-side pass. A real tokenizer (BPE) swaps
+    into the same shape with merges instead of whole words."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    w = Window.orderBy(F.col("token_count").desc(), F.col("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .withColumn("token_id", F.row_number().over(w))
+    )
+    first10 = d.select(
+        "doc_id",
+        F.posexplode(F.slice(tokenize(F.col("text")), 1, 10)).alias("pos", "token"),
+    )
+    return first10.join(F.broadcast(vocab), "token").select(
+        "doc_id", "pos", "token", "token_id", "token_count"
+    )

@@ -626,3 +626,43 @@ def f15_embedded_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("map_type"),
         (back == line).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "j14_null_aware_anti_join",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)) AS n_with_null_in_set,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders
+                           WHERE NULLIF(o_custkey, 7) IS NOT NULL)) AS n_null_filtered,
+  (SELECT COUNT(*) FROM customer
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)) AS n_not_exists
+""",
+    tags=("J4", "P3", "S5"),
+)
+def j14_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join — the `NOT IN (subquery)` three-valued-
+    logic trap, executed correctly: when the subquery produces even
+    ONE NULL (synthesized here via NULLIF on custkey 7), `x NOT IN
+    (...)` is never TRUE and the count is 0; filtering the NULL
+    restores the expected complement; `NOT EXISTS` (the j4 left-anti
+    plan) differs from NOT IN exactly when NULLs are present. Spark
+    plans the null-aware case as a single-key NAAJ broadcast (not a
+    row-per-row nested loop) — ANSI semantics without the O(n·m)
+    cost; all three counts are pinned by the oracle so an engine that
+    'optimized' NOT IN into a plain anti join would fail the hash."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)) AS n_with_null_in_set,
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders
+                                   WHERE NULLIF(o_custkey, 7) IS NOT NULL)) AS n_null_filtered,
+          (SELECT COUNT(*) FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)) AS n_not_exists
+        """
+    )

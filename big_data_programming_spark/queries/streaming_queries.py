@@ -1190,3 +1190,57 @@ def st24_outer_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
     return drain(joined, "append")
+
+
+@register(
+    "st25_partitioned_stream_sink",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+       TRUE AS in_partition_dir
+FROM events
+WHERE value >= 80.0
+""",
+    tags=("ST9", "S6", "S9"),
+)
+def st25_partitioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet sink with HIVE PARTITIONING — the lakehouse
+    landing-zone shape: each micro-batch appends files under
+    event_type=<v>/ directories, so every downstream batch reader gets
+    static partition pruning on the stream's output for free (the s6
+    sink contract, driven by a stream). The read-back verifies BOTH
+    payload fidelity (id/cents checksum vs the oracle) and the layout
+    itself: `in_partition_dir` is computed from input_file_name
+    containing the partition segment, pinned TRUE by the oracle — an
+    engine that ignored partitionBy on the streaming path would
+    hash-mismatch. Exactly-once comes from the sink's transaction log
+    (_spark_metadata), the same mechanism st14 exercises across
+    restarts."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bdps_st25_out_")
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_")
+    s = events_stream(spark, sf_dir)
+    hot = s.filter(F.col("value") >= 80.0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    q = (
+        hot.writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema("event_id long, user_id long, cents long, event_type string").parquet(out_dir)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "cents",
+        F.input_file_name().contains("event_type=").alias("in_partition_dir"),
+    )
