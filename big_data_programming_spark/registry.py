@@ -22,12 +22,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Order matters operationally: the driver's correctness pass checks the
 #: FIRST 50 catalog entries only, so modules are rotated each round to
 #: give never-verified operators a driver row. Round 3 window: events(10)
-#: + aggregations(23) + windows(7) + setops(10) = 50 exactly. Already
-#: driver-green in r1/r2 (tpch, sources, projection, joins) sit at the
-#: back. ROUND 4 ROTATION: front-load scalar_functions, llm_text,
-#: llm_curation, llm_dedup, llm_similarity (≈50 never-driver-verified
-#: entries); round 5: llm_multimodal, graph, data_quality, udfs,
-#: streaming, skew + the new sources entries (s10-s19).
+#: + aggregations(24) + windows(7) + setops(first 9 of 10) = 50 (u5 at
+#: position 51 spills to a later window). Already driver-green in r1/r2
+#: (tpch, sources, projection, joins) sit at the back. ROUND 4 ROTATION
+#: (exact counts as of end of round 3): scalar_functions(14) +
+#: llm_text(10) + llm_curation(8) + llm_dedup(14) = 46, then
+#: llm_similarity (first 4 of 9 fit) — front-load those five modules.
+#: ROUND 5: llm_similarity remainder(5) + llm_multimodal(5) + graph(3) +
+#: data_quality(4) + udfs(11) + skew(2) + streaming (first 20 of 22).
+#: ROUND 6: streaming remainder(2) + modern_sql(16) + relational
+#: extras(3) + setops u5 + anything added since.
 _QUERY_MODULES = (
     "events",
     "aggregations",
