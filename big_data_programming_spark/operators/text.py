@@ -96,12 +96,18 @@ def shingle_fingerprint(text: Column, k: int = 8) -> Column:
 #: matters: scheme before port (the port rule anchors on ^host),
 #: fragment before params (a fragment could hide a ?), params before
 #: the trailing-separator sweep (dropping utm_* can leave a bare ?).
+#: The www rule strips REPEATED prefixes ((www.)+ — www.www.host must
+#: equal host or the chain is not idempotent), and the utm strip is
+#: split three ways so a leading ?utm_* followed by a kept param
+#: hands its '?' to the survivor instead of leaving a bare '&'.
 URL_CANON_RULES: tuple[tuple[str, str], ...] = (
     (r"^https?://", ""),
-    (r"^www\.", ""),
+    (r"^(www\.)+", ""),
     (r"#.*$", ""),
-    (r"[?&]utm_[^&]*", ""),
-    (r"^([^/:]+):(443|80)($|/)", "$1$3"),
+    (r"&utm_[^&]*", ""),  # non-leading tracking params (global)
+    (r"\?utm_[^&]*&", "?"),  # leading tracking param with a kept successor
+    (r"\?utm_[^&]*$", ""),  # tracking-only query string
+    (r"^([^/:]+):(443|80)([/?]|$)", "$1$3"),
     (r"[/?]+$", ""),
 )
 

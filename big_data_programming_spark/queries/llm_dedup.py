@@ -347,11 +347,15 @@ WITH raw AS (
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(LOWER(url), '^https?://', ''),
-                   '^www\\.', ''),
-                 '#.*$', ''),
-               '[?&]utm_[^&]*', '', 'g'),
-             '^([^/:]+):(443|80)($|/)', '\\1\\3'),
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(LOWER(url), '^https?://', ''),
+                       '^(www\\.)+', ''),
+                     '#.*$', ''),
+                   '&utm_[^&]*', '', 'g'),
+                 '\\?utm_[^&]*&', '?'),
+               '\\?utm_[^&]*$', ''),
+             '^([^/:]+):(443|80)([/?]|$)', '\\1\\3'),
            '[/?]+$', '') AS canonical_url
   FROM raw
 )
@@ -433,8 +437,6 @@ def l1c_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shuffle min-survivor group-by. Anything passing both gates
     appends its hash to history for the next run — state grows by
     unique content only."""
-    from big_data_programming_spark.operators.dedup import normalize_text
-
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(normalize_text(F.col("text")).cast("binary")).alias("content_hash"),

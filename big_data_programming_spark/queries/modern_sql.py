@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_programming_spark.functions.canonical import DEC, oracle_dsum
+from big_data_programming_spark.functions.canonical import oracle_dsum
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load, register_views
 
@@ -57,11 +57,11 @@ def s21_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s22_sql_sugar",
-    oracle="""
+    oracle=f"""
 WITH g AS (
   SELECT o_orderpriority, o_orderstatus,
          COUNT(*) AS n_orders,
-         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_price
+         {oracle_dsum('o_totalprice', 'total_price')}
   FROM orders
   GROUP BY 1, 2
 )
@@ -565,11 +565,18 @@ def a27_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted count: one hash aggregate over (type, dow) then a local
     transpose of the 7×5 cell grid — crosstab is for bounded×bounded
     domains only; at 100 TB the input scan dominates and the cell
-    grid stays KB-sized."""
+    grid stays KB-sized. Crosstab derives its columns from OBSERVED
+    values; the oracle's header set is the full 1-7 domain, so absent
+    weekdays (possible on a narrow fixture) are padded with zero
+    columns to keep the schema domain-stable."""
     e = load(spark, sf_dir, "events").select(
         "event_type", (F.weekday("ts") + 1).cast("string").alias("dow")
     )
-    return e.stat.crosstab("event_type", "dow")
+    ct = e.stat.crosstab("event_type", "dow")
+    for day in "1234567":
+        if day not in ct.columns:
+            ct = ct.withColumn(day, F.lit(0).cast("long"))
+    return ct.select("event_type_dow", *list("1234567"))
 
 
 @register(
@@ -664,5 +671,74 @@ def j14_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    WHERE NULLIF(o_custkey, 7) IS NOT NULL)) AS n_null_filtered,
           (SELECT COUNT(*) FROM customer
            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)) AS n_not_exists
+        """
+    )
+
+
+@register(
+    "ud16_udtf_table_argument",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rt
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, rn - rt AS grp, COUNT(*) AS streak
+  FROM o GROUP BY 1, 2, 3
+), counts AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+)
+SELECT r.user_id, c.n_events, MAX(r.streak) AS max_streak
+FROM runs r JOIN counts c USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("UD7", "UD4", "W1"),
+)
+def ud16_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4): `my_udtf(TABLE(t)
+    PARTITION BY user_id ORDER BY ts)` streams each user's events, in
+    event-time order, through ONE stateful UDTF instance — arbitrary
+    sequential per-group logic (here: longest consecutive same-type
+    streak) invocable from SQL, the declarative face of ud4's grouped
+    map. The engine owns the shuffle and the ordering; the Python
+    class owns only per-partition state, so the operator scales
+    exactly like any keyed aggregation (one group's rows stream
+    through, never materialized as a whole). The class is defined
+    in-function so cloudpickle ships it by value — no worker-side
+    import of this repo (the round-3 data-source lesson). Oracle:
+    the gaps-and-islands window formulation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_streak bigint")
+    class StreakStats:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.prev_type = None
+            self.cur = 0
+            self.best = 0
+
+        def eval(self, row) -> None:
+            self.user = row["user_id"]
+            self.n += 1
+            if row["event_type"] == self.prev_type:
+                self.cur += 1
+            else:
+                self.cur = 1
+                self.prev_type = row["event_type"]
+            if self.cur > self.best:
+                self.best = self.cur
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.best
+
+    spark.udtf.register("bdps_streak_stats", StreakStats)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT user_id, n_events, max_streak
+        FROM bdps_streak_stats(TABLE(events) PARTITION BY user_id ORDER BY (ts, event_id))
         """
     )

@@ -1108,9 +1108,7 @@ def st23_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = events_stream(spark, sf_dir)
     hot = s.filter(F.col("value") >= 95.0).select("event_id", "value")
-    import tempfile as _tf
-
-    ckpt = _tf.mkdtemp(prefix="bdps_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="bdps_ckpt_")
     q = (
         hot.writeStream.foreach(CentsWriter())
         .option("checkpointLocation", ckpt)

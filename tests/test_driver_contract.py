@@ -38,6 +38,7 @@ SAMPLE_QUERIES = [
     "j7_asof_join",
     "s21_pipe_syntax",
     "ud14_apply_in_arrow",
+    "j14_null_aware_anti_join",
 ]
 
 _CHILD = r"""

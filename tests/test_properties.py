@@ -183,36 +183,47 @@ _PATHSEG = st.from_regex(r"[a-z0-9]{1,6}", fullmatch=True)
     host=_HOSTWORD,
     segs=st.lists(_PATHSEG, min_size=0, max_size=3),
     scheme=st.sampled_from(["http://", "https://"]),
-    www=st.booleans(),
+    www=st.sampled_from(["", "www.", "www.www."]),
     port=st.sampled_from(["", ":443", ":80"]),
-    utm=st.booleans(),
+    query=st.sampled_from(
+        [
+            "",
+            "?utm_source=x&utm_medium=y",  # tracking-only → drops entirely
+            "?utm_source=x&q=1",  # leading tracking + kept param → '?q=1'
+            "?q=1&utm_source=x",  # trailing tracking → '?q=1'
+            "?q=1",  # kept param, no tracking
+        ]
+    ),
     frag=st.booleans(),
     slash=st.booleans(),
 )
 @settings(**SETTINGS)
 def test_url_canonicalization_idempotent_and_variant_invariant(
-    spark, host, segs, scheme, www, port, utm, frag, slash
+    spark, host, segs, scheme, www, port, query, frag, slash
 ):
     """Every surface decoration of the same logical URL must collapse
-    to one canonical key; applying the canonicalizer twice must be a
-    no-op (idempotence — the property that makes re-canonicalizing an
-    already-clean corpus safe)."""
+    to one canonical key — including a leading utm_* param handing its
+    '?' to a kept successor — and applying the canonicalizer twice
+    must be a no-op (idempotence: re-canonicalizing an already-clean
+    corpus is safe). The www strategy includes the doubled prefix that
+    broke the single-strip rule."""
     from big_data_programming_spark.operators.text import canonicalize_url
 
     path = "/" + "/".join(segs) if segs else ""
+    kept_query = "?q=1" if "q=1" in query else ""
     base = f"{host}.example.com{path}"
     decorated = (
         scheme
-        + ("www." if www else "")
+        + www
         + host
         + ".example.com"
         + port
         + path
-        + ("?utm_source=x&utm_medium=y" if utm else "")
+        + query
         + ("#frag" if frag else "")
         + ("/" if slash and path else "")
     )
-    df = spark.createDataFrame([(base,), (decorated,)], ["u"])
+    df = spark.createDataFrame([(base + kept_query,), (decorated,)], ["u"])
     rows = df.select(
         canonicalize_url(F.col("u")).alias("c1"),
     ).withColumn("c2", canonicalize_url(F.col("c1"))).collect()
