@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_programming_spark.functions.canonical import dsum, oracle_dsum
 from big_data_programming_spark.registry import register
@@ -232,4 +233,103 @@ def e11_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pv").isNotNull()
             & F.col("nv").isNotNull()
         ).alias("is_interpolated"),
+    )
+
+
+@register(
+    "e12_event_sequences",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS sequence,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT user_id) AS n_users
+FROM s
+WHERE t3 IS NOT NULL
+GROUP BY 1
+""",
+    tags=("W2", "A1", "A3"),
+)
+def e12_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 3-gram mining: the most common ordered event-type
+    sequences per user stream (view>view>purchase and friends) — the
+    path-analysis primitive behind funnel discovery (e6 checks a
+    KNOWN funnel; this finds candidates). One user_id exchange powers
+    both LEAD offsets, then a hash aggregate on the sequence string;
+    n-gram fan-out is 1:1 with events (each row starts at most one
+    trigram), so the shuffle volume is the event count at any scale —
+    no self-joins, unlike the naive three-way formulation."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("sequence"),
+            "user_id",
+        )
+        .groupBy("sequence")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "w8_ratio_to_report",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         {oracle_dsum('o_totalprice', 'total_price')}
+  FROM orders
+  GROUP BY 1
+)
+SELECT o_orderpriority, n_orders, total_price,
+       total_price
+         / CAST(CAST(SUM(CAST(total_price AS DECIMAL(38,10))) OVER () AS VARCHAR) AS DOUBLE)
+         AS revenue_share,
+       CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER () AS order_share
+FROM base
+""",
+    tags=("W4", "A1"),
+)
+def w8_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each group's share of the global total via an
+    empty-frame window over the AGGREGATED rows — the contribution
+    column of every revenue report. The unpartitioned window is safe
+    precisely because it runs post-aggregation (5 priority rows, not
+    1.5M orders); the denominators are decimal-canon sums re-divided
+    as doubles in identical order on both engines, so even the global
+    shares are hash-exact. Running the same window pre-aggregation
+    would single-partition the fact table — the documented
+    anti-pattern (compute shares AFTER the rollup, always)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+    from big_data_programming_spark.functions.canonical import DEC
+
+    w = Window.partitionBy()
+    # Denominator through the decimal canon: a plain double window sum
+    # is summation-order-dependent and drifted 1 ulp between partition
+    # counts (observed 8 vs 200); exact decimal addition is invariant.
+    total_all = F.sum(F.col("total_price").cast(DEC)).over(w).cast("double")
+    return base.select(
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        (F.col("total_price") / total_all).alias("revenue_share"),
+        (F.col("n_orders").cast("double") / F.sum("n_orders").over(w)).alias("order_share"),
     )
