@@ -30,8 +30,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: llm_similarity (first 4 of 9 fit) — front-load those five modules.
 #: ROUND 5: llm_similarity remainder(5) + llm_multimodal(5) + graph(3) +
 #: data_quality(4) + udfs(11) + skew(2) + streaming (first 20 of 22).
-#: ROUND 6: streaming remainder(2) + modern_sql(16) + relational
-#: extras(3) + setops u5 + anything added since.
+#: ROUND 6: streaming remainder(3, incl. st25) + modern_sql(18) +
+#: relational_extras(5) + setops u5 + anything added since.
 _QUERY_MODULES = (
     "events",
     "aggregations",
