@@ -22,7 +22,7 @@ from big_data_programming_spark.operators.similarity import (
     topk_cosine,
 )
 from big_data_programming_spark.registry import register
-from big_data_programming_spark.sources.loaders import load
+from big_data_programming_spark.sources.loaders import load, register_views
 
 #: DuckDB fragment: cosine(a, b) with Spark's exact fold order.
 #: 0.0 + x == x in IEEE, so Spark's zero-seeded fold equals DuckDB's
@@ -439,4 +439,98 @@ def l3i_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("xs", "deq", lambda a, b: F.abs(a - b))
         ).alias("max_abs_err"),
         cosine_similarity_col(F.col("xs"), F.col("deq")).alias("cosine_orig_deq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l3j — product quantization (X108)
+
+#: PQ geometry: 64-d vectors split into M=4 subspaces of 16 dims, each
+#: quantized to the nearest of K=8 codebook centroids → a 4-code
+#: (12-bit) compressed representation, 21x smaller than float32.
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 8, 16
+
+
+def _pq_centroid(m: int, k: int, j: int) -> float:
+    """Deterministic codebook entry: +-0.5 by md5 parity of the
+    (subspace, centroid, dim) coordinate — the same literal on any
+    engine, any run (the repo's md5-as-RNG convention, cf. p5b/l4j).
+    A production deployment would swap in k-means-trained centroids;
+    every query shape below is unchanged by that swap."""
+    import hashlib
+
+    h = hashlib.md5(f"pq:{m}:{k}:{j}".encode()).hexdigest()
+    return 0.5 if int(h[0], 16) % 2 == 0 else -0.5
+
+
+def _pq_sql(elem: str, listlit: str, lmin: str, lpos: str) -> str:
+    """One PQ assignment query, rendered for either SQL dialect.
+
+    elem: element-access template ('element_at(embedding, {i})' /
+    'embedding[{i}]'); listlit: list-literal template; lmin/lpos:
+    min / first-position function names. All distance arithmetic is
+    literal-explicit and left-associative, so both engines execute
+    bit-identical IEEE operations; argmin ties resolve to the lowest
+    centroid index because {lpos} returns the FIRST position of the
+    exact minimum."""
+    d_cols = []
+    for m in range(_PQ_M):
+        dists = []
+        for k in range(_PQ_K):
+            terms = []
+            for j in range(_PQ_DSUB):
+                i = m * _PQ_DSUB + j + 1  # 1-based element index
+                e = elem.format(i=i)
+                c = repr(_pq_centroid(m, k, j))
+                terms.append(f"(CAST({e} AS DOUBLE) - ({c}))*(CAST({e} AS DOUBLE) - ({c}))")
+            dists.append("(" + " + ".join(terms) + ")")
+        d_cols.append(listlit.format(items=", ".join(dists)) + f" AS d{m}")
+    code_cols = ", ".join(
+        f"{lpos}(d{m}, {lmin}(d{m})) - 1 AS c{m}" for m in range(_PQ_M)
+    )
+    err_sum = " + ".join(f"{lmin}(d{m})" for m in range(_PQ_M))
+    return f"""
+WITH d AS (
+  SELECT vec_id, {", ".join(d_cols)}
+  FROM embeddings
+)
+SELECT vec_id, {code_cols}, ({err_sum}) AS sq_error
+FROM d
+"""
+
+
+@register(
+    "l3j_product_quantization",
+    oracle=_pq_sql(
+        elem="embedding[{i}]",
+        listlit="[{items}]",
+        lmin="list_min",
+        lpos="list_position",
+    ),
+    tags=("L3", "L7", "F4"),
+)
+def l3j_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al., PAMI'11) — the
+    memory-bound ANN workhorse beyond l3i's scalar quantization: each
+    64-d vector splits into 4 subvectors, each assigned to its
+    nearest of 8 codebook centroids, compressing the vector to 4
+    small codes (12 bits vs 2 KB float32 — the difference between an
+    index that fits executor RAM at 100 TB corpus scale and one that
+    doesn't). Assignment is a pure map: per subspace, 8 literal-
+    arithmetic squared distances (fixed fold order → bit-identical
+    cross-engine), argmin by first-position-of-exact-min (ties →
+    lowest code, deterministic). sq_error is the summed quantization
+    residual — the audit column an index rollout is gated on (cf.
+    l3i). Codebooks here are md5-parity literals so the oracle can
+    replay them; swapping in k-means-trained centroids changes no
+    query shape. ADC search then scans CODES with per-subspace
+    lookup tables — the scan shape of l3f's IVF probe."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(
+        _pq_sql(
+            elem="element_at(embedding, {i})",
+            listlit="array({items})",
+            lmin="array_min",
+            lpos="array_position",
+        )
     )

@@ -333,3 +333,63 @@ def w8_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_price") / total_all).alias("revenue_share"),
         (F.col("n_orders").cast("double") / F.sum("n_orders").over(w)).alias("order_share"),
     )
+
+
+@register(
+    "e13_rfm_segmentation",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(DATE_TRUNC('day', MAX(ts)) AS TIMESTAMP) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS monetary_cents
+  FROM events
+  GROUP BY 1
+), scored AS (
+  SELECT user_id, frequency, monetary_cents,
+         DATEDIFF('day', last_day, MAX(last_day) OVER ()) AS recency_days
+  FROM per_user
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+       NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+       NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_quartile
+FROM scored
+""",
+    tags=("W1", "A1", "F2"),
+)
+def e13_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics rollup:
+    per-user Recency (days since last activity, measured against the
+    corpus max day), Frequency (event count), Monetary (integer-cents
+    spend), each cut into quartiles by NTILE. Every NTILE ordering
+    carries user_id as the tiebreak, so quartile boundaries are
+    deterministic under any partitioning (the a8/O2 rule: ranked
+    outputs need total orders). The three quartile windows are
+    unpartitioned but run over the per-user AGGREGATE (bounded by
+    user cardinality, not event volume) — same post-aggregation
+    discipline as w8; the one full scan is the map-side-combined
+    per-user rollup."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("monetary_cents"),
+    )
+    scored = per_user.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.datediff(
+            F.max("last_day").over(Window.partitionBy()), F.col("last_day")
+        ).alias("recency_days"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), "user_id")).alias("m_quartile"),
+    )

@@ -1242,3 +1242,47 @@ def st25_partitioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.input_file_name().contains("event_type=").alias("in_partition_dir"),
     )
+
+
+@register(
+    "st26_union_of_streams",
+    oracle=f"""
+WITH w AS (
+  SELECT make_timestamp((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 * 3600) * 1000000) AS window_start,
+         make_timestamp((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 * 3600 + 3600) * 1000000) AS window_end,
+         event_type
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+), wm AS (SELECT {_WM_US.format(delay_ms=0)} AS wm_us FROM events WHERE event_type IN ('view', 'purchase'))
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM w, wm
+WHERE EPOCH_US(window_end) <= wm_us
+GROUP BY 1, 2
+""",
+    tags=("ST2", "U1", "S8"),
+)
+def st26_union_of_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of two independent streaming sources feeding one
+    watermarked aggregate — the multi-topic/multi-directory ingest
+    shape (clickstream + transactions into one sessionless rollup).
+    Each leg is its own readStream with its own filter; after
+    unionByName, Spark tracks a watermark PER input and advances the
+    query watermark to the MINIMUM — a lagging source holds results
+    back rather than dropping the other source's data (the semantics
+    a multi-source pipeline needs). The oracle is the batch union
+    twin with the same min-watermark cutoff (both legs replay the
+    same fixture file, so their max event times coincide)."""
+    views = events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    both = views.unionByName(purchases)
+    agg = (
+        both.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return drain(agg, "append")
