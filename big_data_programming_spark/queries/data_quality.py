@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
@@ -317,4 +318,76 @@ def dq4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
         "n_events",
+    )
+
+
+@register(
+    "dq5_category_drift",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n_dt
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT day, event_type, n_dt,
+         SUM(n_dt) OVER (PARTITION BY day) AS n_day,
+         SUM(n_dt) OVER (PARTITION BY event_type) AS n_at,
+         SUM(n_dt) OVER () AS n_all
+  FROM daily
+), terms AS (
+  SELECT day, n_day, n_all,
+         ABS(n_dt * n_all - n_at * n_day) AS term
+  FROM scored
+)
+SELECT day,
+       MAX(n_day) AS n_events,
+       CAST(SUM(term) AS DOUBLE) / (2.0 * MAX(n_day) * MAX(n_all)) AS tv_distance,
+       CAST(SUM(term) AS DOUBLE) / (2.0 * MAX(n_day) * MAX(n_all)) > 0.05 AS is_drifted
+FROM terms
+GROUP BY 1
+""",
+    tags=("A1", "W4", "F3"),
+)
+def dq5_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-mix drift monitor: each day's event-type
+    distribution scored against the corpus-wide mix by total-variation
+    distance — the data-quality alarm for 'the upstream producer
+    changed what it sends' (dq3 watches VOLUME; this watches SHAPE).
+    All comparison arithmetic is integer cross-multiplication
+    (|n_dt·N − n_t·N_day| — no per-type double shares to sum in
+    engine-dependent order); exactly one double division happens per
+    day at the end, so the distances are hash-exact at any partition
+    count. Everything derives from ONE day×type aggregate (bounded by
+    days × 5 types) via windows — the fact table is scanned once."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_dt"))
+    scored = daily.select(
+        "day",
+        "n_dt",
+        F.sum("n_dt").over(Window.partitionBy("day")).alias("n_day"),
+        F.sum("n_dt").over(Window.partitionBy("event_type")).alias("n_at"),
+        F.sum("n_dt").over(Window.partitionBy()).alias("n_all"),
+    )
+    terms = scored.select(
+        "day",
+        "n_day",
+        "n_all",
+        F.abs(F.col("n_dt") * F.col("n_all") - F.col("n_at") * F.col("n_day")).alias("term"),
+    )
+    tv = F.col("l1_num").cast("double") / (2.0 * F.col("n_day") * F.col("n_all"))
+    return (
+        terms.groupBy("day")
+        .agg(
+            F.sum("term").alias("l1_num"),
+            F.max("n_day").alias("n_day"),
+            F.max("n_all").alias("n_all"),
+        )
+        .select(
+            "day",
+            F.col("n_day").alias("n_events"),
+            tv.alias("tv_distance"),
+            (tv > 0.05).alias("is_drifted"),
+        )
     )

@@ -534,3 +534,82 @@ def l3j_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             lpos="array_position",
         )
     )
+
+
+def _pq_dlists(elem: str, listlit: str) -> str:
+    """The four per-subspace distance-list columns (shared between
+    assignment in l3j and the ADC query/code sides in l3k)."""
+    cols = []
+    for m in range(_PQ_M):
+        dists = []
+        for k in range(_PQ_K):
+            terms = []
+            for j in range(_PQ_DSUB):
+                i = m * _PQ_DSUB + j + 1
+                e = elem.format(i=i)
+                c = repr(_pq_centroid(m, k, j))
+                terms.append(f"(CAST({e} AS DOUBLE) - ({c}))*(CAST({e} AS DOUBLE) - ({c}))")
+            dists.append("(" + " + ".join(terms) + ")")
+        cols.append(listlit.format(items=", ".join(dists)) + f" AS d{m}")
+    return ", ".join(cols)
+
+
+def _pq_adc_sql(elem: str, listlit: str, lmin: str, lpos: str, at: str) -> str:
+    """ADC top-k search over PQ codes, rendered for either dialect.
+    ``at`` is the list-index-by-expression template (1-based)."""
+    dl = _pq_dlists(elem, listlit)
+    pos_cols = ", ".join(f"{lpos}(d{m}, {lmin}(d{m})) AS p{m}" for m in range(_PQ_M))
+    score = " + ".join(
+        at.format(arr=f"q.d{m}", i=f"c.p{m}") for m in range(_PQ_M)
+    )
+    return f"""
+WITH q AS (
+  SELECT {dl} FROM embeddings WHERE vec_id = 0
+), d AS (
+  SELECT vec_id, {dl} FROM embeddings
+), codes AS (
+  SELECT vec_id, {pos_cols} FROM d
+)
+SELECT c.vec_id, ({score}) AS adc_distance
+FROM codes c, q
+WHERE c.vec_id <> 0
+ORDER BY adc_distance, c.vec_id
+LIMIT 20
+"""
+
+
+@register(
+    "l3k_adc_search",
+    oracle=_pq_adc_sql(
+        elem="embedding[{i}]",
+        listlit="[{items}]",
+        lmin="list_min",
+        lpos="list_position",
+        at="{arr}[{i}]",
+    ),
+    tags=("L3", "L7", "O2"),
+)
+def l3k_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-20 search over l3j's
+    PQ codes — the query half of product quantization: the query
+    vector computes ONE 4×8 lookup table of subspace distances; every
+    database vector is then scored by four table lookups indexed by
+    its codes and three additions, never by touching its floats. At
+    100 TB this is why PQ wins: the scan reads 12-bit codes instead
+    of 256-byte vectors and the per-vector cost is O(M) lookups; the
+    lookup table rides along as a 1-row broadcast (the l3/l3g query-
+    side convention — no driver collect). Codes and table come from
+    the same literal arithmetic as l3j, ties break on vec_id, so the
+    oracle replays the entire search bit-for-bit. Here codes are
+    recomputed in-scan; a deployment reads them from the l3j-style
+    materialized code table."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(
+        _pq_adc_sql(
+            elem="element_at(embedding, {i})",
+            listlit="array({items})",
+            lmin="array_min",
+            lpos="array_position",
+            at="element_at({arr}, CAST({i} AS INT))",
+        )
+    )

@@ -803,3 +803,54 @@ def s20_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "cutoff": 150000.0},
     )
+
+
+@register(
+    "o9_file_size_targeting",
+    oracle="""
+WITH src AS (
+  SELECT COUNT(*) AS total_rows,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+)
+SELECT CAST(CEIL(total_rows / 10000.0) AS BIGINT) AS n_files,
+       TRUE AS all_files_within_cap,
+       total_rows,
+       price_cents
+FROM src
+""",
+    tags=("S6", "O4"),
+)
+def o9_file_size_targeting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output file-size targeting: `maxRecordsPerFile` caps rows per
+    parquet file at the WRITER (each task rolls to a new file at the
+    cap) — with s15's compaction, the two halves of small-file
+    hygiene: compaction heals fragmentation after the fact, the cap
+    prevents the opposite failure (one task writing a multi-GB file
+    that a downstream reader can't split row-group-wise). The slice
+    is coalesced to one task so the expected file count is the
+    closed-form ceil(rows/cap), pinned by the oracle; the read-back
+    audits actual per-file row counts against the cap and checksums
+    the payload. On a cluster the same option rides on every
+    partitioned/bucketed sink (s6/o5) unchanged."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bdps_o9_")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    li.coalesce(1).write.mode("overwrite").option("maxRecordsPerFile", 10000).parquet(out)
+    back = spark.read.parquet(out)
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.count(F.lit(1)).alias("rows_in_file"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias("cents"),
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        (F.max("rows_in_file") <= 10000).alias("all_files_within_cap"),
+        F.sum("rows_in_file").alias("total_rows"),
+        F.sum("cents").alias("price_cents"),
+    )
