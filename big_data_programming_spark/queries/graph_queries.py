@@ -121,3 +121,83 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, iterations=8, damping=0.85)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling: round i keeps nodes whose degree in
+    the subgraph induced by round i-1's survivors is >= k. The unroll
+    depth must reach the fixpoint (the Spark side iterates until NO
+    node is dropped and asserts it; peeling on the dense fixture
+    graph converges in 1-2 rounds, and tests pin convergence <= the
+    unroll depth)."""
+    parts = [
+        "WITH edges AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        + JACCARD_ORACLE_SQL.format(threshold=0.8)
+        + ")), deg0 AS ("
+        "  SELECT node, COUNT(*) AS degree FROM ("
+        "    SELECT doc_a AS node, doc_b AS other FROM edges"
+        "    UNION ALL SELECT doc_b, doc_a FROM edges) GROUP BY 1)"
+    ]
+    prev = "deg0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", keep{i} AS MATERIALIZED (SELECT node FROM {prev} WHERE degree >= {k})"
+            f", deg{i} AS ("
+            f"  SELECT node, COUNT(*) AS degree FROM ("
+            f"    SELECT e.doc_a AS node, e.doc_b AS other FROM edges e"
+            f"    JOIN keep{i} a ON a.node = e.doc_a JOIN keep{i} b ON b.node = e.doc_b"
+            f"    UNION ALL"
+            f"    SELECT e.doc_b, e.doc_a FROM edges e"
+            f"    JOIN keep{i} a ON a.node = e.doc_a JOIN keep{i} b ON b.node = e.doc_b"
+            f"  ) GROUP BY 1)"
+        )
+        prev = f"deg{i}"
+    parts.append(f"SELECT node AS doc_id, degree AS core_degree FROM {prev} WHERE degree >= {k}")
+    return "\n".join(parts)
+
+
+@register(
+    "g4_kcore",
+    oracle=_kcore_oracle_sql(k=3, rounds=6),
+    tags=("L2", "J1", "A1", "L7"),
+)
+def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the near-dup graph: iteratively
+    peel nodes with degree < k until the remaining induced subgraph is
+    stable — the density filter that separates tight duplicate
+    cliques (template farms, mirror sets) from incidental pairwise
+    matches, and the standard preprocessing cut before community
+    detection. Each round is one degree aggregate + two semi-joins of
+    the edge list against survivors, with localCheckpoint cutting
+    lineage per round (the l2d/g2 iterative discipline); rounds are
+    bounded by peeling depth, not diameter. The Spark side iterates
+    to a TRUE fixpoint; the oracle unrolls six rounds — tests assert
+    the fixpoint lands within the unroll."""
+    edges = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    edges = edges.localCheckpoint()
+    k = 3
+    sym = edges.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("other")).unionAll(
+        edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("other"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    while True:
+        keep = deg.filter(F.col("degree") >= k).select("node").localCheckpoint()
+        n_before = deg.count()
+        n_keep = keep.count()
+        if n_keep == n_before:
+            break
+        kept_edges = (
+            edges.join(keep.withColumnRenamed("node", "doc_a"), "doc_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "doc_b"), "doc_b", "left_semi")
+        )
+        sym = kept_edges.select(
+            F.col("doc_a").alias("node"), F.col("doc_b").alias("other")
+        ).unionAll(
+            kept_edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("other"))
+        )
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("node").alias("doc_id"), F.col("degree").alias("core_degree")
+    )

@@ -742,3 +742,36 @@ def ud16_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bdps_streak_stats(TABLE(events) PARTITION BY user_id ORDER BY (ts, event_id))
         """
     )
+
+
+@register(
+    "a28_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+       GROUPING(l_returnflag) AS is_flag_total,
+       GROUPING(l_linestatus) AS is_status_total,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("A9", "A1"),
+)
+def a28_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`grouping_id()` / `grouping()` over a rollup: the bitmask that
+    tells subtotal rows apart from data rows whose key column is
+    genuinely NULL — without it, rollup output is ambiguous the
+    moment a grouping column is nullable (the a9 family shows the
+    subtotals; this shows the disambiguator). gid here is
+    2·grouping(flag) + grouping(status) — spelled out identically on
+    both engines so the bit order is pinned rather than inherited
+    from either engine's grouping_id() convention."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            (2 * F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias("gid"),
+            F.grouping("l_returnflag").alias("is_flag_total"),
+            F.grouping("l_linestatus").alias("is_status_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
