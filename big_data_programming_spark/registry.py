@@ -28,10 +28,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (exact counts as of end of round 3): scalar_functions(14) +
 #: llm_text(10) + llm_curation(8) + llm_dedup(14) = 46, then
 #: llm_similarity (first 4 of 9 fit) — front-load those five modules.
-#: ROUND 5: llm_similarity remainder(5) + llm_multimodal(5) + graph(3) +
-#: data_quality(4) + udfs(11) + skew(2) + streaming (first 20 of 22).
-#: ROUND 6: streaming remainder(3, incl. st25) + modern_sql(18) +
-#: relational_extras(5) + setops u5 + anything added since.
+#: ROUND 5: llm_similarity remainder(7) + llm_multimodal(5) + graph(4) +
+#: data_quality(5) + udfs(11) + skew(2) + streaming (first 16 of 23).
+#: ROUND 6: streaming remainder(7) + modern_sql(18) +
+#: relational_extras(6) + setops u5 + sources s10+ re-verify + anything
+#: added since (counts: scripts/gen_catalog.py regenerates; verify
+#: against len(catalog()) before rotating).
 _QUERY_MODULES = (
     "events",
     "aggregations",
