@@ -17,6 +17,7 @@ from big_data_programming_spark.operators.text import (
     shingle_fingerprint,
     tokenize,
 )
+from big_data_programming_spark.operators.dedup import SIMHASH_ORACLE_SQL
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
 
@@ -511,4 +512,64 @@ def l4q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return first10.join(F.broadcast(vocab), "token").select(
         "doc_id", "pos", "token", "token_id", "token_count"
+    )
+
+
+SIMHASH_ORACLE_SQL_FOR_FUNNEL = SIMHASH_ORACLE_SQL.format(maxbit=15)
+
+
+@register(
+    "l5c_curation_funnel",
+    oracle=f"""
+WITH feats AS ({QUALITY_ORACLE_SQL}),
+sig AS ({{simhash_sql}}),
+base AS (
+  SELECT d.doc_id,
+         md5(TRIM(regexp_replace(LOWER(d.text), '\\s+', ' ', 'g'))) AS content_hash,
+         f.quality_score, f.n_tokens, s.simhash_bits
+  FROM documents d
+  JOIN feats f USING (doc_id)
+  JOIN sig s USING (doc_id)
+)
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE quality_score >= 0.7 AND n_tokens >= 20) AS n_quality,
+       COUNT(DISTINCT CASE WHEN quality_score >= 0.7 AND n_tokens >= 20
+                           THEN content_hash END) AS n_exact_unique,
+       COUNT(DISTINCT CASE WHEN quality_score >= 0.7 AND n_tokens >= 20
+                           THEN simhash_bits END) AS n_simhash_unique
+FROM base
+""".replace("{simhash_sql}", SIMHASH_ORACLE_SQL_FOR_FUNNEL),
+    tags=("L5", "L1", "L2", "A3"),
+)
+def l5c_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel accounting — the observability rollup every
+    training-data pipeline publishes: corpus size, survivors of the
+    quality gate (l5 criteria), exact-unique content among survivors
+    (l1's hash), and SimHash-signature-unique content (l2b's
+    16-bit signature as the near-dup collapse). The stage counts are
+    monotone non-increasing by construction, so a regression anywhere
+    upstream (a gate silently widening, a hash colliding) shows up as
+    an inversion. One pass over documents computes flags, hash, and
+    signature per doc; a single aggregate emits all four counts —
+    conditional distinct aggregates instead of four pipeline reruns
+    (the a23 FILTER-clause discipline applied to pipeline metrics)."""
+    d = load(spark, sf_dir, "documents")
+    from big_data_programming_spark.operators.dedup import normalize_text, simhash
+
+    flags = quality_features(d).select("doc_id", "quality_score", "n_tokens")
+    sig = simhash(d, bits=16)
+    base = (
+        d.select(
+            "doc_id",
+            F.md5(normalize_text(F.col("text")).cast("binary")).alias("content_hash"),
+        )
+        .join(flags, "doc_id")
+        .join(sig, "doc_id")
+    )
+    passing = (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
+    return base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(passing, 1).otherwise(0)).alias("n_quality"),
+        F.count_distinct(F.when(passing, F.col("content_hash"))).alias("n_exact_unique"),
+        F.count_distinct(F.when(passing, F.col("simhash_bits"))).alias("n_simhash_unique"),
     )
