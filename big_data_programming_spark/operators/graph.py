@@ -193,3 +193,42 @@ r{i} AS (
 )"""
         )
     return head + "".join(iters) + f"\nSELECT node, r AS pagerank FROM r{iterations}"
+
+
+def kcore_peel(edges: DataFrame, k: int) -> tuple[DataFrame, int]:
+    """k-core decomposition by iterative degree peeling, run to a TRUE
+    fixpoint: drop nodes with degree < k, recompute degrees on the
+    induced subgraph, repeat until nothing drops. Returns the
+    surviving (node, degree) frame and the number of peel rounds
+    executed — the round count is what tests pin against the oracle's
+    fixed unroll depth (g4's docstring contract). Each round is one
+    degree aggregate + two semi-joins of the edge list against
+    survivors; ``localCheckpoint`` cuts lineage per round (the
+    l2d/pagerank iterative discipline). Rounds are bounded by peeling
+    depth (max degree), not graph diameter."""
+    edges = edges.localCheckpoint()
+    sym = edges.select(F.col("doc_a").alias("node")).unionAll(
+        edges.select(F.col("doc_b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    rounds = 0
+    while True:
+        keep = deg.filter(F.col("degree") >= k).select("node").localCheckpoint()
+        if keep.count() == deg.count():
+            break
+        rounds += 1
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "doc_a"), "doc_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "doc_b"), "doc_b", "left_semi")
+            .localCheckpoint()
+        )
+        sym = edges.select(F.col("doc_a").alias("node")).unionAll(
+            edges.select(F.col("doc_b").alias("node"))
+        )
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
+    return (
+        deg.filter(F.col("degree") >= k).select(
+            F.col("node").alias("doc_id"), F.col("degree").alias("core_degree")
+        ),
+        rounds,
+    )

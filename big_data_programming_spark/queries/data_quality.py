@@ -327,21 +327,28 @@ def dq4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n_dt
   FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, t.event_type, COALESCE(c.n_dt, 0) AS n_dt
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+  LEFT JOIN daily c ON c.day = d.day AND c.event_type = t.event_type
 ), scored AS (
   SELECT day, event_type, n_dt,
          SUM(n_dt) OVER (PARTITION BY day) AS n_day,
          SUM(n_dt) OVER (PARTITION BY event_type) AS n_at,
          SUM(n_dt) OVER () AS n_all
-  FROM daily
+  FROM grid
 ), terms AS (
   SELECT day, n_day, n_all,
-         ABS(n_dt * n_all - n_at * n_day) AS term
+         ABS(CAST(n_dt AS HUGEINT) * n_all - CAST(n_at AS HUGEINT) * n_day) AS term
   FROM scored
 )
 SELECT day,
        MAX(n_day) AS n_events,
-       CAST(SUM(term) AS DOUBLE) / (2.0 * MAX(n_day) * MAX(n_all)) AS tv_distance,
-       CAST(SUM(term) AS DOUBLE) / (2.0 * MAX(n_day) * MAX(n_all)) > 0.05 AS is_drifted
+       CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+         / (2.0 * MAX(n_day) * MAX(n_all)) AS tv_distance,
+       CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+         / (2.0 * MAX(n_day) * MAX(n_all)) > 0.05 AS is_drifted
 FROM terms
 GROUP BY 1
 """,
@@ -352,29 +359,49 @@ def dq5_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution scored against the corpus-wide mix by total-variation
     distance — the data-quality alarm for 'the upstream producer
     changed what it sends' (dq3 watches VOLUME; this watches SHAPE).
-    All comparison arithmetic is integer cross-multiplication
-    (|n_dt·N − n_t·N_day| — no per-type double shares to sum in
-    engine-dependent order); exactly one double division happens per
-    day at the end, so the distances are hash-exact at any partition
-    count. Everything derives from ONE day×type aggregate (bounded by
-    days × 5 types) via windows — the fact table is scanned once."""
+    The day×type grid is densified first (days × types cross of two
+    tiny dimensions), so a category that VANISHES on a day contributes
+    its full |0 − p_corpus| mass instead of silently dropping out of
+    the sum. All comparison arithmetic is exact cross-multiplication
+    widened to DECIMAL(38,0)/HUGEINT (survives 1e9-rows/day × 1e12
+    totals where int64 overflows); exactly one double division happens
+    per day at the end, so the distances are hash-exact at any
+    partition count. Everything derives from ONE day×type aggregate —
+    the fact table is scanned once."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_dt"))
-    scored = daily.select(
+    # Densify to the full day x type grid BEFORE scoring: a category
+    # that vanishes on a day contributes its full |0 - p_corpus| mass —
+    # which is exactly the drift this monitor exists to catch (the e8
+    # gap-fill discipline applied to a quality metric).
+    grid = (
+        daily.select("day").distinct()
+        .crossJoin(daily.select("event_type").distinct())
+        .join(daily, ["day", "event_type"], "left")
+        .withColumn("n_dt", F.coalesce(F.col("n_dt"), F.lit(0)))
+    )
+    scored = grid.select(
         "day",
         "n_dt",
         F.sum("n_dt").over(Window.partitionBy("day")).alias("n_day"),
         F.sum("n_dt").over(Window.partitionBy("event_type")).alias("n_at"),
         F.sum("n_dt").over(Window.partitionBy()).alias("n_all"),
     )
+    # Cross-products widen to DECIMAL(38,0) (DuckDB: HUGEINT) so the
+    # arithmetic stays exact past int64 at planetary daily volumes
+    # (1e9 rows/day x 1e12 total ~ 1e21 > 2^63).
+    dec = "decimal(38,0)"
     terms = scored.select(
         "day",
         "n_day",
         "n_all",
-        F.abs(F.col("n_dt") * F.col("n_all") - F.col("n_at") * F.col("n_day")).alias("term"),
+        F.abs(
+            F.col("n_dt").cast(dec) * F.col("n_all").cast(dec)
+            - F.col("n_at").cast(dec) * F.col("n_day").cast(dec)
+        ).alias("term"),
     )
     tv = F.col("l1_num").cast("double") / (2.0 * F.col("n_day") * F.col("n_all"))
     return (

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from big_data_programming_spark.operators.dedup import JACCARD_ORACLE_SQL, jaccard_pairs
 from big_data_programming_spark.operators.graph import (
     TRIANGLES_ORACLE_SQL,
+    kcore_peel,
     pagerank,
     pagerank_oracle_sql,
     triangle_counts,
@@ -171,33 +172,12 @@ def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list against survivors, with localCheckpoint cutting
     lineage per round (the l2d/g2 iterative discipline); rounds are
     bounded by peeling depth, not diameter. The Spark side iterates
-    to a TRUE fixpoint; the oracle unrolls six rounds — tests assert
-    the fixpoint lands within the unroll."""
+    to a TRUE fixpoint; the oracle unrolls six rounds, and
+    tests/test_operators.py::test_kcore_converges_within_oracle_unroll
+    asserts the fixpoint lands within that unroll on the live
+    fixture."""
     edges = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8).select(
         "doc_a", "doc_b"
     )
-    edges = edges.localCheckpoint()
-    k = 3
-    sym = edges.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("other")).unionAll(
-        edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("other"))
-    )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-    while True:
-        keep = deg.filter(F.col("degree") >= k).select("node").localCheckpoint()
-        n_before = deg.count()
-        n_keep = keep.count()
-        if n_keep == n_before:
-            break
-        kept_edges = (
-            edges.join(keep.withColumnRenamed("node", "doc_a"), "doc_a", "left_semi")
-            .join(keep.withColumnRenamed("node", "doc_b"), "doc_b", "left_semi")
-        )
-        sym = kept_edges.select(
-            F.col("doc_a").alias("node"), F.col("doc_b").alias("other")
-        ).unionAll(
-            kept_edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("other"))
-        )
-        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
-    return deg.filter(F.col("degree") >= k).select(
-        F.col("node").alias("doc_id"), F.col("degree").alias("core_degree")
-    )
+    result, _rounds = kcore_peel(edges, k=3)
+    return result

@@ -463,6 +463,24 @@ def _pq_centroid(m: int, k: int, j: int) -> float:
     return 0.5 if int(h[0], 16) % 2 == 0 else -0.5
 
 
+def _pq_dlists(elem: str, listlit: str) -> str:
+    """The four per-subspace distance-list columns (shared between
+    assignment in l3j and the ADC query/code sides in l3k)."""
+    cols = []
+    for m in range(_PQ_M):
+        dists = []
+        for k in range(_PQ_K):
+            terms = []
+            for j in range(_PQ_DSUB):
+                i = m * _PQ_DSUB + j + 1
+                e = elem.format(i=i)
+                c = repr(_pq_centroid(m, k, j))
+                terms.append(f"(CAST({e} AS DOUBLE) - ({c}))*(CAST({e} AS DOUBLE) - ({c}))")
+            dists.append("(" + " + ".join(terms) + ")")
+        cols.append(listlit.format(items=", ".join(dists)) + f" AS d{m}")
+    return ", ".join(cols)
+
+
 def _pq_sql(elem: str, listlit: str, lmin: str, lpos: str) -> str:
     """One PQ assignment query, rendered for either SQL dialect.
 
@@ -473,25 +491,13 @@ def _pq_sql(elem: str, listlit: str, lmin: str, lpos: str) -> str:
     bit-identical IEEE operations; argmin ties resolve to the lowest
     centroid index because {lpos} returns the FIRST position of the
     exact minimum."""
-    d_cols = []
-    for m in range(_PQ_M):
-        dists = []
-        for k in range(_PQ_K):
-            terms = []
-            for j in range(_PQ_DSUB):
-                i = m * _PQ_DSUB + j + 1  # 1-based element index
-                e = elem.format(i=i)
-                c = repr(_pq_centroid(m, k, j))
-                terms.append(f"(CAST({e} AS DOUBLE) - ({c}))*(CAST({e} AS DOUBLE) - ({c}))")
-            dists.append("(" + " + ".join(terms) + ")")
-        d_cols.append(listlit.format(items=", ".join(dists)) + f" AS d{m}")
     code_cols = ", ".join(
         f"{lpos}(d{m}, {lmin}(d{m})) - 1 AS c{m}" for m in range(_PQ_M)
     )
     err_sum = " + ".join(f"{lmin}(d{m})" for m in range(_PQ_M))
     return f"""
 WITH d AS (
-  SELECT vec_id, {", ".join(d_cols)}
+  SELECT vec_id, {_pq_dlists(elem, listlit)}
   FROM embeddings
 )
 SELECT vec_id, {code_cols}, ({err_sum}) AS sq_error
@@ -536,22 +542,6 @@ def l3j_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_dlists(elem: str, listlit: str) -> str:
-    """The four per-subspace distance-list columns (shared between
-    assignment in l3j and the ADC query/code sides in l3k)."""
-    cols = []
-    for m in range(_PQ_M):
-        dists = []
-        for k in range(_PQ_K):
-            terms = []
-            for j in range(_PQ_DSUB):
-                i = m * _PQ_DSUB + j + 1
-                e = elem.format(i=i)
-                c = repr(_pq_centroid(m, k, j))
-                terms.append(f"(CAST({e} AS DOUBLE) - ({c}))*(CAST({e} AS DOUBLE) - ({c}))")
-            dists.append("(" + " + ".join(terms) + ")")
-        cols.append(listlit.format(items=", ".join(dists)) + f" AS d{m}")
-    return ", ".join(cols)
 
 
 def _pq_adc_sql(elem: str, listlit: str, lmin: str, lpos: str, at: str) -> str:

@@ -17,7 +17,11 @@ from big_data_programming_spark.operators.text import (
     shingle_fingerprint,
     tokenize,
 )
-from big_data_programming_spark.operators.dedup import SIMHASH_ORACLE_SQL
+from big_data_programming_spark.operators.dedup import (
+    SIMHASH_ORACLE_SQL,
+    normalize_text,
+    simhash,
+)
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
 
@@ -554,8 +558,6 @@ def l5c_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional distinct aggregates instead of four pipeline reruns
     (the a23 FILTER-clause discipline applied to pipeline metrics)."""
     d = load(spark, sf_dir, "documents")
-    from big_data_programming_spark.operators.dedup import normalize_text, simhash
-
     flags = quality_features(d).select("doc_id", "quality_score", "n_tokens")
     sig = simhash(d, bits=16)
     base = (
@@ -569,7 +571,7 @@ def l5c_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing = (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
     return base.agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.when(passing, 1).otherwise(0)).alias("n_quality"),
+        F.count(F.when(passing, True)).alias("n_quality"),
         F.count_distinct(F.when(passing, F.col("content_hash"))).alias("n_exact_unique"),
         F.count_distinct(F.when(passing, F.col("simhash_bits"))).alias("n_simhash_unique"),
     )

@@ -456,3 +456,45 @@ def test_batch_observation_metrics(spark):
         F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("s")
     ).collect()[0]["s"]
     assert m["qty_sum"] == expected
+
+
+def test_kcore_converges_within_oracle_unroll(spark):
+    """g4's oracle unrolls exactly 6 peeling rounds; the Spark side
+    iterates to a true fixpoint. This pins the contract that makes
+    them comparable: on the live fixture the fixpoint must land
+    within the unroll depth (and the result must be non-trivial both
+    ways — some nodes survive, some were peeled)."""
+    from big_data_programming_spark.operators.dedup import jaccard_pairs
+    from big_data_programming_spark.operators.graph import kcore_peel
+    from big_data_programming_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    edges = jaccard_pairs(load(spark, SF_DIR, "documents"), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    result, rounds = kcore_peel(edges, k=3)
+    assert rounds <= 6, f"fixpoint took {rounds} rounds; oracle unrolls only 6"
+    n_core = result.count()
+    n_nodes = (
+        edges.select(F.col("doc_a").alias("n"))
+        .unionAll(edges.select(F.col("doc_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert 0 < n_core <= n_nodes
+
+
+def test_kcore_on_known_graph(spark):
+    """Literal-graph check: a triangle with a pendant tail — the
+    2-core is exactly the triangle (each vertex degree 2), the tail
+    nodes peel off in order, and peeling takes 2 rounds (tail end,
+    then tail middle)."""
+    from big_data_programming_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"]
+    )
+    result, rounds = kcore_peel(edges, k=2)
+    rows = {(r["doc_id"], r["core_degree"]) for r in result.collect()}
+    assert rows == {(1, 2), (2, 2), (3, 2)}, rows
+    assert rounds == 2, rounds

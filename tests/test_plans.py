@@ -199,6 +199,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l3g_batch_knn_join",  # 5-row broadcast query set, non-equi self-exclusion
         "e8_gap_fill",  # hours-grid × 5-type dimension densification, both tiny
         "e11_interpolation",  # same hours×types densification grid as e8
+        "dq5_category_drift",  # days×types densification grid, both tiny
         "l4k_bm25_search",  # 1-row corpus-statistics broadcast
         "dq1_constraint_checks",  # 1-row × 1-row scalar-count attach (FK rule)
         "l3h_random_projection_topk",  # 1-row projection matrix + 1-row query vector broadcasts
