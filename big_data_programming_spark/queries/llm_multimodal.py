@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_programming_spark.operators.multimodal import (
     fake_decode_features,
@@ -216,4 +217,74 @@ def l6e_resize_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.expr("(n_bytes + 3) div 4").cast("bigint").alias("resized_bytes"),
         F.md5(F.col("resized_hex").cast("binary")).alias("resized_md5"),
+    )
+
+
+@register(
+    "l6f_shard_manifest",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source,
+         OCTET_LENGTH(encode(text)) AS n_bytes,
+         MD5(text) AS pmd5
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_bytes) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM p
+)
+SELECT source,
+       (cum - n_bytes) // 4096 AS shard_id,
+       COUNT(*) AS n_payloads,
+       SUM(n_bytes) AS total_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       MD5(STRING_AGG(pmd5, '' ORDER BY doc_id)) AS manifest_md5
+FROM c
+GROUP BY 1, 2
+""",
+    tags=("L6", "L4", "W4", "F7"),
+)
+def l6f_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifests (the WebDataset/tar-shard shape):
+    payloads are packed per source, in deterministic doc_id order,
+    into ~4 KB byte-budget shards by running-size cumsum (l4m's
+    packing algebra applied to BYTES instead of tokens — multimodal
+    payloads vary 100× in size, so packing by count would produce
+    wildly uneven shards). Each manifest row carries the shard's
+    payload count, byte total, doc range, and an order-sensitive
+    content fingerprint (md5 over the ordered payload md5s) — what a
+    trainer verifies before mounting a shard. One per-source window
+    + one aggregate; manifests build per source/date partition in
+    production, so no global order is ever required."""
+    d = load(spark, sf_dir, "documents")
+    b = synthesize_blobs(d).join(d.select("doc_id", "source"), "doc_id")
+    p = b.select(
+        "doc_id",
+        "source",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("pmd5"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.withColumn("cum", F.sum("n_bytes").over(w))
+    shard = ((F.col("cum") - F.col("n_bytes")) / 4096).cast("long")
+    ordered_md5s = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "pmd5"))),
+        lambda s: s["pmd5"],
+    )
+    return (
+        c.withColumn("shard_id", shard)
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(F.concat_ws("", ordered_md5s).cast("binary")).alias("manifest_md5"),
+        )
     )

@@ -393,3 +393,58 @@ def e13_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f_quartile"),
         F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), "user_id")).alias("m_quartile"),
     )
+
+
+@register(
+    "e14_bounce_rate",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ids AS (
+  SELECT *, SUM(is_new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+), sess AS (
+  SELECT user_id, session_id,
+         CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_events
+  FROM ids GROUP BY 1, 2
+)
+SELECT day,
+       COUNT(*) AS n_sessions,
+       COUNT(*) FILTER (WHERE n_events = 1) AS n_bounces,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE) / COUNT(*) AS bounce_rate
+FROM sess
+GROUP BY 1
+""",
+    tags=("ST4", "W2", "A1"),
+)
+def e14_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (30-minute gap rule,
+    e3's sessionization) containing exactly one event, bucketed by the
+    session's start day — the engagement KPI sessionization exists to
+    feed. Reuses the sessionize operator wholesale, then one
+    day-grain aggregate with a conditional count (a23 discipline) and
+    a single double division — partition-count invariant by
+    construction."""
+    from big_data_programming_spark.operators.sessions import sessionize
+
+    sess = sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+    daily = sess.select(
+        F.date_trunc("day", F.col("session_start")).cast("timestamp_ntz").alias("day"),
+        "n_events",
+    )
+    return daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, True)).alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, True)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )
