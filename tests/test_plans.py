@@ -506,3 +506,45 @@ def test_dataset_split_is_single_scan_aggregate():
     assert "Join" not in final, final
     assert final.count("FileScan parquet") == 1, final
     assert "partial_count" in final, final
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime():
+    """X58/X71's sibling — the third AQE lever: a join whose build
+    side is only KNOWN to be small at runtime (an aggregated+filtered
+    derivation the static planner cannot size) is re-planned from
+    sort-merge to broadcast-hash after the first shuffle
+    materializes. The static threshold is -1 (may never broadcast)
+    while AQE's own runtime threshold allows it, so a
+    BroadcastHashJoin in the final plan proves the runtime
+    conversion; the initial plan is asserted to be the shuffle
+    join."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Split the decision: the STATIC planner may never broadcast
+        # (-1), while AQE's own runtime threshold allows it — so a
+        # BroadcastHashJoin in the final plan can only have come from
+        # the runtime size measurement.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+        orders = load(spark, SF_DIR, "orders")
+        # aggregate first: its output size is unknown until runtime
+        hot = (
+            orders.groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("spend"))
+            .filter(F.col("spend") > 400000)
+        )
+        cust = load(spark, SF_DIR, "customer")
+        joined = cust.join(hot, cust.c_custkey == hot.o_custkey).select(
+            "c_custkey", "spend"
+        )
+        joined.collect()
+        plan = plan_of(joined).split("== Initial Plan ==")
+        final, initial = plan[0], plan[1]
+        assert "BroadcastHashJoin" in final, final
+        assert "SortMergeJoin" in initial or "ShuffledHashJoin" in initial, initial
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
