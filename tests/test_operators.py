@@ -498,3 +498,86 @@ def test_kcore_on_known_graph(spark):
     rows = {(r["doc_id"], r["core_degree"]) for r in result.collect()}
     assert rows == {(1, 2), (2, 2), (3, 2)}, rows
     assert rounds == 2, rounds
+
+
+def test_pq_assignment_matches_numpy_reference(spark):
+    """l3j's generated-SQL PQ assignment vs an independent numpy
+    re-implementation with the same md5-parity codebooks: codes and
+    squared errors must agree exactly (numpy sums 16 doubles the same
+    way IEEE left-fold does for these magnitudes — verified by exact
+    equality, which would fail if they ever diverged)."""
+    import numpy as np
+
+    from big_data_programming_spark.queries.llm_similarity import (
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+        _pq_centroid,
+    )
+    from big_data_programming_spark.registry import queries
+    from big_data_programming_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["vec_id"]: ([r[f"c{m}"] for m in range(_PQ_M)], r["sq_error"])
+        for r in queries()["l3j_product_quantization"](spark, SF_DIR).collect()
+    }
+    cents = np.array(
+        [
+            [[_pq_centroid(m, k, j) for j in range(_PQ_DSUB)] for k in range(_PQ_K)]
+            for m in range(_PQ_M)
+        ]
+    )
+    sample = (
+        load(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(50).collect()
+    )
+    for row in sample:
+        x = np.array(row["embedding"], dtype=np.float64)
+        codes, err = [], 0.0
+        for m in range(_PQ_M):
+            sub = x[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            # fixed left-fold order, mirroring the generated SQL terms
+            # explicit d*d, not **2: pow can be 1 ulp off the SQL's
+            # self-multiplication
+            dists = [
+                sum(
+                    (sub[j] - cents[m, k, j]) * (sub[j] - cents[m, k, j])
+                    for j in range(_PQ_DSUB)
+                )
+                for k in range(_PQ_K)
+            ]
+            best = min(range(_PQ_K), key=lambda k: (dists[k], k))
+            codes.append(best)
+            err += dists[best]
+        g_codes, g_err = got[row["vec_id"]]
+        assert g_codes == codes, (row["vec_id"], g_codes, codes)
+        assert g_err == err, (row["vec_id"], g_err, err)
+
+
+def test_dataset_split_stable_under_corpus_growth(spark):
+    """l4p's hash-split contract: a document's split assignment is a
+    pure function of its id — restricting the corpus to any subset
+    must not change any surviving document's assignment (the property
+    that lets train/test stay disjoint across pipeline versions and
+    appends)."""
+    from pyspark.sql import functions as F
+
+    from big_data_programming_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(prefix.isin("c", "d"), "val")
+        .when(prefix.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    full = {r["doc_id"]: r["s"] for r in d.select("doc_id", split.alias("s")).collect()}
+    subset = {
+        r["doc_id"]: r["s"]
+        for r in d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert subset and all(full[k] == v for k, v in subset.items())
+    assert set(full.values()) == {"train", "val", "test"}
