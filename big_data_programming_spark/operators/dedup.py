@@ -44,20 +44,38 @@ def jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_token_df: int = 100_000,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity for all pairs sharing ≥1 token.
 
     Inverted-index formulation: explode distinct tokens, self-join on
     token (equi-join — shuffles on token, never a cross join), count
-    shared tokens per pair, then |A∩B| / (|A|+|B|-|A∩B|). Exact but
-    quadratic in the worst case — the production path at scale is
-    MinHash-LSH banding (minhash_lsh_candidates below); this operator
-    is its ground-truth twin for recall testing (SURVEY.md §7
-    hard-part 4)."""
+    shared tokens per pair, then |A∩B| / (|A|+|B|-|A∩B|). The
+    production path at scale is MinHash-LSH banding
+    (minhash_lsh_candidates below); this operator is its ground-truth
+    twin for recall testing (SURVEY.md §7 hard-part 4).
+
+    ``max_token_df`` bounds the quadratic blow-up a single hot token
+    would cause (a token in k docs emits k² join rows): tokens whose
+    document frequency exceeds the cap are dropped from the inverted
+    index via a broadcast anti-join (hot tokens are by definition few).
+    The default never triggers at fixture scale — the oracle twin stays
+    uncapped and tests/test_operators.py asserts fixture max-df is far
+    below the cap — but caps the worst case if this twin is ever lifted
+    to production data. Dropping a >100k-df token barely moves Jaccard
+    for near-dup purposes: such tokens are stopwords shared by
+    essentially every candidate pair."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
     )
+    hot = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_token_df)
+        .select("token")
+    )
+    toks = toks.join(F.broadcast(hot), "token", "left_anti")
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (

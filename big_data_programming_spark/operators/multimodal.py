@@ -105,5 +105,7 @@ def sample_chunks(blobs: DataFrame, chunk_bytes: int = 64, n_chunks: int = 4) ->
         "doc_id",
         F.col("meta.format").alias("format"),
         F.length(F.col("payload")).alias("n_bytes"),
-        F.transform(chunks, lambda c: F.md5(c)).alias("chunk_hashes"),
+        F.array_join(F.transform(chunks, lambda c: F.md5(c)), "|").alias(
+            "chunk_hashes"
+        ),
     )

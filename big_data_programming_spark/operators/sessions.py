@@ -65,9 +65,11 @@ WITH gaps AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), ids AS (
-  SELECT *, SUM(is_new_session) OVER (
+  -- CAST: DuckDB window-SUM(int) yields HUGEINT -> pandas float64,
+  -- which hash-mismatches Spark's int64 under the driver's canon.
+  SELECT *, CAST(SUM(is_new_session) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id,

@@ -76,7 +76,13 @@ def a3_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a4_approx_count_distinct",
-    oracle=None,  # HLL sketches are engine-specific — bounds asserted in tests
+    oracle=None,
+    rows_only_reason=(
+        "HLL estimates are engine-specific (register layouts differ), so no "
+        "cross-engine value exists; tests/test_approx.py asserts rsd-bound "
+        "error vs the exact count, and a20/a21 are the exact-below-capacity "
+        "sketch twins that ARE oracle-paired"
+    ),
     tags=("A4",),
 )
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,8 +175,10 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_collect_aggs",
     oracle="""
 SELECT o_orderstatus,
-       LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities,
-       LIST_SORT(LIST(DISTINCT CAST(YEAR(o_orderdate) AS INTEGER))) AS active_years
+       array_to_string(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|') AS priorities,
+       array_to_string(list_transform(
+         LIST_SORT(LIST(DISTINCT CAST(YEAR(o_orderdate) AS INTEGER))),
+         x -> CAST(x AS VARCHAR)), '|') AS active_years
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -179,11 +187,18 @@ GROUP BY o_orderstatus
 def a7_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group→array aggregation. collect_set order is nondeterministic by
     contract, so arrays are sorted before emission (SURVEY.md §7
-    hard-part 2)."""
+    hard-part 2); the sorted array is then '|'-joined to a string
+    because the driver's pandas canon cannot hash list cells (r3)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
-        F.sort_array(F.collect_set(F.year("o_orderdate").cast("int"))).alias("active_years"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias("priorities"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set(F.year("o_orderdate").cast("int"))),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("active_years"),
     )
 
 
@@ -425,7 +440,12 @@ def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a15_hll_sketch_rollup",
-    oracle=None,  # Datasketches HLL binaries are engine-specific — bounds + mergeability asserted in tests/test_approx.py
+    oracle=None,
+    rows_only_reason=(
+        "Datasketches HLL binaries are engine-specific; tests/test_approx.py "
+        "asserts estimate-vs-exact bounds AND union-of-daily == single-pass "
+        "mergeability, which is the property the operator exists for"
+    ),
     tags=("A4", "A15"),
 )
 def a15_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,7 +619,7 @@ def a17_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a18_freq_items",
     oracle="""
-SELECT list_sort(list(DISTINCT event_type)) AS freq_event_types
+SELECT array_to_string(list_sort(list(DISTINCT event_type)), '|') AS freq_event_types
 FROM events
 """,
     tags=("A4", "A7"),
@@ -617,7 +637,9 @@ def a18_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     can pin it: the sorted distinct event types."""
     e = load(spark, sf_dir, "events")
     return e.stat.freqItems(["event_type"], support=0.05).select(
-        F.array_sort(F.col("event_type_freqItems")).alias("freq_event_types")
+        F.array_join(F.array_sort(F.col("event_type_freqItems")), "|").alias(
+            "freq_event_types"
+        )
     )
 
 
@@ -626,8 +648,10 @@ def a18_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        COUNT(*) AS n_docs,
-       [quantile_disc(n_chars, 0.25), quantile_disc(n_chars, 0.5),
-        quantile_disc(n_chars, 0.9), quantile_disc(n_chars, 0.99)] AS len_quantiles
+       array_to_string(list_transform(
+         [quantile_disc(n_chars, 0.25), quantile_disc(n_chars, 0.5),
+          quantile_disc(n_chars, 0.9), quantile_disc(n_chars, 0.99)],
+         x -> CAST(x AS VARCHAR)), '|') AS len_quantiles
 FROM documents
 GROUP BY source
 """,
@@ -648,9 +672,13 @@ def a19_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.percentile_approx("n_chars", [0.25, 0.5, 0.9, 0.99], 10000).alias(
-            "len_quantiles"
-        ),
+        F.array_join(
+            F.transform(
+                F.percentile_approx("n_chars", [0.25, 0.5, 0.9, 0.99], 10000),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("len_quantiles"),
     )
 
 

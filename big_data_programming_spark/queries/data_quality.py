@@ -344,7 +344,7 @@ WITH daily AS (
   FROM scored
 )
 SELECT day,
-       MAX(n_day) AS n_events,
+       CAST(MAX(n_day) AS BIGINT) AS n_events,
        CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
          / (2.0 * MAX(n_day) * MAX(n_all)) AS tv_distance,
        CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)

@@ -376,7 +376,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT source,
-       start_offset // {PACK_CAP} AS bin_id,
+       CAST(start_offset // {PACK_CAP} AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc_id

@@ -88,10 +88,10 @@ def l6b_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        {_FMT_SQL} AS format,
        OCTET_LENGTH(encode(text)) AS n_bytes,
-       [MD5(substring(text, 1, 64)),
+       array_to_string([MD5(substring(text, 1, 64)),
         MD5(substring(text, 65, 64)),
         MD5(substring(text, 129, 64)),
-        MD5(substring(text, 193, 64))] AS chunk_hashes
+        MD5(substring(text, 193, 64))], '|') AS chunk_hashes
 FROM documents
 """,
     tags=("L6", "F1", "F4"),
@@ -235,9 +235,9 @@ WITH p AS (
   FROM p
 )
 SELECT source,
-       (cum - n_bytes) // 4096 AS shard_id,
+       CAST((cum - n_bytes) // 4096 AS BIGINT) AS shard_id,
        COUNT(*) AS n_payloads,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc,
        MD5(STRING_AGG(pmd5, '' ORDER BY doc_id)) AS manifest_md5

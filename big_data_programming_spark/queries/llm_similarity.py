@@ -239,7 +239,13 @@ def l3f_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l3e_ivf_topk",
-    oracle=None,  # k-means centroids aren't SQL-reproducible; recall vs
+    oracle=None,
+    rows_only_reason=(
+        "IVF relies on k-means centroids (iterative, init-order-dependent) "
+        "that no SQL engine can reproduce; semantics pinned instead by "
+        "tests/test_operators.py recall-vs-brute-force and by l3f, whose "
+        "fixed-grid variant of the same probe plan IS oracle-paired"
+    ),  # recall vs
     # brute force and the nprobe=n_lists exactness are asserted in
     # tests/test_operators.py
     tags=("L3", "L7", "O2"),

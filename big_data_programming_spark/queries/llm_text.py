@@ -32,7 +32,7 @@ from big_data_programming_spark.sources.loaders import load
 SELECT lang, source,
        COUNT(*) AS n_docs,
        {oracle_davg('n_chars', 'avg_chars')},
-       SUM(LEN(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents
@@ -249,7 +249,7 @@ WITH gated AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc_id
 FROM deduped
 GROUP BY lang

@@ -107,7 +107,7 @@ SELECT CASE WHEN value >= 90 THEN 'hot'
             WHEN value >= 50 THEN 'warm'
             ELSE 'cold' END AS band,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY 1
 """,
@@ -132,7 +132,7 @@ def ud12_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT bdps_value_band(value) AS band,
                COUNT(*) AS n_events,
-               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM events
         GROUP BY 1
         """
@@ -254,7 +254,7 @@ def a26_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY 1
 """,
@@ -304,7 +304,7 @@ WITH s AS (
 )
 SELECT split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM s
 GROUP BY 1
@@ -410,7 +410,7 @@ def s24_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_linestatus,
        COUNT(*) AS n_rows,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
 FROM lineitem
 WHERE l_quantity >= 30.0
 GROUP BY 1
@@ -441,7 +441,7 @@ def s25_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           END IF;
           SELECT l_linestatus,
                  COUNT(*) AS n_rows,
-                 SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
           FROM lineitem
           WHERE l_quantity >= threshold
           GROUP BY 1;
@@ -502,7 +502,7 @@ def ud15_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'ZSTD' AS codec,
        COUNT(*) AS n_rows,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
 """,
@@ -591,7 +591,7 @@ SELECT event_id,
        event_id AS parsed_id,
        event_type AS parsed_type,
        cents AS parsed_cents,
-       ['cents=' || CAST(cents AS VARCHAR), 'type=' || event_type] AS meta_entries,
+       'cents=' || CAST(cents AS VARCHAR) || '|' || 'type=' || event_type AS meta_entries,
        event_type AS map_type,
        TRUE AS roundtrip_ok
 FROM base
@@ -624,11 +624,14 @@ def f15_embedded_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["a"].alias("parsed_id"),
         parsed["b"].alias("parsed_type"),
         parsed["c"].alias("parsed_cents"),
-        F.array_sort(
-            F.transform(
-                F.map_entries(m),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-            )
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            "|",
         ).alias("meta_entries"),
         F.element_at(m, "type").alias("map_type"),
         (back == line).alias("roundtrip_ok"),

@@ -142,7 +142,12 @@ def p4_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p5_sample",
-    oracle=None,  # Bernoulli sampling is engine-specific RNG — rows-only check
+    oracle=None,
+    rows_only_reason=(
+        "Bernoulli sampling draws from engine-specific RNG streams; p5b/p5c "
+        "are the deterministic hash-sampling twins that ARE oracle-paired, "
+        "and tests pin p5's rate within binomial bounds"
+    ),  # rows-only check
     tags=("P5",),
 )
 def p5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,7 +342,7 @@ WITH per_user AS (
   SELECT user_id,
          CAST(DATE_TRUNC('day', MAX(ts)) AS TIMESTAMP) AS last_day,
          COUNT(*) AS frequency,
-         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS monetary_cents
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
   FROM events
   GROUP BY 1
 ), scored AS (

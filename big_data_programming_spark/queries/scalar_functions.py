@@ -103,15 +103,15 @@ def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 1) AS price_r1,
-       FLOOR(l_extendedprice) AS price_floor,
-       CEIL(l_extendedprice) AS price_ceil,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
        ABS(l_discount - 0.05) AS disc_dev,
        l_quantity * l_quantity AS qty_sq,
        SQRT(l_extendedprice) AS price_sqrt,
        ROUND(LN(l_extendedprice + 1.0), 6) AS price_ln,
        ROUND(EXP(l_discount), 6) AS disc_exp,
        CAST((CAST(l_orderkey AS BIGINT) % 7 + 7) % 7 AS BIGINT) AS key_mod7,
-       SIGN(l_discount - 0.05) AS disc_sign,
+       CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
        GREATEST(l_quantity, 25.0) AS qty_hi,
        LEAST(l_quantity, 25.0) AS qty_lo
 FROM lineitem
@@ -137,7 +137,7 @@ def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(price + 1.0), 6).alias("price_ln"),
         F.round(F.exp(disc), 6).alias("disc_exp"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
-        F.signum(disc - 0.05).alias("disc_sign"),
+        F.signum(disc - 0.05).cast("long").alias("disc_sign"),
         F.greatest(qty, F.lit(25.0)).alias("qty_hi"),
         F.least(qty, F.lit(25.0)).alias("qty_lo"),
     )
@@ -152,10 +152,10 @@ WITH toks AS (
 SELECT doc_id,
        LEN(tokens) AS n_tokens,
        LEN(list_distinct(tokens)) AS n_unique,
-       list_slice(tokens, 1, 3) AS first3,
+       array_to_string(list_slice(tokens, 1, 3), '|') AS first3,
        list_contains(tokens, 'the') AS has_the,
-       list_sort(list_distinct(list_filter(tokens, t -> LENGTH(t) > 5))) AS long_tokens,
-       list_transform(list_slice(tokens, 1, 3), t -> UPPER(t)) AS first3_upper,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(tokens, t -> LENGTH(t) > 5))), '|'), '') AS long_tokens,
+       array_to_string(list_transform(list_slice(tokens, 1, 3), t -> UPPER(t)), '|') AS first3_upper,
        list_reduce(list_transform(tokens, t -> LENGTH(t)), (a, b) -> a + b) AS total_chars,
        LEN(list_filter(tokens, t -> t = 'data')) > 0 AS mentions_data
 FROM toks
@@ -172,12 +172,15 @@ def f4_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("tokens").alias("n_tokens"),
         F.size(F.array_distinct("tokens")).alias("n_unique"),
-        F.slice("tokens", 1, 3).alias("first3"),
+        F.array_join(F.slice("tokens", 1, 3), "|").alias("first3"),
         F.array_contains("tokens", "the").alias("has_the"),
-        F.sort_array(F.array_distinct(F.filter("tokens", lambda t: F.length(t) > 5))).alias(
-            "long_tokens"
-        ),
-        F.transform(F.slice("tokens", 1, 3), lambda t: F.upper(t)).alias("first3_upper"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.filter("tokens", lambda t: F.length(t) > 5))),
+            "|",
+        ).alias("long_tokens"),
+        F.array_join(
+            F.transform(F.slice("tokens", 1, 3), lambda t: F.upper(t)), "|"
+        ).alias("first3_upper"),
         F.aggregate(
             F.transform("tokens", lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
         ).alias("total_chars"),
@@ -192,7 +195,7 @@ SELECT c_custkey,
        struct_pack(nation := c_nationkey, segment := c_mktsegment).nation AS s_nation,
        struct_pack(nation := c_nationkey, segment := c_mktsegment).segment AS s_segment,
        MAP(['balance'], [c_acctbal])['balance'][1] AS m_balance,
-       CARDINALITY(MAP(['balance', 'key'], [c_acctbal, CAST(c_custkey AS DOUBLE)])) AS m_size
+       CAST(CARDINALITY(MAP(['balance', 'key'], [c_acctbal, CAST(c_custkey AS DOUBLE)])) AS BIGINT) AS m_size
 FROM customer
 """,
     tags=("F5",),
@@ -502,7 +505,7 @@ def f12_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f13_string_extended",
     oracle="""
 SELECT p_partkey,
-       regexp_extract_all(p_name, '[a-z]{5,}') AS long_words,
+       COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), '|'), '') AS long_words,
        LEN(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
        split_part(p_type, ' ', 1) AS type_head,
        split_part(p_type, ' ', -1) AS type_tail,
@@ -529,7 +532,9 @@ def f13_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     return p.filter(F.col("p_partkey") <= 1000).select(
         "p_partkey",
-        F.expr("regexp_extract_all(p_name, '[a-z]{5,}', 0)").alias("long_words"),
+        F.array_join(
+            F.expr("regexp_extract_all(p_name, '[a-z]{5,}', 0)"), "|"
+        ).alias("long_words"),
         F.size(F.expr("regexp_extract_all(p_name, '[aeiou]', 0)")).alias("n_vowels"),
         F.substring_index("p_type", " ", 1).alias("type_head"),
         F.substring_index("p_type", " ", -1).alias("type_tail"),

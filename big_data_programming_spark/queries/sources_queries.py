@@ -614,7 +614,7 @@ def s15_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT category,
        COUNT(*) AS n_rows,
-       SUM((i * 2654435761) % 2147483647) AS val_sum,
+       CAST(SUM((i * 2654435761) % 2147483647) AS BIGINT) AS val_sum,
        MIN(i) AS min_id,
        MAX(i) AS max_id
 FROM (SELECT i, 'cat' || CAST(i % 5 AS VARCHAR) AS category
@@ -657,7 +657,7 @@ def s16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT category,
        COUNT(*) AS n_rows,
-       SUM((i * 2654435761) % 2147483647) AS val_sum,
+       CAST(SUM((i * 2654435761) % 2147483647) AS BIGINT) AS val_sum,
        MIN(i) AS min_id,
        MAX(i) AS max_id
 FROM (SELECT i, 'cat' || CAST(i % 5 AS VARCHAR) AS category
@@ -810,7 +810,7 @@ def s20_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH src AS (
   SELECT COUNT(*) AS total_rows,
-         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 )

