@@ -1,0 +1,398 @@
+"""Corpus mixing & sampling for training-data pipelines (SURVEY.md
+§2.11 north star; extensions X119-X124).
+
+The ops a pretraining data team runs between curation and the trainer:
+temperature-weighted source mixing, token-budget epoch planning,
+deterministic per-source reservoirs, length-curriculum binning,
+incremental near-dup screening of a new batch against history, and
+deterministic negative-pair sampling for contrastive eval.
+
+Cross-engine determinism notes (the driver hash-compares to DuckDB):
+temperature uses α=0.5 so the weight numerator is ``SQRT`` (IEEE-exact
+in both engines) instead of ``POW`` (libm, differs in the last ulp);
+weight denominators go through the decimal window-sum canon
+(functions/canonical.py); sampling keys are md5/LCG arithmetic, never
+engine RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_programming_spark.functions.canonical import DEC, davg
+from big_data_programming_spark.operators.similarity import (
+    as_double_array,
+    cosine_similarity_col,
+)
+from big_data_programming_spark.queries.llm_similarity import _COS
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+#: Decimal window-sum canon, oracle side (w8 precedent: even a 5-row
+#: window SUM of doubles drifts 1 ulp across partition counts).
+_ORACLE_WSUM = (
+    "CAST(CAST(SUM(CAST({x} AS DECIMAL(38,10))) OVER () AS VARCHAR) AS DOUBLE)"
+)
+
+
+@register(
+    "lm1_temperature_mix",
+    oracle=f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+SELECT lang, n_docs,
+       SQRT(CAST(n_docs AS DOUBLE))
+         / {_ORACLE_WSUM.format(x='SQRT(CAST(n_docs AS DOUBLE))')} AS mix_weight,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER () AS DOUBLE) AS natural_share,
+       (SQRT(CAST(n_docs AS DOUBLE))
+         / {_ORACLE_WSUM.format(x='SQRT(CAST(n_docs AS DOUBLE))')})
+         / (CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE))
+         AS boost
+FROM c
+""",
+    tags=("L4", "A1", "W4"),
+)
+def lm1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (α = 0.5): upsample
+    low-resource languages by sampling sources ∝ count^α instead of
+    raw share — the standard multilingual-pretraining rebalance.
+    ``boost`` > 1 marks the upsampled strata.
+
+    α is 0.5 so the numerator is SQRT (IEEE-exact cross-engine);
+    the Σcount^α denominator goes through the decimal window-sum
+    canon. One scan + one 5-row global window: the window input is
+    post-aggregation (|langs| rows), so the single-partition window
+    is O(strata), not O(corpus), at any scale."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    sqrt_c = F.sqrt(F.col("n_docs").cast("double"))
+    total_sqrt = F.sum(sqrt_c.cast(DEC)).over(w).cast("double")
+    total_docs = F.sum("n_docs").over(w).cast("double")
+    mix_weight = sqrt_c / total_sqrt
+    natural_share = F.col("n_docs").cast("double") / total_docs
+    return c.select(
+        "lang",
+        "n_docs",
+        mix_weight.alias("mix_weight"),
+        natural_share.alias("natural_share"),
+        (mix_weight / natural_share).alias("boost"),
+    )
+
+
+#: Tokens the epoch plan budgets for (a literal so the oracle replays).
+_EPOCH_BUDGET = 1_000_000
+
+
+@register(
+    "lm2_mix_epoch_plan",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, avail_tokens,
+       CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))
+         / {_ORACLE_WSUM.format(x='SQRT(CAST(n_docs AS DOUBLE))')}
+         * {_EPOCH_BUDGET}) AS BIGINT) AS planned_tokens,
+       CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))
+         / {_ORACLE_WSUM.format(x='SQRT(CAST(n_docs AS DOUBLE))')}
+         * {_EPOCH_BUDGET}) AS BIGINT)
+         / CAST(avail_tokens AS DOUBLE) AS repeat_factor,
+       CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))
+         / {_ORACLE_WSUM.format(x='SQRT(CAST(n_docs AS DOUBLE))')}
+         * {_EPOCH_BUDGET}) AS BIGINT)
+         > avail_tokens AS needs_oversample
+FROM c
+""",
+    tags=("L4", "A1", "W4", "F3"),
+)
+def lm2_mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan from the temperature mix: split a fixed token budget
+    across languages by mix weight, and derive each stratum's repeat
+    factor (planned / available tokens). ``needs_oversample`` marks
+    strata that must repeat data (> 1 epoch locally) — the number a
+    data-loading team reads before launching a run.
+
+    Same determinism scheme as lm1; planned_tokens floors a
+    bit-identical double, so the BIGINT is identical cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("avail_tokens"),
+    )
+    w = Window.partitionBy()
+    sqrt_c = F.sqrt(F.col("n_docs").cast("double"))
+    mix_weight = sqrt_c / F.sum(sqrt_c.cast(DEC)).over(w).cast("double")
+    planned = F.floor(mix_weight * _EPOCH_BUDGET).cast("long")
+    return c.select(
+        "lang",
+        "avail_tokens",
+        planned.alias("planned_tokens"),
+        (planned / F.col("avail_tokens").cast("double")).alias("repeat_factor"),
+        (planned > F.col("avail_tokens")).alias("needs_oversample"),
+    )
+
+
+@register(
+    "lm3_reservoir_per_source",
+    oracle="""
+SELECT source, doc_id, rnk
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents
+)
+WHERE rnk <= 5
+""",
+    tags=("P5", "W1", "L4"),
+)
+def lm3_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source reservoir: rank docs inside each
+    source by md5(doc_id) (a uniform, engine-portable permutation) and
+    keep the first k=5 — the 'inspect k random docs per source'
+    sample that stays STABLE across reruns and engines, unlike true
+    reservoir sampling's RNG state.
+
+    One shuffle on source + per-key heap (rank ≤ k is TopK-pushed by
+    Spark's WindowGroupLimit at any key size); appends only change a
+    source's sample where a new doc's hash ranks inside the top k."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "lm4_curriculum_bins",
+    oracle="""
+WITH b AS (
+  SELECT lang, doc_id, n_chars,
+         NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+)
+SELECT lang, bin,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(n_chars) AS avg_chars
+FROM b
+GROUP BY lang, bin
+""",
+    tags=("W1", "A1", "L4"),
+)
+def lm4_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum binning: quartile each language by document
+    length (NTILE over a deterministic total order) and profile the
+    bins — the stage boundaries for short→long curriculum training.
+
+    Per-lang windows keep the sort key-bounded (one shuffle on lang);
+    at 100 TB one swaps NTILE for approx-quantile cutpoints computed
+    once and joined broadcast — same output schema, no total order."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    b = d.select("lang", "n_chars", F.ntile(4).over(w).alias("bin"))
+    return b.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        davg("n_chars", "avg_chars"),
+    )
+
+
+#: SimHash-as-integer: 16 bit-position sign votes over md5 token
+#: hashes, packed into one BIGINT (operators/dedup.py simhash emits the
+#: bit STRING; the int form enables bit_count hamming in both engines).
+_SIG_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(t.token), 1, 15)) AS BIGINT) AS h
+  FROM documents, UNNEST(list_distinct(string_split(text, ' '))) AS t(token)
+), votes AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM toks, (SELECT UNNEST(generate_series(0, 15)) AS bit) b
+), signs AS (
+  SELECT doc_id, bit,
+         CASE WHEN SUM(vote) > 0 THEN (CAST(1 AS BIGINT) << bit)
+              ELSE 0 END AS bitval
+  FROM votes GROUP BY doc_id, bit
+), sigs AS (
+  SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS sig
+  FROM signs GROUP BY doc_id
+)
+"""
+
+
+def _simhash_int(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, sig BIGINT) — int-packed SimHash (twin of _SIG_SQL)."""
+    from big_data_programming_spark.operators.dedup import _token_hash60, tokenize
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token"),
+    ).select("doc_id", _token_hash60(F.col("token")).alias("h"))
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn("vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+    signs = votes.groupBy("doc_id", "bit").agg(
+        F.when(
+            # shiftleft() takes a literal count in the classic API;
+            # expr() accepts the column-valued bit position.
+            F.sum("vote") > 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bitval")
+    )
+    return signs.groupBy("doc_id").agg(F.sum("bitval").cast("long").alias("sig"))
+
+
+@register(
+    "lm5_incremental_simhash_dedup",
+    oracle=_SIG_SQL
+    + """
+, hist AS (SELECT doc_id, sig, sig & 255 AS b0, sig >> 8 AS b1
+           FROM sigs WHERE doc_id % 10 <> 9),
+  new  AS (SELECT doc_id, sig, sig & 255 AS b0, sig >> 8 AS b1
+           FROM sigs WHERE doc_id % 10 = 9),
+  cand AS (
+    SELECT new.doc_id AS new_doc_id, hist.doc_id AS hist_doc_id,
+           bit_count(xor(new.sig, hist.sig)) AS hamming
+    FROM new JOIN hist ON new.b0 = hist.b0
+    UNION
+    SELECT new.doc_id, hist.doc_id, bit_count(xor(new.sig, hist.sig))
+    FROM new JOIN hist ON new.b1 = hist.b1
+  )
+SELECT new_doc_id,
+       COUNT(*) AS n_near_dups,
+       MIN(hamming) AS best_hamming,
+       ARG_MIN(hist_doc_id, hamming * 1000000 + hist_doc_id) AS dup_of
+FROM cand
+WHERE hamming <= 3
+GROUP BY new_doc_id
+""",
+    tags=("L2", "L1", "J1", "F10"),
+)
+def lm5_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: SimHash the NEW batch (doc_id % 10
+    = 9 plays the new arrivals) and band-join it against the HISTORICAL
+    signature set; hamming ≤ 3 (of 16 bits) flags a near-dup, with the
+    best (lowest-hamming, id-tiebroken) historical match reported.
+    l1c is this pipeline's exact-hash twin; this is the fuzzy tier.
+
+    Scale shape: history is a persisted (doc_id, sig) table — 16 bytes
+    a row, never the text — and the two band equi-joins shuffle only
+    the NEW batch against band-bucketed history; hamming is a single
+    bit_count(xor) per candidate, so the screen is bounded by candidate
+    count, not corpus size. At production bits=64 with 4 bands of 16."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = _simhash_int(docs)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        (F.col("sig") % 256).alias("b0"),
+        (F.col("sig") / 256).cast("long").alias("b1"),
+    )
+    hist = banded.filter(F.col("doc_id") % 10 != 9)
+    new = banded.filter(F.col("doc_id") % 10 == 9)
+
+    def _cand(band: str) -> DataFrame:
+        h = hist.select(
+            F.col("doc_id").alias("hist_doc_id"),
+            F.col("sig").alias("hist_sig"),
+            F.col(band).alias("bk"),
+        )
+        n = new.select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.col("sig").alias("new_sig"),
+            F.col(band).alias("bk"),
+        )
+        return n.join(h, "bk").select(
+            "new_doc_id",
+            "hist_doc_id",
+            F.bit_count(F.col("new_sig").bitwiseXOR(F.col("hist_sig"))).alias(
+                "hamming"
+            ),
+        )
+
+    cand = _cand("b0").union(_cand("b1")).distinct()
+    return (
+        cand.filter(F.col("hamming") <= 3)
+        .groupBy("new_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dups"),
+            F.min("hamming").alias("best_hamming"),
+            F.min_by(
+                "hist_doc_id",
+                F.col("hamming").cast("long") * 1_000_000 + F.col("hist_doc_id"),
+            ).alias("dup_of"),
+        )
+    )
+
+
+@register(
+    "lm6_negative_pair_audit",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+a AS (
+  SELECT vec_id, embedding, label,
+         (vec_id * 48271 + 7) % n.n AS partner
+  FROM embeddings CROSS JOIN n
+)
+SELECT a.vec_id, b.vec_id AS partner_id,
+       {_COS.format(a='a.embedding', b='b.embedding')} AS neg_cosine,
+       a.label = b.label AS same_label
+FROM a JOIN embeddings b ON b.vec_id = a.partner
+WHERE a.vec_id <> b.vec_id
+""",
+    tags=("L3", "J1", "F3"),
+)
+def lm6_negative_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive eval: pair each
+    vector with a pseudo-random partner via an LCG step over the dense
+    id space ((id·48271+7) mod N — engine-portable, rerun-stable,
+    unlike RNG shuffles), then audit the negatives: cosine of each
+    pair and whether the 'negative' accidentally shares the label
+    (false negatives a contrastive loss must tolerate or filter).
+
+    The corpus size N is a 1-row broadcast (same pattern as l3's query
+    row); pairing is then a single equi-join on partner id — no
+    quadratic, no RNG state, any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    a = emb.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        "embedding",
+        "label",
+        ((F.col("vec_id") * 48271 + 7) % F.col("n")).alias("partner"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("partner_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("label").alias("p_label"),
+    )
+    return (
+        a.join(b, a["partner"] == b["partner_id"])
+        .filter(F.col("vec_id") != F.col("partner_id"))
+        .select(
+            "vec_id",
+            "partner_id",
+            cosine_similarity_col(
+                as_double_array(F.col("embedding")), as_double_array(F.col("p_emb"))
+            ).alias("neg_cosine"),
+            (F.col("label") == F.col("p_label")).alias("same_label"),
+        )
+    )

@@ -56,6 +56,9 @@ _QUERY_MODULES = (
     "joins",
     "relational_extras",
     "modern_sql",
+    # added in round 4 — MUST stay after the modules forming the live
+    # driver window so new entries don't displace it mid-round:
+    "llm_mixing",
 )
 
 

@@ -47,6 +47,9 @@ SAMPLE_QUERIES = [
     "l4m_sequence_packing",
     "l6f_shard_manifest",
     "ud8_cogroup",
+    # round-4 additions (llm_mixing module)
+    "lm5_incremental_simhash_dedup",
+    "lm6_negative_pair_audit",
 ]
 
 _CHILD = r"""

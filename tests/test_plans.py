@@ -206,6 +206,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l3k_adc_search",  # 1-row ADC lookup-table broadcast (PQ query side)
         "s15_compaction",  # 1-row files-before count attached to the 1-row summary
         "dq3_partition_drift",  # 1-row median + 1-row MAD broadcast attaches
+        "lm6_negative_pair_audit",  # 1-row corpus-size broadcast (LCG partner modulo)
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
