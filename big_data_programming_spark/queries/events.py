@@ -435,3 +435,155 @@ def e10_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count_distinct("user_id").alias("users_7d"))
     )
+
+
+@register(
+    "e16_conversion_attribution",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, ts,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS touch_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS touch_ts
+  FROM events
+), conv AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND touch_ts >= ts - INTERVAL 7 DAY
+              THEN touch_type ELSE 'none' END AS attributed_channel,
+         CASE WHEN touch_ts IS NOT NULL
+                   AND touch_ts >= ts - INTERVAL 7 DAY
+              THEN (epoch_us(ts) // 1000000 - epoch_us(touch_ts) // 1000000)
+                   / 3600.0 END AS hours_to_convert
+  FROM touched WHERE event_type = 'purchase'
+), agg AS (
+  SELECT attributed_channel,
+         CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         CAST(CAST(SUM(CAST(hours_to_convert AS DECIMAL(38,10))) AS VARCHAR)
+           AS DOUBLE) / COUNT(hours_to_convert) AS avg_hours_to_convert
+  FROM conv GROUP BY attributed_channel
+)
+SELECT attributed_channel, n_conversions, avg_hours_to_convert,
+       CAST(n_conversions AS DOUBLE)
+         / CAST(SUM(n_conversions) OVER () AS BIGINT) AS share
+FROM agg
+""",
+    tags=("W3", "A1", "F2"),
+)
+def e16_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent NON-purchase event within a 7-day lookback
+    (older or absent touches fall into the 'none' bucket), with
+    conversion share and mean touch→purchase latency per channel — the
+    marketing-analytics op the e4/e6/e12 path family doesn't cover.
+
+    One user-keyed window (last_value IGNORE NULLS over a running
+    frame) does the touch carry-forward in a single shuffle of the
+    event stream; everything after runs on |purchases| rows, then
+    |channels| rows. The share denominator is an integer window sum
+    over ≤6 aggregated rows; latency means use the decimal canon
+    (integer epoch-second diffs, one double division per row)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = e.select(
+        "event_type",
+        "ts",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    in_window = F.col("touch_ts").isNotNull() & (
+        F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    )
+    conv = touched.select(
+        F.when(in_window, F.col("touch_type")).otherwise("none").alias(
+            "attributed_channel"
+        ),
+        F.when(
+            in_window,
+            (
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+                - F.expr("unix_micros(CAST(touch_ts AS TIMESTAMP)) div 1000000")
+            )
+            / 3600.0,
+        ).alias("hours_to_convert"),
+    )
+    agg = conv.groupBy("attributed_channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        (
+            F.sum(F.col("hours_to_convert").cast(DEC)).cast("double")
+            / F.count("hours_to_convert")
+        ).alias("avg_hours_to_convert"),
+    )
+    share_w = Window.partitionBy()
+    return agg.select(
+        "attributed_channel",
+        "n_conversions",
+        "avg_hours_to_convert",
+        (
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(share_w)
+        ).alias("share"),
+    )
+
+
+@register(
+    "e17_wow_kpi",
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           AS revenue
+  FROM events GROUP BY 1
+)
+SELECT week, n_events, revenue,
+       LAG(revenue) OVER (ORDER BY week) AS prev_revenue,
+       (revenue - LAG(revenue) OVER (ORDER BY week))
+         / LAG(revenue) OVER (ORDER BY week) AS wow_pct
+FROM weekly
+""",
+    tags=("W2", "A1", "F2"),
+)
+def e17_wow_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week KPI report: weekly event volume and revenue with
+    the previous week's revenue and percent change alongside — the
+    period-over-period framing dashboards live on (w2 demos LAG
+    mechanically; this is the KPI composition with ISO-week truncation,
+    identical Monday-start in both engines).
+
+    The LAG window runs over ≤#weeks aggregated rows, never event
+    volume. Weekly revenues are decimal-canon doubles, so the
+    subtraction and division in wow_pct are single deterministic IEEE
+    ops on bit-identical inputs — no float drift enters the oracle
+    hash."""
+    e = load(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("revenue"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "n_events",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("wow_pct"),
+    )

@@ -1,0 +1,363 @@
+"""Pipeline-infrastructure operators (SURVEY.md §2.12 X125-X128):
+bloom-filter semi-join prefiltering, zero-extra-pass observed metrics,
+algebraic partial-aggregate rollup maintenance, and per-stratum
+deterministic sampling.
+
+These are the ops that make a 100 TB pipeline *operable*: pre-filtering
+a fact scan with a broadcastable membership sketch instead of a shuffle
+semi-join, collecting pipeline metrics inside the query that already
+runs (``df.observe`` — no second scan), maintaining month-to-date
+rollups from daily partials without re-reading history, and sampling
+each stratum at its own rate without engine RNG.
+
+Cross-engine determinism: every "random" bit here is md5 arithmetic
+(identical in Spark and DuckDB), so even the bloom filter's FALSE
+POSITIVES are bit-identical cross-engine and fully oracle-paired —
+unlike Spark's internal ``bloom_filter_agg`` (not exposed as a SQL
+routine in 4.1.2; its runtime-filter form is exercised in
+tests/test_plans.py instead). Bloom words are 32-bit (stored in
+BIGINT): the max shift is 31, so shift/overflow semantics cannot
+diverge between engines the way ``1 << 63`` would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.functions.canonical import (
+    DEC,
+    davg,
+    oracle_davg,
+    oracle_dsum,
+)
+from big_data_programming_spark.registry import register
+from big_data_programming_spark.sources.loaders import load
+
+#: Bloom geometry: m = 1024 bits as 32 words x 32 bits, k = 3 hashes.
+#: Deliberately SMALL so the FP audit is non-trivial at sf0.01 and the
+#: saturation failure mode is visible at sf0.1 (reduction_pct decays as
+#: the build set outgrows m) — production sizes m ≈ 14.4·n bits for 1%
+#: FP from an approx_count_distinct of the build side.
+_M_BITS = 1024
+_WORD = 32
+
+#: k=3 bit positions from disjoint 8-hex-char md5 slices (1-8, 9-16,
+#: 17-24); 8 hex chars < 2^32 fits BIGINT exactly in both engines.
+_SLICES = (1, 9, 17)
+
+
+def _positions(key: Column) -> list[Column]:
+    """Three bloom bit positions in [0, m) from md5(key), engine-portable."""
+    return [
+        F.conv(F.substring(F.md5(key), s, 8), 16, 10).cast("long") % _M_BITS
+        for s in _SLICES
+    ]
+
+
+def _oracle_pos(key_sql: str, s: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTRING(md5({key_sql}), {s}, 8)) AS BIGINT)"
+        f" % {_M_BITS}"
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx, bits) bloom table — at most m/32 rows, broadcastable.
+
+    Build is one explode (3 rows per key) + one 32-group bit_or
+    aggregate: map-side combine reduces each partition to ≤32 rows
+    before the shuffle, so build cost is one scan of the key set at
+    any scale."""
+    pos = F.explode(F.array(*_positions(F.col(key_col)))).alias("p")
+    return (
+        keys.select(pos)
+        .select(
+            (F.col("p") / _WORD).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_WORD} AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(facts: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
+    """``facts`` + a ``bloom_pass`` flag, via 3 broadcast 1:1 left joins.
+
+    No explode and no shuffle of the fact side: each of the k probes is
+    an in-row (word, mask) pair joined against the ≤32-row broadcast
+    bloom table, so the fact scan stays map-side; a missing word row
+    means those bits were never set (COALESCE 0)."""
+    out = facts
+    cond = F.lit(True)
+    for i, p in enumerate(_positions(key)):
+        b = bloom.select(
+            F.col("word_idx").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        out = (
+            out.withColumn(f"_p{i}", p)
+            .withColumn(f"_w{i}", (F.col(f"_p{i}") / _WORD).cast("long"))
+            .withColumn(
+                f"_m{i}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % {_WORD} AS INT))"
+                ),
+            )
+        )
+        out = out.join(F.broadcast(b), out[f"_w{i}"] == b[f"w{i}"], "left")
+        cond = cond & (
+            F.coalesce(F.col(f"bits{i}"), F.lit(0)).bitwiseAND(F.col(f"_m{i}"))
+            == F.col(f"_m{i}")
+        )
+    return out.withColumn("bloom_pass", cond)
+
+
+_B = {f"p{i}": _oracle_pos("CAST(o_custkey AS VARCHAR)", s)
+      for i, s in enumerate(_SLICES)}
+
+
+@register(
+    "po1_bloom_prefilter",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey = 3
+), pos AS (
+  SELECT u.p FROM keys, UNNEST([
+    {_oracle_pos('CAST(c_custkey AS VARCHAR)', 1)},
+    {_oracle_pos('CAST(c_custkey AS VARCHAR)', 9)},
+    {_oracle_pos('CAST(c_custkey AS VARCHAR)', 17)}]) AS u(p)
+), bloom AS (
+  SELECT p // {_WORD} AS word_idx,
+         CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(p % {_WORD} AS INT)) AS BIGINT)
+           AS bits
+  FROM pos GROUP BY 1
+), probed AS (
+  SELECT o.o_orderkey,
+         ({_B['p0']}) AS p0, ({_B['p1']}) AS p1, ({_B['p2']}) AS p2,
+         o.o_custkey IN (SELECT c_custkey FROM keys) AS is_member
+  FROM orders o
+), flagged AS (
+  SELECT p.is_member,
+         (COALESCE(b0.bits, 0) & (CAST(1 AS BIGINT) << CAST(p0 % {_WORD} AS INT)))
+           = (CAST(1 AS BIGINT) << CAST(p0 % {_WORD} AS INT))
+         AND (COALESCE(b1.bits, 0) & (CAST(1 AS BIGINT) << CAST(p1 % {_WORD} AS INT)))
+           = (CAST(1 AS BIGINT) << CAST(p1 % {_WORD} AS INT))
+         AND (COALESCE(b2.bits, 0) & (CAST(1 AS BIGINT) << CAST(p2 % {_WORD} AS INT)))
+           = (CAST(1 AS BIGINT) << CAST(p2 % {_WORD} AS INT)) AS bloom_pass
+  FROM probed p
+  LEFT JOIN bloom b0 ON b0.word_idx = p.p0 // {_WORD}
+  LEFT JOIN bloom b1 ON b1.word_idx = p.p1 // {_WORD}
+  LEFT JOIN bloom b2 ON b2.word_idx = p.p2 // {_WORD}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_pos,
+       CAST(COUNT(*) - SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS reduction_share
+FROM flagged
+""",
+    tags=("J3", "F10", "F7", "A1"),
+)
+def po1_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter with a full FP audit: build a
+    1024-bit / 3-hash bloom over nation-3 customers, probe every order
+    by custkey, and compare the bloom's verdict with the exact semi-join
+    — n_false_pos and reduction_share quantify what the sketch buys.
+
+    Scale shape: the bloom is a ≤32-row broadcast, so the fact side is
+    pre-filtered map-side with NO shuffle — at 100 TB this is the
+    semi-join-reduction pattern (scan → cheap membership test → exact
+    join on the ~member-sized survivor set) that replaces shuffling the
+    whole fact table; Spark's own runtime injection of exactly this
+    (``bloom_filter_agg``/``might_contain`` around a shuffle join) is
+    asserted in tests/test_plans.py. The no-false-negative guarantee
+    (n_bloom_pass ⊇ members) is pinned in tests/test_pipeline_ops.py;
+    the deliberately tiny m makes FP behaviour visible and the md5
+    arithmetic makes it bit-identical in the DuckDB oracle."""
+    cust = load(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_nationkey") == 3).select("c_custkey").distinct()
+    bloom = bloom_build(
+        keys.select(F.col("c_custkey").cast("string").alias("k")), "k"
+    )
+    orders = load(spark, sf_dir, "orders")
+    probed = bloom_probe(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("o_custkey").cast("string"),
+        bloom,
+    )
+    member = keys.select(F.col("c_custkey").alias("mk"))
+    flagged = probed.join(
+        F.broadcast(member), probed["o_custkey"] == member["mk"], "left"
+    ).select(
+        F.col("mk").isNotNull().alias("is_member"), "bloom_pass"
+    )
+    n = F.count(F.lit(1))
+    npass = F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+    return flagged.agg(
+        n.alias("n_orders"),
+        npass.alias("n_bloom_pass"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        ((n - npass).cast("double") / n).alias("reduction_share"),
+    )
+
+
+def observed_quality_gate(
+    docs: DataFrame, min_chars: int = 200, min_tokens: int = 30
+) -> tuple[DataFrame, Observation]:
+    """Quality gate whose scan/reject metrics ride the SAME job via
+    ``df.observe`` — zero extra passes. Returns (survivor per-lang
+    profile, Observation); read ``obs.get`` after any action on the
+    result. At 100 TB the alternative is a second full scan just to
+    count rejects; observe() attaches the counters to the scan that
+    already runs (metrics travel with task completion events, no
+    shuffle, no collect)."""
+    obs = Observation("quality_gate")
+    passing = (F.col("n_chars") >= min_chars) & (
+        F.size(F.split(F.col("text"), r"\s+")) >= min_tokens
+    )
+    watched = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(F.when(~passing, 1).otherwise(0)).alias("n_rejected"),
+    )
+    gated = watched.filter(passing)
+    out = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("n_chars").cast("double"), "avg_chars"),
+    )
+    return out, obs
+
+
+@register(
+    "po2_observed_quality_gate",
+    oracle=f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {oracle_davg('CAST(n_chars AS DOUBLE)', 'avg_chars')}
+FROM documents
+WHERE n_chars >= 200 AND LEN(regexp_split_to_array(text, '\\s+')) >= 30
+GROUP BY lang
+""",
+    tags=("A1", "P2", "F1"),
+)
+def po2_observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang survivor profile of the quality gate, with the gate's
+    scan/reject counters observed inline (operators-style metrics
+    without a second scan; the Observation equality vs the oracle is
+    asserted in tests/test_pipeline_ops.py — this registered entry
+    hash-checks the survivor profile)."""
+    docs = load(spark, sf_dir, "documents")
+    out, _obs = observed_quality_gate(docs)
+    return out
+
+
+@register(
+    "po3_incremental_kpi_rollup",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS total_events,
+       {oracle_dsum('value', 'total_value')},
+       {oracle_davg('value', 'avg_value')}
+FROM events
+GROUP BY event_type
+""",
+    tags=("A1", "A13", "F2"),
+)
+def po3_incremental_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-to-date KPI rollup maintained from DAILY PARTIAL
+    aggregates: history days persist as (day, type, cnt, decimal-sum)
+    partials; the newest day is re-aggregated from raw events; merging
+    partials (SUM of counts, SUM of decimal sums) reproduces the full
+    recompute BIT-EXACTLY because count/sum over DECIMAL are algebraic
+    and order-free — that equality IS the oracle check here (the oracle
+    recomputes from raw events).
+
+    Scale shape: each refresh touches one day of raw data + |keys|·days
+    partial rows; history raw data is never re-read. The decimal canon
+    is what makes the merge safe — partial DOUBLE sums would drift with
+    merge order. The newest-day split uses a 1-row broadcast max(day)
+    (allowlisted tiny BNLJ), a scalar subquery in the oracle's terms."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    last = ev.agg(F.max("day").alias("last_day"))
+    ev = ev.crossJoin(F.broadcast(last))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).alias("vsum"),
+            F.count("value").alias("vcnt"),
+        )
+
+    hist = partials(ev.filter(F.col("day") < F.col("last_day")))
+    fresh = partials(ev.filter(F.col("day") == F.col("last_day")))
+    merged = hist.unionByName(fresh)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("total_events"),
+        F.sum("vsum").cast("double").alias("total_value"),
+        (F.sum("vsum").cast("double") / F.sum("vcnt")).alias("avg_value"),
+    )
+
+
+#: Per-stratum sampling rates: downsample the high-resource head hard,
+#: keep half of everything else (literal so the oracle replays; at
+#: scale this map is lm1's temperature weights joined broadcast).
+_RATES = (("en", 0.1), ("de", 0.5), ("es", 0.5), ("fr", 0.5), ("zh", 0.5))
+_RATE_VALUES = ", ".join(f"('{lang}', {r})" for lang, r in _RATES)
+
+
+@register(
+    "po4_stratified_hash_sample",
+    oracle=f"""
+WITH rates(lang, target_rate) AS (VALUES {_RATE_VALUES}),
+s AS (
+  SELECT d.lang, r.target_rate,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) < FLOOR(r.target_rate * 4294967296) AS keep
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT lang, target_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS realized_rate
+FROM s GROUP BY lang, target_rate
+""",
+    tags=("P5", "J8", "A1"),
+)
+def po4_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each language keeps its own
+    rate (head languages downsampled 5×) via the md5-threshold test —
+    doc_id's hash fraction under the stratum's cutoff. Rerun-, engine-
+    and partitioning-stable, unlike ``sampleBy`` (RNG per partition);
+    the integer threshold comparison (hash < floor(rate·2^32)) avoids
+    any float comparison drift.
+
+    Scale shape: rates are a broadcast map (here literals; in the full
+    pipeline lm1's temperature weights), the filter is in-row on the
+    scan — no shuffle until the audit aggregate, and the sample itself
+    needs no aggregate at all. Membership stability under appends is
+    what makes the sample reusable as a fixed eval slice."""
+    rates = spark.createDataFrame(list(_RATES), ["lang", "target_rate"])
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    keep = h.cast("long") < F.floor(F.col("target_rate") * F.lit(4294967296.0))
+    s = docs.join(F.broadcast(rates), "lang").select(
+        "lang", "target_rate", keep.alias("keep")
+    )
+    nkeep = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return s.groupBy("lang", "target_rate").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        nkeep.alias("n_sampled"),
+        (nkeep.cast("double") / F.count(F.lit(1))).alias("realized_rate"),
+    )

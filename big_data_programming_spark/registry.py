@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     # added in round 4 — MUST stay after the modules forming the live
     # driver window so new entries don't displace it mid-round:
     "llm_mixing",
+    "pipeline_ops",
 )
 
 

@@ -1,0 +1,110 @@
+"""Pipeline-ops invariants beyond oracle parity (which
+test_oracle_parity.py already covers for po1-po4): the bloom's
+no-false-negative guarantee and bounded build size, the Observation's
+zero-extra-pass metrics equality, bit-exact partial-merge invariance
+under partitioning, and stratified-sample determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_programming_spark.functions.canonical import DEC
+from big_data_programming_spark.queries.pipeline_ops import (
+    bloom_build,
+    bloom_probe,
+    observed_quality_gate,
+    po1_bloom_prefilter,
+    po3_incremental_kpi_rollup,
+)
+from big_data_programming_spark.sources.loaders import load
+from tests.conftest import SF_DIR
+
+
+def test_bloom_no_false_negatives(spark):
+    """A bloom filter may pass non-members but must NEVER drop a
+    member: every true member tests positive, so true positives ==
+    n_members exactly."""
+    row = po1_bloom_prefilter(spark, SF_DIR).collect()[0]
+    true_positives = row["n_bloom_pass"] - row["n_false_pos"]
+    assert true_positives == row["n_members"]
+    assert 0.0 <= row["reduction_share"] <= 1.0
+    # the deliberately tiny m=1024 makes the FP audit non-trivial
+    assert row["n_bloom_pass"] <= row["n_orders"]
+
+
+def test_bloom_build_bounded_and_probe_roundtrip(spark):
+    """The bloom table never exceeds m/32 rows (broadcastable at any
+    build-set size), and probing the build set itself passes 100%."""
+    keys = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(keys, "k")
+    assert bloom.count() <= 32
+    probed = bloom_probe(keys, F.col("k"), bloom)
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
+
+
+def test_observation_metrics_match_oracle(spark, oracle):
+    """df.observe collects the gate's scan/reject counters on the SAME
+    job as the survivor profile — values must equal a direct oracle
+    recount (no sampling, no approximation in observed metrics)."""
+    docs = load(spark, SF_DIR, "documents")
+    out, obs = observed_quality_gate(docs)
+    out.count()  # any action materializes the observation
+    got = obs.get
+    exp = oracle.execute(
+        "SELECT COUNT(*) AS n, SUM(CASE WHEN NOT (n_chars >= 200 AND "
+        "LEN(regexp_split_to_array(text, '\\s+')) >= 30) THEN 1 ELSE 0 END) "
+        "AS r FROM documents"
+    ).fetchone()
+    assert got["n_scanned"] == exp[0]
+    assert got["n_rejected"] == exp[1]
+
+
+def test_partial_merge_is_bit_exact_under_partitioning(spark):
+    """Merging daily DECIMAL partials must reproduce the single-pass
+    aggregate bit-for-bit regardless of how the raw data was
+    partitioned — the property that makes incremental rollup
+    maintenance safe (double partials would drift with merge order)."""
+    merged = {
+        r["event_type"]: (r["total_value"], r["avg_value"])
+        for r in po3_incremental_kpi_rollup(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    for parts in (3, 17):
+        direct = (
+            ev.repartition(parts)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("tv"),
+                (
+                    F.sum(F.col("value").cast(DEC)).cast("double")
+                    / F.count("value")
+                ).alias("av"),
+            )
+            .collect()
+        )
+        for r in direct:
+            tv, av = merged[r["event_type"]]
+            assert r["tv"] == tv  # bit equality, not approx
+            assert r["av"] == av
+
+
+def test_stratified_sample_membership_is_partition_invariant(spark):
+    """The md5-threshold sample must select the SAME doc_ids however
+    the input is partitioned (sampleBy's per-partition RNG does not) —
+    that stability is what makes the sample a reusable eval slice."""
+    docs = load(spark, SF_DIR, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keep = h < F.floor(F.lit(0.5) * F.lit(4294967296.0))
+    a = {r["doc_id"] for r in docs.filter(keep).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in docs.repartition(13)
+        .filter(keep)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+    n = docs.count()
+    assert abs(len(a) / n - 0.5) < 0.1  # uniform hash ≈ target rate

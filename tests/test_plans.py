@@ -207,6 +207,7 @@ def test_no_accidental_cartesian_in_catalog():
         "s15_compaction",  # 1-row files-before count attached to the 1-row summary
         "dq3_partition_drift",  # 1-row median + 1-row MAD broadcast attaches
         "lm6_negative_pair_audit",  # 1-row corpus-size broadcast (LCG partner modulo)
+        "po3_incremental_kpi_rollup",  # 1-row max(day) broadcast (newest-day split)
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
