@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from big_data_programming_spark.functions.canonical import DEC
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
 
@@ -417,4 +418,108 @@ def dq5_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             tv.alias("tv_distance"),
             (tv > 0.05).alias("is_drifted"),
         )
+    )
+
+
+@register(
+    "dq6_point_in_time_join",
+    oracle="""
+WITH browse AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type <> 'purchase'
+), ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM browse
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grp AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version
+  FROM ordered
+), iv AS (
+  SELECT user_id, version, event_type AS state, MIN(ts) AS valid_from
+  FROM grp GROUP BY 1, 2, 3
+), dim AS MATERIALIZED (
+  SELECT user_id, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM iv
+), looked AS (
+  SELECT COALESCE(d.state, 'none') AS state_at_purchase, p.value
+  FROM (SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+  LEFT JOIN dim d
+    ON d.user_id = p.user_id
+   AND p.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+)
+SELECT state_at_purchase,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM looked GROUP BY state_at_purchase
+""",
+    tags=("J6", "W1", "W4", "A1"),
+)
+def dq6_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimensional lookup: each purchase fact joined to
+    the SCD2 browsing-state dimension (dq4's interval build over the
+    user's NON-purchase stream) on user + half-open validity interval
+    [valid_from, valid_to) — "what state was the user in when they
+    bought". Purchases before any browse event fall into 'none'. This
+    is the temporal-dim mechanics e16's window formulation sidesteps:
+    against a MAINTAINED dimension table you join, you don't replay
+    the stream.
+
+    Scale shape: the interval predicate rides a user_id equi-join, so
+    the plan is one keyed shuffle of facts + dim (each user's interval
+    list is version-count sized); validity intervals are disjoint per
+    user, so the join is 1:≤1 and row counts are stable. At 100 TB the
+    dim is the incrementally-maintained SCD2 table and only the
+    day's facts scan."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    browse = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = browse.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    iv = grp.groupBy("user_id", "version", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = iv.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    looked = p.join(
+        dim,
+        (dim["user_id"] == p["p_user"])
+        & (p["p_ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (p["p_ts"] < dim["valid_to"])),
+        "left",
+    ).select(
+        F.coalesce(F.col("state"), F.lit("none")).alias("state_at_purchase"),
+        "value",
+    )
+    return looked.groupBy("state_at_purchase").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )

@@ -550,3 +550,47 @@ def test_aqe_converts_smj_to_broadcast_at_runtime():
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_identical_aggregate_shuffle_is_reused():
+    """When the same aggregate subtree appears twice in a plan (here a
+    period-shifted self-join of per-order quantities), Spark must plan
+    ONE shuffle and a ReusedExchange for the second occurrence — at
+    100 TB the difference between shuffling the fact table once or
+    twice. Executed (not just compiled) because exchange reuse is
+    finalized at runtime under AQE."""
+    import big_data_programming_spark.session as S
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    li = load(spark, SF_DIR, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    a, b = agg.alias("a"), agg.alias("b")
+    j = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey") + 1)
+        .select(F.col("a.l_orderkey"), (F.col("a.q") - F.col("b.q")).alias("dq"))
+    )
+    j.collect()  # materialize so AQE finalizes the reuse
+    plan = plan_of(j)
+    assert "ReusedExchange" in plan, plan
+
+
+def test_point_in_time_join_is_keyed_not_cartesian():
+    """dq6's interval predicate must ride the user_id equi-join: the
+    planner keys the shuffle on user_id and applies the validity-range
+    bounds as a join condition — never a broadcast nested loop over
+    the fact side."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    q = catalog()["dq6_point_in_time_join"]
+    df = q.fn(spark, SF_DIR)
+    df.collect()  # finalize under AQE
+    plan = plan_of(df)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan  # dim side small at test SF
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
