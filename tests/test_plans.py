@@ -594,3 +594,68 @@ def test_point_in_time_join_is_keyed_not_cartesian():
     ), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cbo_statistics_drive_cardinality_estimates():
+    """ANALYZE TABLE … FOR COLUMNS must populate exact row counts and
+    per-column min/max/ndv, and with CBO enabled the optimizer must
+    USE them: a mid-range filter's estimated rowCount comes out
+    strictly between 0 and the table count (selectivity from column
+    stats, not the magic 1/3 fallback). At scale these estimates are
+    what pick join orders and broadcast sides before a single row is
+    read."""
+    import big_data_programming_spark.session as S
+
+    import shutil
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    spark.sql("DROP TABLE IF EXISTS bdps_cbo_orders")
+    shutil.rmtree("spark-warehouse/bdps_cbo_orders", ignore_errors=True)
+    load(spark, SF_DIR, "orders").write.mode("overwrite").saveAsTable(
+        "bdps_cbo_orders"
+    )
+    spark.sql(
+        "ANALYZE TABLE bdps_cbo_orders COMPUTE STATISTICS "
+        "FOR COLUMNS o_custkey, o_totalprice"
+    )
+    old = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        t = spark.table("bdps_cbo_orders")
+        n = t.count()
+        stats = t._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().toString() == f"Some({n})"
+        info = {
+            r[0]: r[1]
+            for r in spark.sql(
+                "DESC EXTENDED bdps_cbo_orders o_totalprice"
+            ).collect()
+        }
+        lo, hi = float(info["min"]), float(info["max"])
+        mid = (lo + hi) / 2
+        est = (
+            t.filter(F.col("o_totalprice") < mid)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .rowCount()
+        )
+        assert est.isDefined()
+        est_n = int(str(est.get()))
+        assert 0 < est_n < n, (est_n, n)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+
+
+def test_rank_filter_pushes_window_group_limit():
+    """rank()/row_number() ≤ k filters must compile to WindowGroupLimit
+    (Spark 3.5+): each group keeps a k-row heap during the sort instead
+    of fully sorting and then filtering — the reason lm3's per-source
+    reservoir stays O(k) state per key at any key size."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    for name in ("lm3_reservoir_per_source", "w6_topk_per_group"):
+        plan = plan_of(catalog()[name].fn(spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, (name, plan)
