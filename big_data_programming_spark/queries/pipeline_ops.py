@@ -110,7 +110,9 @@ def bloom_probe(facts: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
             F.coalesce(F.col(f"bits{i}"), F.lit(0)).bitwiseAND(F.col(f"_m{i}"))
             == F.col(f"_m{i}")
         )
-    return out.withColumn("bloom_pass", cond)
+    helper = [c for i in range(len(_SLICES))
+              for c in (f"_p{i}", f"_w{i}", f"_m{i}", f"w{i}", f"bits{i}")]
+    return out.withColumn("bloom_pass", cond).drop(*helper)
 
 
 _B = {f"p{i}": _oracle_pos("CAST(o_custkey AS VARCHAR)", s)

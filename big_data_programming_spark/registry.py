@@ -28,10 +28,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: windows/setops (44 pass, 6 analyzed in VERDICT r3 — all defused).
 #: ROUND 5 ROTATION: llm_similarity remainder(8, incl. the justified
 #: rows-only l3e) + llm_multimodal(6) + graph_queries(4) +
-#: data_quality(5) + udfs(11) + skew_queries(2) + streaming (first 14
-#: of 23). ROUND 6: streaming remainder(9) + modern_sql(18) +
-#: relational_extras(7) + setops u5 re-window + r1/r2 re-verifies
-#: (p4/j6/j7) + anything added since. Counts drift as queries land:
+#: data_quality(6, incl. round-4 dq6) + udfs(11) + skew_queries(2) +
+#: streaming (first 13 of 23). ROUND 6: streaming remainder(10) +
+#: modern_sql(18) + relational_extras(7) + setops u5 re-window +
+#: r1/r2 re-verifies (p4/j6/j7) + round-4 additions (llm_mixing 6,
+#: pipeline_ops 4, e16/e17). Counts drift as queries land:
 #: verify against len(catalog()) before each rotation, then regenerate
 #: CATALOG.md (scripts/gen_catalog.py) and run scripts/dtype_guard.py.
 _QUERY_MODULES = (

@@ -50,6 +50,11 @@ SAMPLE_QUERIES = [
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",
+    # round-4 additions (pipeline_ops / events / data_quality)
+    "po1_bloom_prefilter",
+    "po3_incremental_kpi_rollup",
+    "e16_conversion_attribution",
+    "dq6_point_in_time_join",
 ]
 
 _CHILD = r"""
