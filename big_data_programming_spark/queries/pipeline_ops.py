@@ -363,3 +363,55 @@ def po4_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         nkeep.alias("n_sampled"),
         (nkeep.cast("double") / F.count(F.lit(1))).alias("realized_rate"),
     )
+
+
+@register(
+    "po5_incremental_join_maintenance",
+    oracle=f"""
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum('o.o_totalprice', 'total_price')}
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+    tags=("J1", "A1", "U1"),
+)
+def po5_incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a JOIN materialization: with both
+    sides receiving a batch (ΔA of orders, ΔB of customers), the
+    delta of the join is the three delta-sized joins
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB; appending them to the stale
+    materialization must equal the full recompute — which is exactly
+    what the oracle does. po3 is the aggregate half of incremental
+    view maintenance; this is the join half (counts and DECIMAL sums
+    re-aggregate exactly over the union).
+
+    Scale shape: each delta term joins a batch-sized side, so the
+    refresh shuffles O(|Δ|) rows (broadcast the delta against the
+    bucketed big side in production) instead of re-joining two 100 TB
+    tables; the stale materialization is read, never re-derived. The
+    %-bucket splits stand in for the arrival batches so both engines
+    see identical inputs."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a, da = o.filter(F.col("o_orderkey") % 10 != 9), o.filter(
+        F.col("o_orderkey") % 10 == 9
+    )
+    b, db = c.filter(F.col("c_custkey") % 20 != 19), c.filter(
+        F.col("c_custkey") % 20 == 19
+    )
+
+    def j(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(
+            right, left["o_custkey"] == right["c_custkey"]
+        ).select("c_nationkey", "o_totalprice")
+
+    merged = j(a, b).unionAll(j(da, b)).unionAll(j(a, db)).unionAll(j(da, db))
+    return merged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+            "total_price"
+        ),
+    )
