@@ -44,7 +44,7 @@ def jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_token_df: int = 100_000,
+    max_token_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity for all pairs sharing ≥1 token.
 
@@ -69,13 +69,14 @@ def jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
     )
-    hot = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_token_df)
-        .select("token")
-    )
-    toks = toks.join(F.broadcast(hot), "token", "left_anti")
+    if max_token_df is not None:  # None = caller vouches, skip the df pass
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), "token", "left_anti")
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (

@@ -287,8 +287,6 @@ def dq4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals table is maintained incrementally: only users present
     in the day's batch recompute their tail interval."""
     e = load(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
     order = [F.col("ts"), F.col("event_id")]
     w = Window.partitionBy("user_id").orderBy(*order)
     flagged = e.select("user_id", "event_type", "ts", "event_id").withColumn(
@@ -481,8 +479,6 @@ def dq6_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim is the incrementally-maintained SCD2 table and only the
     day's facts scan."""
     e = load(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
     browse = e.filter(F.col("event_type") != "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     grp = browse.select("user_id", "event_type", "ts", "event_id").withColumn(

@@ -264,9 +264,11 @@ def _simhash_int(docs: DataFrame, bits: int = 16) -> DataFrame:
     "lm5_incremental_simhash_dedup",
     oracle=_SIG_SQL
     + """
-, hist AS (SELECT doc_id, sig, sig & 255 AS b0, sig >> 8 AS b1
+, hist AS (SELECT doc_id, sig, sig & 15 AS b0, (sig >> 4) & 15 AS b1,
+                  (sig >> 8) & 15 AS b2, (sig >> 12) & 15 AS b3
            FROM sigs WHERE doc_id % 10 <> 9),
-  new  AS (SELECT doc_id, sig, sig & 255 AS b0, sig >> 8 AS b1
+  new  AS (SELECT doc_id, sig, sig & 15 AS b0, (sig >> 4) & 15 AS b1,
+                  (sig >> 8) & 15 AS b2, (sig >> 12) & 15 AS b3
            FROM sigs WHERE doc_id % 10 = 9),
   cand AS (
     SELECT new.doc_id AS new_doc_id, hist.doc_id AS hist_doc_id,
@@ -275,6 +277,12 @@ def _simhash_int(docs: DataFrame, bits: int = 16) -> DataFrame:
     UNION
     SELECT new.doc_id, hist.doc_id, bit_count(xor(new.sig, hist.sig))
     FROM new JOIN hist ON new.b1 = hist.b1
+    UNION
+    SELECT new.doc_id, hist.doc_id, bit_count(xor(new.sig, hist.sig))
+    FROM new JOIN hist ON new.b2 = hist.b2
+    UNION
+    SELECT new.doc_id, hist.doc_id, bit_count(xor(new.sig, hist.sig))
+    FROM new JOIN hist ON new.b3 = hist.b3
   )
 SELECT new_doc_id,
        COUNT(*) AS n_near_dups,
@@ -293,18 +301,25 @@ def lm5_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     best (lowest-hamming, id-tiebroken) historical match reported.
     l1c is this pipeline's exact-hash twin; this is the fuzzy tier.
 
-    Scale shape: history is a persisted (doc_id, sig) table — 16 bytes
-    a row, never the text — and the two band equi-joins shuffle only
-    the NEW batch against band-bucketed history; hamming is a single
-    bit_count(xor) per candidate, so the screen is bounded by candidate
-    count, not corpus size. At production bits=64 with 4 bands of 16."""
+    Banding is FOUR 4-bit bands, matched to the threshold by
+    pigeonhole: ≤ 3 differing bits can touch at most 3 bands, so at
+    least one band is identical and recall at hamming ≤ 3 is EXACT
+    (2 bands of 8 would only guarantee hamming ≤ 1 — the round-4
+    review catch); production 64-bit sigs use 4 bands of 16 for the
+    same guarantee. Scale shape: history is a persisted (doc_id, sig)
+    table — 16 bytes a row, never the text — and the band equi-joins
+    shuffle only the NEW batch against band-bucketed history; hamming
+    is a single bit_count(xor) per candidate, so the screen is bounded
+    by candidate count, not corpus size."""
     docs = load(spark, sf_dir, "documents")
     sigs = _simhash_int(docs)
     banded = sigs.select(
         "doc_id",
         "sig",
-        (F.col("sig") % 256).alias("b0"),
-        (F.col("sig") / 256).cast("long").alias("b1"),
+        *[
+            F.shiftright("sig", 4 * i).bitwiseAND(F.lit(15)).alias(f"b{i}")
+            for i in range(4)
+        ],
     )
     hist = banded.filter(F.col("doc_id") % 10 != 9)
     new = banded.filter(F.col("doc_id") % 10 == 9)
@@ -328,7 +343,13 @@ def lm5_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
 
-    cand = _cand("b0").union(_cand("b1")).distinct()
+    cand = (
+        _cand("b0")
+        .union(_cand("b1"))
+        .union(_cand("b2"))
+        .union(_cand("b3"))
+        .distinct()
+    )
     return (
         cand.filter(F.col("hamming") <= 3)
         .groupBy("new_doc_id")

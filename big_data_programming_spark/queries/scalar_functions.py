@@ -154,7 +154,7 @@ SELECT doc_id,
        LEN(list_distinct(tokens)) AS n_unique,
        array_to_string(list_slice(tokens, 1, 3), '|') AS first3,
        list_contains(tokens, 'the') AS has_the,
-       COALESCE(array_to_string(list_sort(list_distinct(list_filter(tokens, t -> LENGTH(t) > 5))), '|'), '') AS long_tokens,
+       CASE WHEN tokens IS NULL THEN NULL ELSE COALESCE(array_to_string(list_sort(list_distinct(list_filter(tokens, t -> LENGTH(t) > 5))), '|'), '') END AS long_tokens,
        array_to_string(list_transform(list_slice(tokens, 1, 3), t -> UPPER(t)), '|') AS first3_upper,
        list_reduce(list_transform(tokens, t -> LENGTH(t)), (a, b) -> a + b) AS total_chars,
        LEN(list_filter(tokens, t -> t = 'data')) > 0 AS mentions_data
@@ -505,7 +505,7 @@ def f12_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f13_string_extended",
     oracle="""
 SELECT p_partkey,
-       COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), '|'), '') AS long_words,
+       CASE WHEN p_name IS NULL THEN NULL ELSE COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), '|'), '') END AS long_words,
        LEN(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
        split_part(p_type, ' ', 1) AS type_head,
        split_part(p_type, ' ', -1) AS type_tail,

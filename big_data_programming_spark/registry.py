@@ -130,9 +130,26 @@ def _ensure_loaded() -> None:
 
 
 def catalog() -> dict[str, Query]:
-    """The full named-query catalog (loads query modules on first use)."""
+    """The full named-query catalog (loads query modules on first use).
+
+    Order is STRUCTURAL, not import-incidental: entries are grouped by
+    ``_QUERY_MODULES`` position (then registration order within the
+    module). The driver's 50-entry correctness window is defined by
+    this order, and an early ``import queries.some_module`` elsewhere
+    (as test files legitimately do) must not be able to rotate the
+    window by registering its module first."""
     _ensure_loaded()
-    return dict(_REGISTRY)
+    mod_rank = {
+        f"big_data_programming_spark.queries.{m}": i
+        for i, m in enumerate(_QUERY_MODULES)
+    }
+    names = sorted(
+        _REGISTRY,
+        key=lambda n: mod_rank.get(
+            _REGISTRY[n].fn.__module__, len(mod_rank)
+        ),
+    )  # sorted() is stable: within-module registration order survives
+    return {n: _REGISTRY[n] for n in names}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -50,9 +50,55 @@ def duck_con() -> duckdb.DuckDBPyConnection:
     return con
 
 
-def scan_oracle_types(con) -> dict[str, list[tuple[str, str]]]:
+#: One DESCRIBE per oracle and one Spark analysis per query, shared by
+#: all three static scans (they each used to redo this work — a review
+#: finding; the guard is a pre-commit gate, so its own runtime matters).
+#: Cache key: the (spark, con) identity pair of one guard invocation.
+_TYPES_CACHE: dict[tuple[int, int], dict] = {}
+
+
+def collect_types(spark, con) -> dict[str, dict]:
+    """name -> {'duck': {col: type}|None, 'duck_err': str|None,
+    'spark': {col: type}|None, 'spark_err': str|None} in ONE pass."""
+    key = (id(spark), id(con))
+    if key in _TYPES_CACHE:
+        return _TYPES_CACHE[key]
+    out: dict[str, dict] = {}
+    for name, q in catalog().items():
+        rec: dict = {"duck": None, "duck_err": None, "spark": None, "spark_err": None}
+        if q.oracle is not None:
+            try:
+                rec["duck"] = {
+                    c: t for c, t, *_ in con.execute(f"DESCRIBE {q.oracle}").fetchall()
+                }
+            except Exception as e:  # noqa: BLE001
+                rec["duck_err"] = str(e).splitlines()[0]
+        try:
+            rec["spark"] = {
+                f.name: f.dataType for f in q.fn(spark, SF_DIR).schema.fields
+            }
+        except Exception as e:  # noqa: BLE001
+            rec["spark_err"] = str(e).splitlines()[0]
+        out[name] = rec
+    _TYPES_CACHE[key] = out
+    return out
+
+
+def scan_oracle_types(con, spark=None) -> dict[str, list[tuple[str, str]]]:
     """name -> [(column, bad duck type), ...] for every oracle query."""
     bad: dict[str, list[tuple[str, str]]] = {}
+    if spark is not None:
+        types = collect_types(spark, con)
+        for name, rec in types.items():
+            if rec["duck_err"] is not None:
+                bad[name] = [("<describe-error>", rec["duck_err"])]
+            elif rec["duck"]:
+                offenders = [
+                    (c, t) for c, t in rec["duck"].items() if _BAD_DUCK.search(t)
+                ]
+                if offenders:
+                    bad[name] = offenders
+        return bad
     for name, q in catalog().items():
         if q.oracle is None:
             continue
@@ -67,24 +113,36 @@ def scan_oracle_types(con) -> dict[str, list[tuple[str, str]]]:
     return bad
 
 
-def scan_spark_schemas(spark) -> dict[str, list[tuple[str, str]]]:
+def scan_spark_schemas(spark, con=None) -> dict[str, list[tuple[str, str]]]:
     """name -> [(column, bad spark type), ...] — analysis only."""
     from pyspark.sql import types as T
 
+    def offenders_of(fields: dict) -> list[tuple[str, str]]:
+        return [
+            (name, dt.simpleString())
+            for name, dt in fields.items()
+            if isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.DecimalType))
+        ]
+
     bad: dict[str, list[tuple[str, str]]] = {}
+    if con is not None:
+        for name, rec in collect_types(spark, con).items():
+            if rec["spark_err"] is not None:
+                bad[name] = [("<analysis-error>", rec["spark_err"])]
+            else:
+                off = offenders_of(rec["spark"])
+                if off:
+                    bad[name] = off
+        return bad
     for name, q in catalog().items():
         try:
             schema = q.fn(spark, SF_DIR).schema
         except Exception as e:  # noqa: BLE001
             bad[name] = [("<analysis-error>", str(e).splitlines()[0])]
             continue
-        offenders = [
-            (f.name, f.dataType.simpleString())
-            for f in schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.DecimalType))
-        ]
-        if offenders:
-            bad[name] = offenders
+        off = offenders_of({f.name: f.dataType for f in schema.fields})
+        if off:
+            bad[name] = off
     return bad
 
 
@@ -137,18 +195,16 @@ def scan_type_pairing(spark, con) -> dict[str, list[str]]:
     """Static cross-check: oracle DESCRIBE column family must equal the
     Spark schema column family (no execution needed)."""
     bad: dict[str, list[str]] = {}
-    for name, q in catalog().items():
-        if q.oracle is None:
+    types = collect_types(spark, con)
+    for name, rec in types.items():
+        if rec["duck"] is None and rec["duck_err"] is None:
+            continue  # rows-only entry: nothing to pair
+        err = rec["duck_err"] or rec["spark_err"]
+        if err is not None:
+            bad[name] = [f"describe/analyze error: {err}"]
             continue
-        try:
-            duck_types = {c: t for c, t, *_ in con.execute(f"DESCRIBE {q.oracle}").fetchall()}
-            spark_types = {
-                f.name: f.dataType.simpleString()
-                for f in q.fn(spark, SF_DIR).schema.fields
-            }
-        except Exception as e:  # noqa: BLE001
-            bad[name] = [f"describe/analyze error: {str(e).splitlines()[0]}"]
-            continue
+        duck_types = rec["duck"]
+        spark_types = {c: dt.simpleString() for c, dt in rec["spark"].items()}
         issues = []
         if set(duck_types) != set(spark_types):
             issues.append(
@@ -255,8 +311,8 @@ def main() -> int:
         return {k: v for k, v in d.items() if only is None or k in only}
 
     rc = 0
-    duck_bad = _filt(scan_oracle_types(con))
-    spark_bad = _filt(scan_spark_schemas(spark))
+    duck_bad = _filt(scan_oracle_types(con, spark))
+    spark_bad = _filt(scan_spark_schemas(spark, con))
     pair_bad = _filt(scan_type_pairing(spark, con))
     for title, found in (
         ("ORACLE", duck_bad),

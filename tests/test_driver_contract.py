@@ -121,3 +121,31 @@ def test_driver_contract_fresh_session():
     assert not bad, f"driver-contract failures under a fresh session: {bad}"
     assert results["n_queries"] >= 150
     assert results["n_oracles"] >= 145
+
+
+def test_catalog_order_is_structural_not_import_order():
+    """The driver's 50-entry correctness window is the first 50 catalog
+    entries, so catalog() order must be a pure function of
+    _QUERY_MODULES — an early `import queries.<late_module>` (which any
+    test file may legitimately do) must NOT be able to rotate the
+    window by registering its module first."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import big_data_programming_spark.queries.pipeline_ops\n"
+        "import big_data_programming_spark.queries.llm_mixing\n"
+        "from big_data_programming_spark.registry import catalog, _QUERY_MODULES\n"
+        "names = list(catalog())\n"
+        "assert names[0] == 'f1_string_funcs', names[:3]\n"
+        "mods = [catalog()[n].fn.__module__.rsplit('.', 1)[-1] for n in names]\n"
+        "rank = {m: i for i, m in enumerate(_QUERY_MODULES)}\n"
+        "assert [rank[m] for m in mods] == sorted(rank[m] for m in mods)\n"
+        "print('OK', len(names))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.startswith("OK"), out.stdout

@@ -49,13 +49,13 @@ def guard_oracle():
     con.close()
 
 
-def test_no_unhashable_oracle_types(guard_oracle):
-    bad = scan_oracle_types(guard_oracle)
+def test_no_unhashable_oracle_types(guard_oracle, spark):
+    bad = scan_oracle_types(guard_oracle, spark)
     assert not bad, f"oracle columns the driver canon cannot hash: {bad}"
 
 
-def test_no_unhashable_spark_types(spark):
-    bad = scan_spark_schemas(spark)
+def test_no_unhashable_spark_types(spark, guard_oracle):
+    bad = scan_spark_schemas(spark, guard_oracle)
     assert not bad, f"Spark result columns the driver canon cannot hash: {bad}"
 
 

@@ -80,11 +80,12 @@ def test_minhash_lsh_recall_vs_exact_jaccard(docs):
     assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs: {sorted(missed)[:5]}"
 
 
-def test_jaccard_df_cap_inactive_on_fixture_but_bounds_hot_tokens(docs):
+def test_jaccard_df_cap_inactive_on_fixture_but_bounds_hot_tokens(docs, spark):
     """The default max_token_df never triggers at fixture scale (so the
-    uncapped DuckDB oracle stays the exact twin), and an artificially
-    tiny cap provably drops the hot token — the guard against a hot
-    token going quadratic in the self-join."""
+    uncapped DuckDB oracle stays the exact twin), and on a synthetic
+    corpus where the exact capped result is derivable by hand, the cap
+    PROVABLY drops the hot token: pairs sharing only it vanish and
+    shared-counts exclude it (a no-op cap would fail both)."""
     from big_data_programming_spark.operators.dedup import tokenize
 
     df_counts = (
@@ -94,10 +95,19 @@ def test_jaccard_df_cap_inactive_on_fixture_but_bounds_hot_tokens(docs):
     )
     max_df = df_counts.agg(F.max("count")).collect()[0][0]
     assert max_df < 100_000, "fixture df approaching the default cap"
-    # a cap below max_df must shrink (or keep) the candidate pair set
-    full = jaccard_pairs(docs, threshold=0.0).count()
-    capped = jaccard_pairs(docs, threshold=0.0, max_token_df=max(1, max_df - 1)).count()
-    assert capped <= full
+    # synthetic: 'hot' is in all 3 docs (df=3); cap=2 must drop it.
+    tiny = spark.createDataFrame(
+        [(1, "hot x"), (2, "hot y"), (3, "hot x z")], ["doc_id", "text"]
+    )
+    capped = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+        for r in jaccard_pairs(tiny, threshold=0.0, max_token_df=2).collect()
+    }
+    # without 'hot': A={x} B={y} C={x,z} -> only A-C share, jaccard 1/2;
+    # the uncapped result would also contain (1,2) and (2,3) via 'hot'.
+    assert capped == {(1, 3): (1, 0.5)}
+    uncapped = jaccard_pairs(tiny, threshold=0.0, max_token_df=None).count()
+    assert uncapped == 3
 
 
 def test_minhash_verified_equals_ground_truth(docs):

@@ -108,3 +108,35 @@ def test_stratified_sample_membership_is_partition_invariant(spark):
     assert a == b
     n = docs.count()
     assert abs(len(a) / n - 0.5) < 0.1  # uniform hash ≈ target rate
+
+
+def test_lm5_banding_recall_is_exact_at_threshold(spark):
+    """Pigeonhole guarantee of the 4×4-bit banding: EVERY history pair
+    within hamming ≤ 3 of a new-batch signature must surface as a
+    candidate (2 bands of 8 bits would only guarantee hamming ≤ 1 —
+    the round-4 review catch). Verified against brute-force all-pairs
+    hamming over the signature table."""
+    from big_data_programming_spark.queries.llm_mixing import (
+        _simhash_int,
+        lm5_incremental_simhash_dedup,
+    )
+    from big_data_programming_spark.sources.loaders import load
+
+    docs = load(spark, SF_DIR, "documents")
+    sigs = {r["doc_id"]: r["sig"] for r in _simhash_int(docs).collect()}
+    expected = {}
+    for nd, ns in sigs.items():
+        if nd % 10 != 9:
+            continue
+        hams = [
+            (bin(ns ^ hs).count("1"), hd)
+            for hd, hs in sigs.items()
+            if hd % 10 != 9 and bin(ns ^ hs).count("1") <= 3
+        ]
+        if hams:
+            expected[nd] = (len(hams), min(h for h, _ in hams))
+    got = {
+        r["new_doc_id"]: (r["n_near_dups"], r["best_hamming"])
+        for r in lm5_incremental_simhash_dedup(spark, SF_DIR).collect()
+    }
+    assert got == expected
