@@ -415,3 +415,115 @@ def po5_incremental_join_maintenance(
             "total_price"
         ),
     )
+
+
+#: Count-Min geometry: depth 4 (one row per disjoint md5 slice), width
+#: 256 — 1024 cells, broadcastable. Deliberately narrow so collisions
+#: (the overestimate column) are visible at fixture scale; production
+#: widths come from eps = e/width over the expected stream count.
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+
+
+@register(
+    "po6_countmin_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT u.token FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+), top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 10
+), depths AS (
+  SELECT UNNEST([0, 1, 2, 3]) AS d
+), cells AS (
+  SELECT depths.d,
+         CAST(CONCAT('0x', SUBSTRING(md5(token), 1 + 8 * depths.d, 8))
+           AS BIGINT) % {_CM_WIDTH} AS col,
+         COUNT(*) AS cnt
+  FROM toks, depths GROUP BY 1, 2
+), probes AS (
+  SELECT t.token, t.n, depths.d,
+         CAST(CONCAT('0x', SUBSTRING(md5(t.token), 1 + 8 * depths.d, 8))
+           AS BIGINT) % {_CM_WIDTH} AS col
+  FROM top t, depths
+), est AS (
+  SELECT p.token, MIN(c.cnt) AS cm_estimate
+  FROM probes p JOIN cells c ON c.d = p.d AND c.col = p.col
+  GROUP BY p.token
+)
+SELECT t.token, CAST(t.n AS BIGINT) AS exact_count,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(e.cm_estimate - t.n AS BIGINT) AS overestimate
+FROM top t JOIN est e USING (token)
+""",
+    tags=("A4", "A1", "F7"),
+)
+def po6_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with a heavy-hitter audit: corpus token
+    frequencies summarized into a 4×256 cell table (one md5-slice hash
+    row per depth), then the top-10 exact tokens probed back through
+    the sketch — ``cm_estimate`` = min over depths, ``overestimate``
+    = collision error (always ≥ 0: CM never undercounts, pinned in
+    tests/test_pipeline_ops.py). po1's bloom answers membership; this
+    answers FREQUENCY from the same declarative-sketch family, and
+    like it, the md5 arithmetic makes even the collision error
+    bit-identical in the DuckDB oracle (Spark's count_min_sketch()
+    binary is engine-internal, the a4/a15 situation — this formulation
+    is what makes the sketch cross-engine checkable).
+
+    Scale shape: the sketch build is one explode(4) + a ≤1024-group
+    map-side-combined count — sketch size is CONSTANT however large
+    the stream; merging two sketches is cell-wise addition (algebraic,
+    the po3 property), which is why per-partition/per-day sketches
+    roll up exactly. Probes are broadcast joins against the tiny cell
+    table."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(10)
+
+    def col_at(token: Column, depth: int) -> Column:
+        h = F.conv(F.substring(F.md5(token), 1 + 8 * depth, 8), 16, 10)
+        return (h.cast("long") % _CM_WIDTH).alias("col")
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("d"), col_at(F.col("token"), i)
+                        )
+                        for i in range(_CM_DEPTH)
+                    ]
+                )
+            ).alias("dc")
+        )
+        .select("dc.d", "dc.col")
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = top.select(
+        "token",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("d"), col_at(F.col("token"), i))
+                    for i in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+    ).select("token", "n", "dc.d", "dc.col")
+    est = (
+        probes.join(F.broadcast(cells), ["d", "col"])
+        .groupBy("token", "n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("n").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
+    )

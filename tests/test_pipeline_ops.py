@@ -140,3 +140,75 @@ def test_lm5_banding_recall_is_exact_at_threshold(spark):
         for r in lm5_incremental_simhash_dedup(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_countmin_never_undercounts_and_merges_cellwise(spark):
+    """CM guarantees estimate ≥ true count for EVERY key (min over
+    depths of colliding-sum cells), and two half-corpus sketches sum
+    cell-wise into exactly the full-corpus sketch (algebraic merge —
+    what makes per-day/per-partition sketches roll up losslessly)."""
+    from big_data_programming_spark.queries.pipeline_ops import (
+        _CM_DEPTH,
+        _CM_WIDTH,
+    )
+    from big_data_programming_spark.sources.loaders import load
+
+    docs = load(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+    def cells_of(t):
+        return (
+            t.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("d"),
+                                (
+                                    F.conv(
+                                        F.substring(F.md5("token"), 1 + 8 * i, 8),
+                                        16,
+                                        10,
+                                    ).cast("long")
+                                    % _CM_WIDTH
+                                ).alias("col"),
+                            )
+                            for i in range(_CM_DEPTH)
+                        ]
+                    )
+                ).alias("dc")
+            )
+            .select("dc.d", "dc.col")
+            .groupBy("d", "col")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    cells = cells_of(toks)
+    cell_map = {(r["d"], r["col"]): r["cnt"] for r in cells.collect()}
+    import hashlib
+
+    for r in toks.groupBy("token").count().collect():
+        est = min(
+            cell_map[
+                (
+                    i,
+                    int(hashlib.md5(r["token"].encode()).hexdigest()[8 * i : 8 * i + 8], 16)
+                    % _CM_WIDTH,
+                )
+            ]
+            for i in range(_CM_DEPTH)
+        )
+        assert est >= r["count"], (r["token"], est, r["count"])
+
+    half_a = cells_of(toks.filter(F.col("doc_id") % 2 == 0))
+    half_b = cells_of(toks.filter(F.col("doc_id") % 2 == 1))
+    merged = {
+        (r["d"], r["col"]): r["m"]
+        for r in half_a.unionByName(half_b)
+        .groupBy("d", "col")
+        .agg(F.sum("cnt").alias("m"))
+        .collect()
+    }
+    assert merged == cell_map
