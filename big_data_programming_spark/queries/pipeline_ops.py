@@ -527,3 +527,109 @@ def po6_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
     )
+
+
+#: HLL geometry: p=8 -> m=256 registers; md5 split = first 2 hex chars
+#: (bucket) + next 14 (56-bit rho window). Raw estimator only (no
+#: small-range linear-counting correction: that needs ln(), which is
+#: libm and banned from hashed paths; at fixture scale the raw regime
+#: E > 2.5m holds anyway and the estimator is the documented one).
+_HLL_M = 256
+_HLL_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0)"
+_POW2_57 = "144115188075855872.0"
+
+
+@register(
+    "po7_hll_cardinality",
+    oracle=f"""
+WITH hashed AS (
+  SELECT CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 2))
+           AS BIGINT) AS bucket,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 3, 14))
+           AS BIGINT) AS h56
+  FROM events
+), regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN h56 = 0 THEN 57
+                  ELSE 57 - LENGTH(bin(h56)) END) AS m_reg
+  FROM hashed GROUP BY bucket
+), grid AS (
+  SELECT g.range AS bucket FROM range(0, {_HLL_M}) g
+), full_regs AS (
+  SELECT grid.bucket, COALESCE(regs.m_reg, 0) AS m_reg
+  FROM grid LEFT JOIN regs ON regs.bucket = grid.bucket
+), s AS (
+  SELECT CAST(CAST(SUM(CAST((CAST(1 AS BIGINT) << (57 - m_reg))
+           AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS denom
+  FROM full_regs
+), e AS (
+  SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+  FROM events
+)
+SELECT e.exact_distinct,
+       ({_HLL_ALPHA}) * {_HLL_M} * {_HLL_M} * {_POW2_57} / s.denom
+         AS hll_estimate,
+       (({_HLL_ALPHA}) * {_HLL_M} * {_HLL_M} * {_POW2_57} / s.denom
+         - e.exact_distinct) / e.exact_distinct AS rel_error
+FROM e, s
+""",
+    tags=("A4", "A2", "F7"),
+)
+def po7_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog over the event stream (event_id — the
+    fixture's one genuinely high-cardinality key, keeping the raw
+    estimator in its E > 2.5m regime; in production the key is the
+    user/URL/doc being counted): md5 splits into an
+    8-bit register bucket + a 56-bit rho window (rho = leading zeros
+    + 1 via bin-string length — no libm), registers are MAX-merged,
+    and the raw HLL estimator α·m²/Σ2^(-M_b) is evaluated in exact
+    integer arithmetic (Σ2^(57-M) as DECIMAL, one deterministic
+    double conversion at the end). Completes the declarative sketch
+    family — membership (po1 bloom), frequency (po6 CM), cardinality
+    (this) — and is the cross-engine-checkable formulation of what
+    approx_count_distinct keeps engine-internal (the a4/a15
+    rows-only justification, now with a pinnable twin).
+
+    Scale shape: register state is CONSTANT (256 rows) at any stream
+    size, built by one map-side-combined MAX aggregate; sketches merge
+    by per-register MAX (pinned in tests), so per-day registers roll
+    up without re-reading events. The two 1-row aggregates join by a
+    broadcast 1-row attach (allowlisted tiny cross)."""
+    ev = load(spark, sf_dir, "events")
+    key = F.col("event_id").cast("string")
+    hashed = ev.select(
+        F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("long").alias(
+            "bucket"
+        ),
+        F.conv(F.substring(F.md5(key), 3, 14), 16, 10).cast("long").alias(
+            "h56"
+        ),
+    )
+    regs = hashed.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("h56") == 0, 57).otherwise(
+                F.lit(57) - F.length(F.bin("h56"))
+            )
+        ).alias("m_reg")
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    full_regs = grid.join(regs, "bucket", "left").select(
+        F.coalesce(F.col("m_reg"), F.lit(0)).alias("m_reg")
+    )
+    denom = full_regs.agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - m_reg) AS DECIMAL(38,0))")
+        )
+        .cast("double")
+        .alias("denom")
+    )
+    exact = ev.agg(F.count_distinct("event_id").alias("exact_distinct"))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    est = alpha * _HLL_M * _HLL_M * F.lit(144115188075855872.0) / F.col("denom")
+    return exact.crossJoin(F.broadcast(denom)).select(
+        "exact_distinct",
+        est.alias("hll_estimate"),
+        ((est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+            "rel_error"
+        ),
+    )

@@ -212,3 +212,50 @@ def test_countmin_never_undercounts_and_merges_cellwise(spark):
         .collect()
     }
     assert merged == cell_map
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL's merge is per-register MAX: sketching two halves of the
+    stream and MAX-merging the registers must give the identical
+    register table (hence identical estimate) as one pass — why
+    per-day register tables roll up without re-reading events. Also
+    sanity-pins the estimator: |rel_error| within 3x the theoretical
+    1.04/sqrt(m) rsd."""
+    from big_data_programming_spark.queries.pipeline_ops import (
+        po7_hll_cardinality,
+    )
+    from big_data_programming_spark.sources.loaders import load
+
+    ev = load(spark, SF_DIR, "events")
+    key = F.col("event_id").cast("string")
+
+    def regs_of(df):
+        hashed = df.select(
+            F.conv(F.substring(F.md5(key), 1, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+            F.conv(F.substring(F.md5(key), 3, 14), 16, 10)
+            .cast("long")
+            .alias("h56"),
+        )
+        return {
+            r["bucket"]: r["m_reg"]
+            for r in hashed.groupBy("bucket")
+            .agg(
+                F.max(
+                    F.when(F.col("h56") == 0, 57).otherwise(
+                        F.lit(57) - F.length(F.bin("h56"))
+                    )
+                ).alias("m_reg")
+            )
+            .collect()
+        }
+
+    full = regs_of(ev)
+    a = regs_of(ev.filter(F.col("event_id") % 2 == 0))
+    b = regs_of(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == full
+
+    row = po7_hll_cardinality(spark, SF_DIR).collect()[0]
+    assert abs(row["rel_error"]) < 3 * 1.04 / (256 ** 0.5)

@@ -208,6 +208,7 @@ def test_no_accidental_cartesian_in_catalog():
         "dq3_partition_drift",  # 1-row median + 1-row MAD broadcast attaches
         "lm6_negative_pair_audit",  # 1-row corpus-size broadcast (LCG partner modulo)
         "po3_incremental_kpi_rollup",  # 1-row max(day) broadcast (newest-day split)
+        "po7_hll_cardinality",  # 1-row exact x 1-row sketch-denominator attach
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
