@@ -1286,3 +1286,90 @@ def st26_union_of_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain(agg, "append")
+
+
+@register(
+    "st27_streaming_hll_daily",
+    oracle="""
+WITH hashed AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 2))
+           AS BIGINT) AS bucket,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 3, 14))
+           AS BIGINT) AS h56
+  FROM events
+), regs AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN h56 = 0 THEN 57
+                  ELSE 57 - LENGTH(bin(h56)) END) AS m_reg
+  FROM hashed GROUP BY day, bucket
+), denom AS (
+  SELECT day,
+         CAST(CAST(
+           SUM(CAST((CAST(1 AS BIGINT) << (57 - m_reg)) AS DECIMAL(38,0)))
+           + CAST(256 - COUNT(*) AS DECIMAL(38,0))
+             * CAST(144115188075855872 AS DECIMAL(38,0))
+         AS VARCHAR) AS DOUBLE) AS d
+  FROM regs GROUP BY day
+)
+SELECT day,
+       (0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256 * 144115188075855872.0
+         / d AS hll_estimate
+FROM denom
+""",
+    tags=("ST2", "A4", "F7", "S8"),
+)
+def st27_streaming_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """po7's deterministic HLL running ON THE STREAM: per-day distinct
+    estimates with CONSTANT state per day (≤256 register rows — the
+    reason sketches exist in streaming: exact distinct state grows
+    with cardinality, register state doesn't). The stateful streaming
+    core is the (day, bucket) MAX aggregate; the estimator finish is
+    stateless batch arithmetic on the drained registers. Empty buckets
+    enter the denominator as (256 − present)·2^57, so no bucket grid
+    is materialized. Same md5/bin arithmetic as po7 — the estimate is
+    bit-identical to the DuckDB oracle, per day."""
+    s = events_stream(spark, sf_dir)
+    key = F.col("event_id").cast("string")
+    regs = (
+        s.select(
+            F.col("ts").cast("date").alias("day"),
+            F.conv(F.substring(F.md5(key), 1, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+            F.conv(F.substring(F.md5(key), 3, 14), 16, 10)
+            .cast("long")
+            .alias("h56"),
+        )
+        .groupBy("day", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("h56") == 0, 57).otherwise(
+                    F.lit(57) - F.length(F.bin("h56"))
+                )
+            ).alias("m_reg")
+        )
+    )
+    drained = drain(regs, "complete")
+    term = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), 57 - m_reg) AS DECIMAL(38,0))"
+    )
+    denom = (
+        drained.groupBy("day")
+        .agg(
+            (
+                F.sum(term)
+                + (F.lit(256) - F.count(F.lit(1))).cast("decimal(38,0)")
+                * F.lit(144115188075855872).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("d")
+        )
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    return denom.select(
+        "day",
+        (alpha * 256 * 256 * F.lit(144115188075855872.0) / F.col("d")).alias(
+            "hll_estimate"
+        ),
+    )
