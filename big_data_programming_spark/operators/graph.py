@@ -232,3 +232,75 @@ def kcore_peel(edges: DataFrame, k: int) -> tuple[DataFrame, int]:
         ),
         rounds,
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.):
+    every node starts as its own label; each round it adopts its
+    neighbors' MOST FREQUENT label (ties → smallest label). Unlike the
+    min-label connected-components propagation (operators/dedup.py
+    cluster path), the mode vote respects local density — a thin
+    bridge edge between two dense near-dup cliques does not merge
+    them. Fixed ``rounds`` keeps the oracle replayable as unrolled
+    CTEs; the argmax is tie-broken through a single score
+    (cnt·10^9 − label, injective in label) so both engines pick the
+    identical winner.
+
+    Scale: each round is one (node-keyed) join + two hash aggregates
+    over the edge list; labels are localCheckpointed per round to cut
+    lineage (the l2d/kcore discipline). Returns (node, label)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.filter(F.col("a") != F.col("b")).distinct()
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        nl = und.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), F.col("label").alias("nl"))
+        votes = nl.groupBy("node", "nl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "nl", F.col("cnt") * F.lit(1_000_000_000) - F.col("nl")
+                ).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`label_propagation`."""
+    parts = [
+        f"WITH raw_edges AS ({edges_sql}),",
+        """und AS (
+  SELECT src AS a, dst AS b FROM raw_edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM raw_edges WHERE src <> dst
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT und.a AS node, l{r-1}.label AS nl, COUNT(*) AS cnt
+  FROM und JOIN l{r-1} ON l{r-1}.node = und.b
+  GROUP BY 1, 2
+),
+l{r} AS (
+  SELECT node, ARG_MAX(nl, cnt * 1000000000 - nl) AS label
+  FROM c{r} GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{rounds}")
+    return "".join(parts)

@@ -18,6 +18,8 @@ from big_data_programming_spark.operators.dedup import JACCARD_ORACLE_SQL, jacca
 from big_data_programming_spark.operators.graph import (
     TRIANGLES_ORACLE_SQL,
     kcore_peel,
+    label_propagation,
+    label_propagation_oracle_sql,
     pagerank,
     pagerank_oracle_sql,
     triangle_counts,
@@ -181,3 +183,41 @@ def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result, _rounds = kcore_peel(edges, k=3)
     return result
+
+
+@register(
+    "g5_label_propagation",
+    oracle=(
+        "SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("
+        + label_propagation_oracle_sql(
+            "SELECT doc_a AS src, doc_b AS dst FROM ("
+            + JACCARD_ORACLE_SQL.format(threshold=0.8)
+            + ")"
+        )
+        + ") GROUP BY label"
+    ),
+    tags=("L2", "J1", "A1", "W1"),
+)
+def g5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup graph by synchronous label
+    propagation (4 rounds, mode-vote with deterministic tie-break):
+    where l2d's min-label propagation finds CONNECTED components, the
+    mode vote respects density — a single spurious near-dup edge
+    bridging two dense duplicate cliques does not merge their
+    communities, which is the failure mode that over-merges dedup
+    clusters and deletes non-duplicates at corpus scale. Output is the
+    community size profile.
+
+    Scale: per round one node-keyed join + two map-side-combined
+    aggregates over the edge list; fixed rounds (LPA converges in a
+    few rounds on clique-like dedup graphs), localCheckpoint per round
+    cuts lineage. The unrolled-CTE oracle replays the identical
+    argmax (cnt·10^9 − label is injective, so no tie ambiguity)."""
+    docs = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, threshold=0.8).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = label_propagation(edges)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

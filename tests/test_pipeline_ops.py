@@ -259,3 +259,26 @@ def test_hll_registers_merge_by_max(spark):
 
     row = po7_hll_cardinality(spark, SF_DIR).collect()[0]
     assert abs(row["rel_error"]) < 3 * 1.04 / (256 ** 0.5)
+
+
+def test_lpa_bridge_edge_does_not_merge_cliques(spark):
+    """The property that distinguishes mode-vote label propagation
+    from min-label connected components: two 4-cliques connected by a
+    single bridge edge are ONE connected component but TWO LPA
+    communities — each bridge endpoint has 3 in-clique votes vs 1
+    across the bridge, so the cliques keep separate labels."""
+    from big_data_programming_spark.operators.graph import label_propagation
+
+    clique_a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    clique_b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + bridge, ["src", "dst"]
+    )
+    labels = {
+        r["node"]: r["label"] for r in label_propagation(edges).collect()
+    }
+    a_labels = {labels[n] for n in range(4)}
+    b_labels = {labels[n] for n in range(10, 14)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
