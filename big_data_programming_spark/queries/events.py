@@ -587,3 +587,72 @@ def e17_wow_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("wow_pct"),
     )
+
+
+@register(
+    "e18_peak_concurrency",
+    oracle="WITH sessions AS ("
+    + SESSIONIZE_ORACLE_SQL.format(gap_us=30 * 60 * 1_000_000)
+    + """
+), bounds AS (
+  SELECT session_start AS ts, 1 AS delta,
+         user_id * 1000000 + session_id AS sid
+  FROM sessions
+  UNION ALL
+  SELECT session_end, -1, user_id * 1000000 + session_id FROM sessions
+), running AS (
+  SELECT ts, delta,
+         CAST(SUM(delta) OVER (
+           ORDER BY ts, delta DESC, sid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS concurrent
+  FROM bounds
+)
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       MAX(concurrent) AS peak_concurrent,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_started
+FROM running GROUP BY 1
+""",
+    tags=("W4", "A1", "F2", "U1"),
+)
+def e18_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep line over e3's
+    sessions: each session emits a +1 boundary at its start and a −1
+    at its end; the running sum of boundaries IS the live-session
+    count, and its daily max is the capacity number (connection pools,
+    rate limits, streaming-state sizing) that avg/count KPIs can't
+    give. Starts sort before ends at equal timestamps (delta DESC), so
+    a session ending exactly when another starts counts as overlap —
+    pinned identically in both engines via the (ts, delta, sid) total
+    order.
+
+    Scale shape: boundaries are 2 rows per SESSION (not per event), so
+    the unpartitioned running sum is over session-count rows; at 100
+    TB the sweep partitions by day with per-day carry-in (sum of all
+    prior deltas — one pre-aggregate), turning the global window into
+    per-day windows plus a tiny prefix-sum join."""
+    sessions = sessionize(load(spark, sf_dir, "events"))
+    sid = (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("sid")
+    bounds = sessions.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta"), sid
+    ).unionAll(
+        sessions.select(
+            F.col("session_end").alias("ts"), F.lit(-1).alias("delta"), sid
+        )
+    )
+    w = (
+        Window.orderBy("ts", F.col("delta").desc(), "sid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bounds.select(
+        "ts", "delta", F.sum("delta").over(w).alias("concurrent")
+    )
+    return running.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max("concurrent").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+            "n_sessions_started"
+        ),
+    )
