@@ -417,3 +417,87 @@ def lm6_negative_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("p_label")).alias("same_label"),
         )
     )
+
+
+@register(
+    "lm4b_broadcast_quantile_bins",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN n_chars END) AS c25,
+         MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN n_chars END) AS c50,
+         MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN n_chars END) AS c75
+  FROM ranked GROUP BY lang
+), binned AS (
+  SELECT d.lang,
+         1 + CAST(d.n_chars > c.c25 AS INT) + CAST(d.n_chars > c.c50 AS INT)
+           + CAST(d.n_chars > c.c75 AS INT) AS bin,
+         d.n_chars
+  FROM documents d JOIN cuts c USING (lang)
+)
+SELECT lang, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM binned GROUP BY lang, bin
+""",
+    tags=("W1", "A1", "L4", "J8"),
+)
+def lm4b_broadcast_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm4's documented 100 TB swap, implemented: curriculum bins via
+    BROADCAST quantile cutpoints instead of NTILE's per-key total
+    order. Cutpoints are the values at ranks ceil(q·n) (discrete
+    quantiles — rank positions, no interpolation, so both engines pick
+    the identical element); bin assignment is then one broadcast join
+    + three comparisons, map-side on the scan. Semantics differ from
+    NTILE only at ties: equal lengths always share a bin here (a
+    property a curriculum actually wants), where NTILE splits them to
+    equalize bin sizes.
+
+    Scale shape: the rank pass here uses a per-lang window for
+    oracle-replayability; at 100 TB the cutpoints come from one
+    approx-quantile sketch pass (or this exact rank pass run rarely),
+    and the hot path — assignment — touches the corpus exactly once
+    with no shuffle and no sort. The cutpoint table is |langs|×3,
+    broadcast."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    cw = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                    F.col("n_chars"),
+                )
+            ).alias(name)
+            for q, name in ((0.25, "c25"), (0.50, "c50"), (0.75, "c75"))
+        ]
+    )
+    binned = d.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("c25")).cast("int")
+            + (F.col("n_chars") > F.col("c50")).cast("int")
+            + (F.col("n_chars") > F.col("c75")).cast("int")
+        ).alias("bin"),
+        "n_chars",
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
