@@ -519,3 +519,67 @@ def dq6_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
+
+
+#: Candidate FDs to profile: (rule name, table, determinant, dependent).
+#: Mix of true FDs (key→attribute) and deliberately-violated ones so
+#: fd_strength is a real signal, not a wall of 1.0s.
+_FD_RULES = (
+    ("c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("doc_id->lang", "documents", "doc_id", "lang"),
+    ("user_id->event_type", "events", "user_id", "event_type"),
+    ("l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+)
+
+
+def _fd_oracle_one(rule: str, table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{rule}' AS fd_rule,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(SUM(CASE WHEN n_dep = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS fd_strength
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep
+      FROM {table} GROUP BY {det})"""
+
+
+@register(
+    "dq7_functional_dependency_profile",
+    oracle="\nUNION ALL\n".join(_fd_oracle_one(*r) for r in _FD_RULES),
+    tags=("A3", "A1", "U1"),
+)
+def dq7_functional_dependency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency profiling — the DISCOVERY side of data
+    quality (dq1 checks declared constraints; this measures how close
+    candidate `determinant → dependent` rules are to holding):
+    per rule, the number of determinant values, how many map to >1
+    dependent value, and fd_strength (share of single-valued keys).
+    Strength 1.0 certifies a dependable join/denormalization key;
+    a low score on a rule someone assumed (user→type here) is the
+    schema bug caught before it ships.
+
+    Scale shape: each rule is one count-distinct aggregate keyed by
+    the determinant (map-side combined, two-phase distinct) — no
+    joins, output is rule-bounded; profiling a 100 TB table costs the
+    same one scan per table that any profile pass already pays, and
+    rules on the same table share that scan under one union job."""
+    out = None
+    for rule, table, det, dep in _FD_RULES:
+        t = load(spark, sf_dir, table)
+        per_key = t.groupBy(det).agg(F.count_distinct(dep).alias("n_dep"))
+        n = F.count(F.lit(1))
+        single = F.sum(F.when(F.col("n_dep") == 1, 1).otherwise(0))
+        one = per_key.agg(
+            F.lit(rule).alias("fd_rule"),
+            n.alias("n_keys"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)).alias(
+                "n_violating_keys"
+            ),
+            (single.cast("double") / n).alias("fd_strength"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

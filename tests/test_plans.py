@@ -660,3 +660,35 @@ def test_rank_filter_pushes_window_group_limit():
     for name in ("lm3_reservoir_per_source", "w6_topk_per_group"):
         plan = plan_of(catalog()[name].fn(spark, SF_DIR))
         assert "WindowGroupLimit" in plan, (name, plan)
+
+
+def test_bloom_probe_keeps_fact_side_map_side():
+    """po1's probe must not shuffle the fact table: the three bloom
+    word joins are all BroadcastHashJoins (≤32-row build sides), so
+    the only exchange in the plan is the final 1-row summary
+    aggregate's."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = catalog()["po1_bloom_prefilter"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 bloom words + member flag
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # orders are scanned once and never exchange-partitioned by a key:
+    assert "Exchange hashpartitioning(o_" not in plan, plan
+
+
+def test_broadcast_quantile_assignment_is_broadcast():
+    """lm4b's hot path (bin assignment) must join the cutpoint table
+    broadcast — a shuffle here would reintroduce the total-order cost
+    the query exists to avoid. (The rank pass legitimately shuffles by
+    lang once to compute cutpoints.)"""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = catalog()["lm4b_broadcast_quantile_bins"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
