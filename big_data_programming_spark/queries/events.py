@@ -656,3 +656,95 @@ def e18_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions_started"
         ),
     )
+
+
+@register(
+    "e19_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_day
+), rev AS (
+  SELECT f.cohort_day,
+         DATE_DIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+         CAST(CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           AS day_revenue
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_day, age_days, day_revenue,
+         CAST(CAST(SUM(CAST(day_revenue AS DECIMAL(38,10))) OVER (
+           PARTITION BY cohort_day ORDER BY age_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS VARCHAR) AS DOUBLE) AS cum_revenue
+  FROM rev
+)
+SELECT c.cohort_day, CAST(c.age_days AS BIGINT) AS age_days,
+       s.cohort_users, c.cum_revenue,
+       c.cum_revenue / s.cohort_users AS ltv_per_user
+FROM cum c JOIN sizes s USING (cohort_day)
+WHERE c.age_days <= 14
+""",
+    tags=("A1", "W4", "J1", "F2"),
+)
+def e19_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen day,
+    purchase revenue accumulated by cohort age (days since first
+    touch), normalized per cohort member — e7's retention twin on the
+    REVENUE axis, the curve growth teams read payback periods off.
+    Ages capped at 14 days for a bounded report.
+
+    Scale shape: the only event-volume work is the firsts aggregate
+    and one purchase-filtered join against it (both user-keyed); the
+    cumulative window runs over (cohort × age) AGGREGATED rows — w8's
+    post-agg-window discipline — through the decimal window-sum canon
+    (partition count changes float summation order, decimal doesn't).
+    ltv_per_user divides two bit-identical values, so it's hash-stable
+    too."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.date_diff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "age_days"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("day_revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_day",
+        F.col("age_days").cast("long").alias("age_days"),
+        F.sum(F.col("day_revenue").cast(DEC)).over(w).cast("double").alias(
+            "cum_revenue"
+        ),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_day")
+        .filter(F.col("age_days") <= 14)
+        .select(
+            "cohort_day",
+            "age_days",
+            "cohort_users",
+            "cum_revenue",
+            (F.col("cum_revenue") / F.col("cohort_users")).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
