@@ -247,9 +247,11 @@ def label_propagation(
     cluster path), the mode vote respects local density — a thin
     bridge edge between two dense near-dup cliques does not merge
     them. Fixed ``rounds`` keeps the oracle replayable as unrolled
-    CTEs; the argmax is tie-broken through a single score
-    (cnt·10^9 − label, injective in label) so both engines pick the
-    identical winner.
+    CTEs; the mode is computed in two exact stages (max count per
+    node, then min label among the max-count labels) so the winner is
+    identical in both engines for ANY label domain — a single
+    cnt·C − label score would silently invert the vote once labels
+    exceed C (review catch: 64-bit hash ids would have).
 
     Scale: each round is one (node-keyed) join + two hash aggregates
     over the edge list; labels are localCheckpointed per round to cut
@@ -266,13 +268,12 @@ def label_propagation(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), F.col("label").alias("nl"))
         votes = nl.groupBy("node", "nl").agg(F.count(F.lit(1)).alias("cnt"))
+        maxc = votes.groupBy("node").agg(F.max("cnt").alias("mc"))
         labels = (
-            votes.groupBy("node")
-            .agg(
-                F.max_by(
-                    "nl", F.col("cnt") * F.lit(1_000_000_000) - F.col("nl")
-                ).alias("label")
-            )
+            votes.join(maxc, "node")
+            .filter(F.col("cnt") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("nl").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels
@@ -297,9 +298,11 @@ c{r} AS (
   FROM und JOIN l{r-1} ON l{r-1}.node = und.b
   GROUP BY 1, 2
 ),
+m{r} AS (SELECT node, MAX(cnt) AS mc FROM c{r} GROUP BY node),
 l{r} AS (
-  SELECT node, ARG_MAX(nl, cnt * 1000000000 - nl) AS label
-  FROM c{r} GROUP BY node
+  SELECT c{r}.node, MIN(nl) AS label
+  FROM c{r} JOIN m{r} ON m{r}.node = c{r}.node AND c{r}.cnt = m{r}.mc
+  GROUP BY c{r}.node
 )"""
         )
     parts.append(f"\nSELECT node, label FROM l{rounds}")

@@ -80,3 +80,50 @@ SELECT user_id, session_id,
 FROM ids
 GROUP BY user_id, session_id
 """
+
+
+def peak_concurrency(sessions: DataFrame) -> DataFrame:
+    """Daily peak live-session count by sweep line over session
+    intervals (e18's engine, factored for synthetic-scenario tests).
+
+    Boundary rows (+1 at session_start, −1 at session_end) plus one
+    zero-delta midnight tick per day in the observed span; the global
+    running sum over (ts, delta DESC, sid) is the live-session count,
+    and its per-day max is the peak. The ticks carry the inherited
+    concurrency into days whose first real boundary is an end (or that
+    have no boundaries at all) — without them those days under-report
+    or vanish. Returns (day, peak_concurrent, n_sessions_started)."""
+    sid = (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("sid")
+    bounds = sessions.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta"), sid
+    ).unionAll(
+        sessions.select(
+            F.col("session_end").alias("ts"), F.lit(-1).alias("delta"), sid
+        )
+    )
+    ticks = (
+        bounds.agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("ts"),
+            F.lit(0).alias("delta"),
+            F.lit(-1).cast("long").alias("sid"),
+        )
+    )
+    bounds = bounds.unionAll(ticks)
+    w = (
+        Window.orderBy("ts", F.col("delta").desc(), "sid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bounds.select(
+        "ts", "delta", F.sum("delta").over(w).alias("concurrent")
+    )
+    return running.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max("concurrent").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+            "n_sessions_started"
+        ),
+    )

@@ -594,12 +594,23 @@ def e17_wow_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH sessions AS ("
     + SESSIONIZE_ORACLE_SQL.format(gap_us=30 * 60 * 1_000_000)
     + """
-), bounds AS (
+), bounds0 AS (
   SELECT session_start AS ts, 1 AS delta,
          user_id * 1000000 + session_id AS sid
   FROM sessions
   UNION ALL
   SELECT session_end, -1, user_id * 1000000 + session_id FROM sessions
+), bounds AS (
+  SELECT * FROM bounds0
+  UNION ALL
+  -- midnight ticks: one zero-delta row per day in the observed span,
+  -- so every day sees its carry-in concurrency (sessions straddling
+  -- midnight) even when its first real boundary is an end
+  SELECT CAST(d.day AS TIMESTAMP), 0, -1
+  FROM (SELECT UNNEST(generate_series(
+          (SELECT CAST(MIN(ts) AS DATE) FROM bounds0),
+          (SELECT CAST(MAX(ts) AS DATE) FROM bounds0),
+          INTERVAL 1 DAY)) AS day) d
 ), running AS (
   SELECT ts, delta,
          CAST(SUM(delta) OVER (
@@ -625,37 +636,20 @@ def e18_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     give. Starts sort before ends at equal timestamps (delta DESC), so
     a session ending exactly when another starts counts as overlap —
     pinned identically in both engines via the (ts, delta, sid) total
-    order.
+    order. A zero-delta midnight tick per day carries the inherited
+    live-session count into each day (review catch: without it, a day
+    whose peak IS the midnight carry-in — e.g. 3 sessions straddling
+    midnight that all end by 00:10 — under-reported, and a day with
+    no boundaries vanished).
 
     Scale shape: boundaries are 2 rows per SESSION (not per event), so
     the unpartitioned running sum is over session-count rows; at 100
     TB the sweep partitions by day with per-day carry-in (sum of all
     prior deltas — one pre-aggregate), turning the global window into
     per-day windows plus a tiny prefix-sum join."""
-    sessions = sessionize(load(spark, sf_dir, "events"))
-    sid = (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("sid")
-    bounds = sessions.select(
-        F.col("session_start").alias("ts"), F.lit(1).alias("delta"), sid
-    ).unionAll(
-        sessions.select(
-            F.col("session_end").alias("ts"), F.lit(-1).alias("delta"), sid
-        )
-    )
-    w = (
-        Window.orderBy("ts", F.col("delta").desc(), "sid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = bounds.select(
-        "ts", "delta", F.sum("delta").over(w).alias("concurrent")
-    )
-    return running.groupBy(
-        F.col("ts").cast("date").alias("day")
-    ).agg(
-        F.max("concurrent").alias("peak_concurrent"),
-        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
-            "n_sessions_started"
-        ),
-    )
+    from big_data_programming_spark.operators.sessions import peak_concurrency
+
+    return peak_concurrency(sessionize(load(spark, sf_dir, "events")))
 
 
 @register(

@@ -212,7 +212,8 @@ def g5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the edge list; fixed rounds (LPA converges in a
     few rounds on clique-like dedup graphs), localCheckpoint per round
     cuts lineage. The unrolled-CTE oracle replays the identical
-    argmax (cnt·10^9 − label is injective, so no tie ambiguity)."""
+    two-stage mode (max count, then min label among maxima — exact
+    for any label domain)."""
     docs = load(spark, sf_dir, "documents")
     edges = jaccard_pairs(docs, threshold=0.8).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

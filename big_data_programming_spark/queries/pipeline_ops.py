@@ -529,29 +529,67 @@ def po6_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: HLL geometry: p=8 -> m=256 registers; md5 split = first 2 hex chars
-#: (bucket) + next 14 (56-bit rho window). Raw estimator only (no
-#: small-range linear-counting correction: that needs ln(), which is
-#: libm and banned from hashed paths; at fixture scale the raw regime
-#: E > 2.5m holds anyway and the estimator is the documented one).
+#: HLL geometry (shared by po7 and the streaming twin st27 — the
+#: review-mandated single source of truth): md5 split = first 2 hex
+#: chars mod m (bucket) + next 14 (56-bit rho window). Raw estimator
+#: only (no small-range linear-counting correction: that needs ln(),
+#: which is libm and banned from hashed paths) — so each consumer must
+#: pick m small enough that its key cardinality sits in the raw
+#: regime E > 2.5m (po7: 10k event_ids vs m=256; st27: ~350/day vs
+#: m=64).
 _HLL_M = 256
-_HLL_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0)"
+#: Standard HLL alpha constants, spelled as literal arithmetic so both
+#: engines evaluate the identical double.
+HLL_ALPHA_SQL = {64: "0.709", 256: "0.7213 / (1.0 + 1.079 / 256.0)"}
+_HLL_ALPHA = HLL_ALPHA_SQL[256]
 _POW2_57 = "144115188075855872.0"
+POW2_57_INT = 144115188075855872
+
+
+def hll_bucket(key: Column, m: int) -> Column:
+    """Register index in [0, m) from the first 8 md5 bits."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("long") % m
+    ).alias("bucket")
+
+
+def hll_h56(key: Column) -> Column:
+    """56-bit rho window from md5 hex chars 3-16."""
+    return F.conv(F.substring(F.md5(key), 3, 14), 16, 10).cast("long").alias(
+        "h56"
+    )
+
+
+def hll_rho() -> Column:
+    """rho = leading zeros of h56 + 1, via bin-string length (no libm)."""
+    return F.when(F.col("h56") == 0, 57).otherwise(
+        F.lit(57) - F.length(F.bin("h56"))
+    )
+
+
+def hll_oracle_hashed(key_sql: str, m: int) -> str:
+    """DuckDB twin of hll_bucket/hll_h56 as SELECT-list fragments."""
+    return (
+        f"CAST(CONCAT('0x', SUBSTRING(md5({key_sql}), 1, 2)) AS BIGINT)"
+        f" % {m} AS bucket,\n"
+        f"         CAST(CONCAT('0x', SUBSTRING(md5({key_sql}), 3, 14))"
+        f" AS BIGINT) AS h56"
+    )
+
+
+HLL_ORACLE_RHO = (
+    "CASE WHEN h56 = 0 THEN 57 ELSE 57 - LENGTH(bin(h56)) END"
+)
 
 
 @register(
     "po7_hll_cardinality",
     oracle=f"""
 WITH hashed AS (
-  SELECT CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 2))
-           AS BIGINT) AS bucket,
-         CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 3, 14))
-           AS BIGINT) AS h56
+  SELECT {hll_oracle_hashed("CAST(event_id AS VARCHAR)", 256)}
   FROM events
 ), regs AS (
-  SELECT bucket,
-         MAX(CASE WHEN h56 = 0 THEN 57
-                  ELSE 57 - LENGTH(bin(h56)) END) AS m_reg
+  SELECT bucket, MAX({HLL_ORACLE_RHO}) AS m_reg
   FROM hashed GROUP BY bucket
 ), grid AS (
   SELECT g.range AS bucket FROM range(0, {_HLL_M}) g
@@ -597,21 +635,8 @@ def po7_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row attach (allowlisted tiny cross)."""
     ev = load(spark, sf_dir, "events")
     key = F.col("event_id").cast("string")
-    hashed = ev.select(
-        F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("long").alias(
-            "bucket"
-        ),
-        F.conv(F.substring(F.md5(key), 3, 14), 16, 10).cast("long").alias(
-            "h56"
-        ),
-    )
-    regs = hashed.groupBy("bucket").agg(
-        F.max(
-            F.when(F.col("h56") == 0, 57).otherwise(
-                F.lit(57) - F.length(F.bin("h56"))
-            )
-        ).alias("m_reg")
-    )
+    hashed = ev.select(hll_bucket(key, _HLL_M), hll_h56(key))
+    regs = hashed.groupBy("bucket").agg(F.max(hll_rho()).alias("m_reg"))
     grid = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
     full_regs = grid.join(regs, "bucket", "left").select(
         F.coalesce(F.col("m_reg"), F.lit(0)).alias("m_reg")

@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 
 from big_data_programming_spark.functions.canonical import DEC, oracle_dsum
 from big_data_programming_spark.operators.upsert import latest_per_key
+from big_data_programming_spark.queries.pipeline_ops import (
+    HLL_ALPHA_SQL,
+    HLL_ORACLE_RHO,
+    POW2_57_INT,
+    hll_bucket,
+    hll_h56,
+    hll_oracle_hashed,
+    hll_rho,
+)
 from big_data_programming_spark.queries.events import E2_SLIDING_ORACLE
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
@@ -1290,65 +1299,54 @@ def st26_union_of_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st27_streaming_hll_daily",
-    oracle="""
+    oracle=f"""
 WITH hashed AS (
   SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
-         CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 2))
-           AS BIGINT) AS bucket,
-         CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)), 3, 14))
-           AS BIGINT) AS h56
+         {hll_oracle_hashed("CAST(event_id AS VARCHAR)", 64)}
   FROM events
 ), regs AS (
-  SELECT day, bucket,
-         MAX(CASE WHEN h56 = 0 THEN 57
-                  ELSE 57 - LENGTH(bin(h56)) END) AS m_reg
+  SELECT day, bucket, MAX({HLL_ORACLE_RHO}) AS m_reg
   FROM hashed GROUP BY day, bucket
 ), denom AS (
   SELECT day,
          CAST(CAST(
            SUM(CAST((CAST(1 AS BIGINT) << (57 - m_reg)) AS DECIMAL(38,0)))
-           + CAST(256 - COUNT(*) AS DECIMAL(38,0))
-             * CAST(144115188075855872 AS DECIMAL(38,0))
+           + CAST(64 - COUNT(*) AS DECIMAL(38,0))
+             * CAST({POW2_57_INT} AS DECIMAL(38,0))
          AS VARCHAR) AS DOUBLE) AS d
   FROM regs GROUP BY day
 )
 SELECT day,
-       (0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256 * 144115188075855872.0
-         / d AS hll_estimate
+       ({HLL_ALPHA_SQL[64]}) * 64 * 64 * {POW2_57_INT}.0 / d AS hll_estimate
 FROM denom
 """,
     tags=("ST2", "A4", "F7", "S8"),
 )
 def st27_streaming_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """po7's deterministic HLL running ON THE STREAM: per-day distinct
-    estimates with CONSTANT state per day (≤256 register rows — the
+    estimates with CONSTANT state per day (≤64 register rows — the
     reason sketches exist in streaming: exact distinct state grows
-    with cardinality, register state doesn't). The stateful streaming
+    with cardinality, register state doesn't). m = 64 here, not po7's
+    256: each fixture day carries only ~350 distinct events, and the
+    raw estimator (the only libm-free one) is unbiased only in its
+    E > 2.5m regime — m must be sized to the PER-WINDOW cardinality,
+    not the stream total (review catch; daily accuracy is bounds-
+    tested in tests/test_pipeline_ops.py). The stateful streaming
     core is the (day, bucket) MAX aggregate; the estimator finish is
     stateless batch arithmetic on the drained registers. Empty buckets
-    enter the denominator as (256 − present)·2^57, so no bucket grid
-    is materialized. Same md5/bin arithmetic as po7 — the estimate is
-    bit-identical to the DuckDB oracle, per day."""
+    enter the denominator as (64 − present)·2^57, so no bucket grid
+    is materialized. Geometry/arithmetic shared with po7 via
+    pipeline_ops.hll_* helpers — the twins cannot drift."""
     s = events_stream(spark, sf_dir)
     key = F.col("event_id").cast("string")
     regs = (
         s.select(
             F.col("ts").cast("date").alias("day"),
-            F.conv(F.substring(F.md5(key), 1, 2), 16, 10)
-            .cast("long")
-            .alias("bucket"),
-            F.conv(F.substring(F.md5(key), 3, 14), 16, 10)
-            .cast("long")
-            .alias("h56"),
+            hll_bucket(key, 64),
+            hll_h56(key),
         )
         .groupBy("day", "bucket")
-        .agg(
-            F.max(
-                F.when(F.col("h56") == 0, 57).otherwise(
-                    F.lit(57) - F.length(F.bin("h56"))
-                )
-            ).alias("m_reg")
-        )
+        .agg(F.max(hll_rho()).alias("m_reg"))
     )
     drained = drain(regs, "complete")
     term = F.expr(
@@ -1359,17 +1357,16 @@ def st27_streaming_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(term)
-                + (F.lit(256) - F.count(F.lit(1))).cast("decimal(38,0)")
-                * F.lit(144115188075855872).cast("decimal(38,0)")
+                + (F.lit(64) - F.count(F.lit(1))).cast("decimal(38,0)")
+                * F.lit(POW2_57_INT).cast("decimal(38,0)")
             )
             .cast("double")
             .alias("d")
         )
     )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
     return denom.select(
         "day",
-        (alpha * 256 * 256 * F.lit(144115188075855872.0) / F.col("d")).alias(
-            "hll_estimate"
-        ),
+        (
+            F.lit(0.709) * 64 * 64 * F.lit(float(POW2_57_INT)) / F.col("d")
+        ).alias("hll_estimate"),
     )

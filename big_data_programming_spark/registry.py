@@ -26,13 +26,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: llm_dedup(14) = 47, + the first 3 of llm_similarity (l3, l3b, l3c)
 #: = 50, all oracle-paired. Round 3 window was events/aggregations/
 #: windows/setops (44 pass, 6 analyzed in VERDICT r3 — all defused).
-#: ROUND 5 ROTATION: llm_similarity remainder(8, incl. the justified
-#: rows-only l3e) + llm_multimodal(6) + graph_queries(4) +
-#: data_quality(6, incl. round-4 dq6) + udfs(11) + skew_queries(2) +
-#: streaming (first 13 of 23). ROUND 6: streaming remainder(10) +
-#: modern_sql(18) + relational_extras(7) + setops u5 re-window +
-#: r1/r2 re-verifies (p4/j6/j7) + round-4 additions (llm_mixing 6,
-#: pipeline_ops 4, e16/e17). Counts drift as queries land:
+#: ROUND 5 ROTATION (counts as of end of round 4 — RECOUNT before
+#: rotating): llm_similarity remainder(8, incl. the justified
+#: rows-only l3e) + llm_multimodal(6) + graph_queries(5, incl. g5) +
+#: data_quality(7, incl. dq6/dq7) + udfs(11) + skew_queries(2) = 39,
+#: + streaming first 11 of 24 = 50. ROUND 6: streaming remainder(13)
+#: + modern_sql(18) + relational_extras(7) + setops u5 re-window +
+#: r1/r2 re-verifies (p4/j6/j7); round-4 additions (llm_mixing 7,
+#: pipeline_ops 7, events e16-e19) flow to round 7's window — 20
+#: rounds leave ample rotation room. Counts drift as queries land:
 #: verify against len(catalog()) before each rotation, then regenerate
 #: CATALOG.md (scripts/gen_catalog.py) and run scripts/dtype_guard.py.
 _QUERY_MODULES = (

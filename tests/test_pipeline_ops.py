@@ -282,3 +282,71 @@ def test_lpa_bridge_edge_does_not_merge_cliques(spark):
     b_labels = {labels[n] for n in range(10, 14)}
     assert len(a_labels) == 1 and len(b_labels) == 1
     assert a_labels != b_labels
+    # same graph under 2^40-scale node ids: the two-stage mode is
+    # domain-independent (a cnt*C - label score would invert here)
+    big = edges.select(
+        (F.col("src") + (1 << 40)).alias("src"),
+        (F.col("dst") + (1 << 40)).alias("dst"),
+    )
+    blabels = {
+        r["node"]: r["label"] for r in label_propagation(big).collect()
+    }
+    assert blabels == {n + (1 << 40): l + (1 << 40) for n, l in labels.items()}
+
+
+def test_streaming_hll_daily_accuracy_bound(spark, oracle):
+    """st27's m=64 must keep every fixture day inside the raw
+    estimator's accuracy band (|rel_error| < 3·1.04/√64 ≈ 0.39) —
+    the review catch this geometry fixes: m=256 put daily
+    cardinalities (~350) below the 2.5m raw-regime floor and biased
+    estimates high by up to 25%."""
+    from big_data_programming_spark.queries.streaming_queries import (
+        st27_streaming_hll_daily,
+    )
+
+    est = {
+        r["day"]: r["hll_estimate"]
+        for r in st27_streaming_hll_daily(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        oracle.execute(
+            "SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, "
+            "COUNT(DISTINCT event_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert n > 2.5 * 64, (day, n)  # raw-regime precondition holds
+        assert abs(est[day] - n) / n < 3 * 1.04 / 8, (day, est[day], n)
+
+
+def test_peak_concurrency_midnight_carry_in(spark):
+    """The review-catch scenario: 3 sessions straddle midnight and all
+    end by 00:10 of day 2, with no day-2 starts before then — day 2's
+    true peak is the inherited 3, which only the midnight tick can
+    report (boundary rows alone would show max 2 after the first −1).
+    Also: a session spanning ALL of day 2 must keep day 2 in the
+    output even with zero boundaries that day."""
+    import datetime as dt
+
+    from big_data_programming_spark.operators.sessions import peak_concurrency
+
+    d1 = dt.datetime(2024, 3, 1)
+    rows = [
+        # user_id, session_id, session_start, session_end
+        (1, 1, d1.replace(hour=23, minute=0), d1 + dt.timedelta(days=1, minutes=5)),
+        (2, 1, d1.replace(hour=23, minute=10), d1 + dt.timedelta(days=1)),
+        (3, 1, d1.replace(hour=23, minute=20), d1 + dt.timedelta(days=1, minutes=10)),
+        # spans all of day 2 and 3: no boundaries inside day 3
+        (4, 1, d1.replace(hour=22), d1 + dt.timedelta(days=3)),
+    ]
+    sessions = spark.createDataFrame(
+        rows, ["user_id", "session_id", "session_start", "session_end"]
+    )
+    got = {
+        str(r["day"]): r["peak_concurrent"]
+        for r in peak_concurrency(sessions).collect()
+    }
+    assert got["2024-03-01"] == 4  # all four live late on day 1
+    assert got["2024-03-02"] == 4  # carry-in: the tick sees all four
+    assert got["2024-03-03"] == 1  # no boundaries that day — tick only
