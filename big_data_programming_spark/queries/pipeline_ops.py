@@ -425,6 +425,22 @@ _CM_DEPTH = 4
 _CM_WIDTH = 256
 
 
+def cm_col(key: Column, depth: int, width: int) -> Column:
+    """CM cell column for one depth: md5 slice (1+8d, 8) mod width —
+    shared by po6 and the streaming twin st28 so geometry can't
+    drift."""
+    h = F.conv(F.substring(F.md5(key), 1 + 8 * depth, 8), 16, 10)
+    return (h.cast("long") % width).alias("col")
+
+
+def cm_oracle_col(key_sql: str, width: int) -> str:
+    """DuckDB twin of cm_col with the depth column named ``d``."""
+    return (
+        f"CAST(CONCAT('0x', SUBSTRING(md5({key_sql}), 1 + 8 * depths.d, 8))"
+        f" AS BIGINT) % {width}"
+    )
+
+
 @register(
     "po6_countmin_heavy_hitters",
     oracle=f"""
@@ -484,8 +500,7 @@ def po6_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "token").limit(10)
 
     def col_at(token: Column, depth: int) -> Column:
-        h = F.conv(F.substring(F.md5(token), 1 + 8 * depth, 8), 16, 10)
-        return (h.cast("long") % _CM_WIDTH).alias("col")
+        return cm_col(token, depth, _CM_WIDTH)
 
     cells = (
         toks.select(

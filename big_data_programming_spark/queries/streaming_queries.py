@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_programming_spark.functions.canonical import DEC, oracle_dsum
 from big_data_programming_spark.operators.upsert import latest_per_key
@@ -1369,4 +1370,115 @@ def st27_streaming_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(0.709) * 64 * 64 * F.lit(float(POW2_57_INT)) / F.col("d")
         ).alias("hll_estimate"),
+    )
+
+
+@register(
+    "st28_streaming_cm_daily",
+    oracle="""
+WITH depths AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, depths.d,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)),
+             1 + 8 * depths.d, 8)) AS BIGINT) % 256 AS col,
+         COUNT(*) AS cnt
+  FROM events, depths GROUP BY 1, 2, 3
+), exact AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), top AS (
+  SELECT day, user_id, n FROM (
+    SELECT day, user_id, n,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, user_id)
+             AS rnk
+    FROM exact
+  ) WHERE rnk <= 3
+), probes AS (
+  SELECT t.day, t.user_id, t.n, depths.d,
+         CAST(CONCAT('0x', SUBSTRING(md5(CAST(t.user_id AS VARCHAR)),
+             1 + 8 * depths.d, 8)) AS BIGINT) % 256 AS col
+  FROM top t, depths
+)
+SELECT p.day, p.user_id,
+       CAST(p.n AS BIGINT) AS exact_count,
+       CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate,
+       CAST(MIN(c.cnt) - p.n AS BIGINT) AS overestimate
+FROM probes p
+JOIN cells c ON c.day = p.day AND c.d = p.d AND c.col = p.col
+GROUP BY p.day, p.user_id, p.n
+""",
+    tags=("ST2", "A4", "F7", "S8"),
+)
+def st28_streaming_cm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """po6's Count-Min running ON THE STREAM: per-day heavy-user
+    frequency estimates with CONSTANT state per day (≤ depth×width =
+    1024 cells however many events a day carries — the streaming
+    frequency companion to st27's cardinality registers). The
+    stateful core is the (day, d, col) COUNT aggregate; the finish —
+    exact daily top-3 users (the audit side, batch arithmetic) probed
+    through the drained cells, min over depths — is stateless.
+    Overestimate ≥ 0 per key (CM never undercounts) as pinned for
+    po6; hash geometry shared via pipeline_ops.cm_col so the twins
+    can't drift. At fixture scale (150 daily keys over width 256) the
+    min-over-depths estimate is usually exact — overestimate rises
+    with keys/width, which is the sizing dial (width ≈ e/eps of the
+    per-window key count, the same per-window-sizing rule st27's m
+    follows)."""
+    from big_data_programming_spark.queries.pipeline_ops import cm_col
+
+    s = events_stream(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    cells = (
+        s.select(
+            F.col("ts").cast("date").alias("day"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("d"), cm_col(key, i, 256))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("dc"),
+        )
+        .select("day", "dc.d", "dc.col")
+        .groupBy("day", "d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    drained = drain(cells, "complete")
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wtop = Window.partitionBy("day").orderBy(F.col("n").desc(), "user_id")
+    top = exact.select(
+        "day", "user_id", "n", F.row_number().over(wtop).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+    probes = top.select(
+        "day",
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        cm_col(F.col("user_id").cast("string"), i, 256),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("dc"),
+    ).select("day", "user_id", "n", "dc.d", "dc.col")
+    return (
+        probes.join(F.broadcast(drained), ["day", "d", "col"])
+        .groupBy("day", "user_id", "n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "day",
+            "user_id",
+            F.col("n").alias("exact_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
+        )
     )
