@@ -39,12 +39,19 @@ def exact_dedup_keys(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Default hot-token document-frequency cap for :func:`jaccard_pairs`.
+#: JACCARD_ORACLE_SQL bakes in the SAME constant, so the Spark result
+#: and the DuckDB twin drop identical tokens at ANY scale — the cap
+#: can trigger without a silent hash divergence (ADVICE r4 item 2).
+MAX_TOKEN_DF = 100_000
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_token_df: int | None = 100_000,
+    max_token_df: int | None = MAX_TOKEN_DF,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity for all pairs sharing ≥1 token.
 
@@ -59,11 +66,11 @@ def jaccard_pairs(
     would cause (a token in k docs emits k² join rows): tokens whose
     document frequency exceeds the cap are dropped from the inverted
     index via a broadcast anti-join (hot tokens are by definition few).
-    The default never triggers at fixture scale — the oracle twin stays
-    uncapped and tests/test_operators.py asserts fixture max-df is far
-    below the cap — but caps the worst case if this twin is ever lifted
-    to production data. Dropping a >100k-df token barely moves Jaccard
-    for near-dup purposes: such tokens are stopwords shared by
+    JACCARD_ORACLE_SQL applies the SAME cap (the shared MAX_TOKEN_DF
+    constant), so the two engines drop identical tokens and stay
+    hash-identical even when the cap triggers; pass a non-default cap
+    only on non-oracle paths. Dropping a >100k-df token barely moves
+    Jaccard for near-dup purposes: such tokens are stopwords shared by
     essentially every candidate pair."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
@@ -99,10 +106,16 @@ def jaccard_pairs(
     )
 
 
-JACCARD_ORACLE_SQL = """
-WITH toks AS (
+JACCARD_ORACLE_SQL = f"""
+WITH toks0 AS (
   SELECT doc_id AS doc, UNNEST(list_distinct(string_split(text, ' '))) AS token
   FROM documents
+), toks AS (
+  -- same hot-token df cap as jaccard_pairs(max_token_df=MAX_TOKEN_DF):
+  -- both engines drop identical tokens, so the cap triggering at a
+  -- larger SF cannot silently diverge the hash
+  SELECT doc, token FROM toks0
+  QUALIFY COUNT(*) OVER (PARTITION BY token) <= {MAX_TOKEN_DF}
 ), sizes AS (
   SELECT doc, COUNT(*) AS n_tokens FROM toks GROUP BY doc
 ), inter AS (
@@ -115,7 +128,7 @@ SELECT doc_a, doc_b, n_shared,
 FROM inter
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
-WHERE CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) >= {threshold}
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) >= {{threshold}}
 """
 
 

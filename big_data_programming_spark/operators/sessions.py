@@ -87,12 +87,30 @@ def peak_concurrency(sessions: DataFrame) -> DataFrame:
     intervals (e18's engine, factored for synthetic-scenario tests).
 
     Boundary rows (+1 at session_start, −1 at session_end) plus one
-    zero-delta midnight tick per day in the observed span; the global
-    running sum over (ts, delta DESC, sid) is the live-session count,
-    and its per-day max is the peak. The ticks carry the inherited
-    concurrency into days whose first real boundary is an end (or that
-    have no boundaries at all) — without them those days under-report
-    or vanish. Returns (day, peak_concurrent, n_sessions_started)."""
+    zero-delta midnight tick per day in the observed span; the running
+    sum over (ts, delta DESC, sid) is the live-session count, and its
+    per-day max is the peak. The ticks carry the inherited concurrency
+    into days whose first real boundary is an end (or that have no
+    boundaries at all) — without them those days under-report or
+    vanish. Returns (day, peak_concurrent, n_sessions_started).
+
+    Scale shape (the r4 verdict's one perf-weak item, now fixed): the
+    sweep is NOT one global ordered window — that would sort every
+    boundary row on a single partition (`WindowExec: No Partition
+    Defined` over 2·|sessions| rows). Instead: (1) the running sum
+    runs PARTITIONED BY day, so each partition sorts only its own
+    day's boundaries; (2) one hash aggregate reduces to |days| rows
+    carrying both the in-day peak and the day's total delta (the
+    `running` rows still carry `delta`, so no second pass over the
+    boundaries); (3) each day's carry-in concurrency = prefix sum of
+    PRIOR days' totals — the only unpartitioned window, over the
+    |days|-sized table (w8 discipline); carry_in + max(in-day running
+    sum) = the global sweep's daily max, exactly (carry_in is
+    constant within a day). The midnight-tick span comes from a
+    min/max aggregate on `sessions` directly (parquet/row-group
+    statistics territory), not from re-deriving the boundary union.
+    At 100 TB the biggest sort is the busiest single day, not the
+    corpus."""
     sid = (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("sid")
     bounds = sessions.select(
         F.col("session_start").alias("ts"), F.lit(1).alias("delta"), sid
@@ -102,9 +120,9 @@ def peak_concurrency(sessions: DataFrame) -> DataFrame:
         )
     )
     ticks = (
-        bounds.agg(
-            F.min(F.col("ts").cast("date")).alias("d0"),
-            F.max(F.col("ts").cast("date")).alias("d1"),
+        sessions.agg(
+            F.min(F.col("session_start").cast("date")).alias("d0"),
+            F.max(F.col("session_end").cast("date")).alias("d1"),
         )
         .select(F.explode(F.sequence("d0", "d1")).alias("day"))
         .select(
@@ -113,17 +131,31 @@ def peak_concurrency(sessions: DataFrame) -> DataFrame:
             F.lit(-1).cast("long").alias("sid"),
         )
     )
-    bounds = bounds.unionAll(ticks)
-    w = (
-        Window.orderBy("ts", F.col("delta").desc(), "sid")
+    bounds = bounds.unionAll(ticks).withColumn("day", F.col("ts").cast("date"))
+    # (1): per-day running sum — sorts within each day's partition only.
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("ts", F.col("delta").desc(), "sid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = bounds.select(
-        "ts", "delta", F.sum("delta").over(w).alias("concurrent")
+        "day", "delta", F.sum("delta").over(w_day).alias("concurrent_in_day")
     )
-    return running.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.max("concurrent").alias("peak_concurrent"),
+    # (2): one aggregate to |days| rows — in-day peak AND day total.
+    perday = running.groupBy("day").agg(
+        F.max("concurrent_in_day").alias("peak_in_day"),
+        F.sum("delta").alias("day_delta"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
             "n_sessions_started"
         ),
+    )
+    # (3): carry-in prefix sum over the |days|-row table.
+    w_prefix = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry_in = F.coalesce(
+        F.sum("day_delta").over(w_prefix), F.lit(0).cast("long")
+    )
+    return perday.select(
+        "day",
+        (carry_in + F.col("peak_in_day")).alias("peak_concurrent"),
+        "n_sessions_started",
     )

@@ -642,11 +642,13 @@ def e18_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     midnight that all end by 00:10 — under-reported, and a day with
     no boundaries vanished).
 
-    Scale shape: boundaries are 2 rows per SESSION (not per event), so
-    the unpartitioned running sum is over session-count rows; at 100
-    TB the sweep partitions by day with per-day carry-in (sum of all
-    prior deltas — one pre-aggregate), turning the global window into
-    per-day windows plus a tiny prefix-sum join."""
+    Scale shape: boundaries are 2 rows per SESSION (not per event),
+    and the sweep is day-partitioned — per-day running sums plus a
+    carry-in prefix sum over the |days|-sized day-total table (the
+    only unpartitioned window; w8 discipline). The biggest sort at
+    100 TB is the busiest single day, not the corpus; plan-pinned in
+    tests/test_plans.py (no unpartitioned WindowExec over the
+    boundary-row table)."""
     from big_data_programming_spark.operators.sessions import peak_concurrency
 
     return peak_concurrency(sessionize(load(spark, sf_dir, "events")))

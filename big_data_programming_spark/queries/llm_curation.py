@@ -424,6 +424,82 @@ def l4m_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l4m2_bpe_proxy_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         -- strlen = BYTE length in DuckDB (octet_length is BLOB-only)
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST((strlen(text) + 3) // 4 AS BIGINT)) AS est_tokens,
+         CAST(LEN(regexp_extract_all(text,
+              '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pretokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, source, est_tokens, n_pretokens,
+         SUM(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - est_tokens AS start_offset
+  FROM toks
+)
+SELECT source,
+       CAST(start_offset // {PACK_CAP} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(est_tokens) AS BIGINT) AS total_est_tokens,
+       CAST(SUM(n_pretokens) AS BIGINT) AS total_pretokens,
+       MIN(doc_id) AS first_doc_id
+FROM offs
+GROUP BY 1, 2
+""",
+    tags=("L4", "W4", "A1", "F1"),
+)
+def l4m2_bpe_proxy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under trainer-style token accounting (the l4m
+    variant the r4 verdict suggested): whitespace token counts
+    under-estimate what a BPE tokenizer emits, so bins packed by them
+    overflow the real context window. This packs by the standard
+    byte-proxy estimate — ceil(bytes/4), floored at 1 (the ~4
+    bytes/token rule of thumb for English-like text) — and also
+    reports a BPE-pre-tokenizer-shaped count (alphanumeric runs +
+    individual non-space symbols via one regexp count) for
+    calibration. Integer arithmetic end to end, so both engines bin
+    identically; the explicit [A-Za-z0-9] class (not \\w) keeps the
+    Java-regex and RE2 match sets identical. Same scale shape as l4m:
+    one per-source window cumsum + one aggregate; the estimate is
+    in-row, so switching to a real tokenizer UDF later changes only
+    the est_tokens expression, not the plan."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("(octet_length(text) + 3) div 4").cast("bigint"),
+        ).alias("est_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_pretokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = toks.withColumn(
+        "start_offset", F.sum("est_tokens").over(w) - F.col("est_tokens")
+    )
+    return offs.groupBy(
+        "source", F.expr(f"start_offset div {PACK_CAP}").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("est_tokens").alias("total_est_tokens"),
+        F.sum("n_pretokens").alias("total_pretokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+@register(
     "l4n_weighted_sample",
     oracle="""
 WITH keyed AS (

@@ -21,7 +21,7 @@ from big_data_programming_spark.operators.similarity import (
     lsh_sign_bucket,
     topk_cosine,
 )
-from big_data_programming_spark.registry import register
+from big_data_programming_spark.registry import DEFER, register
 from big_data_programming_spark.sources.loaders import load, register_views
 
 #: DuckDB fragment: cosine(a, b) with Spark's exact fold order.
@@ -39,6 +39,8 @@ list_reduce(list_transform(generate_series(1, 64),
 
 @register(
     "l3_cosine_topk",
+    # driver-green in r4; DEFER frees the r5 window slot (registry.py)
+    window_rank=DEFER,
     oracle=f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
@@ -62,6 +64,8 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l3b_bucketed_near_pairs",
+    # driver-green in r4; DEFER frees the r5 window slot (registry.py)
+    window_rank=DEFER,
     oracle=f"""
 WITH b AS (
   SELECT vec_id, embedding,
@@ -88,6 +92,8 @@ def l3b_bucketed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l3c_label_centroid_sim",
+    # driver-green in r4; DEFER frees the r5 window slot (registry.py)
+    window_rank=DEFER,
     oracle=f"""
 WITH flat AS (
   SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS x

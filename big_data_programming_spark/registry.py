@@ -21,34 +21,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: Order matters operationally: the driver's correctness pass checks the
 #: FIRST 50 catalog entries only, so modules are rotated each round to
-#: give never-verified operators a driver row. ROUND 4 window (current
-#: order): scalar_functions(14) + llm_text(11) + llm_curation(8) +
-#: llm_dedup(14) = 47, + the first 3 of llm_similarity (l3, l3b, l3c)
-#: = 50, all oracle-paired. Round 3 window was events/aggregations/
-#: windows/setops (44 pass, 6 analyzed in VERDICT r3 — all defused).
-#: ROUND 5 ROTATION (counts as of end of round 4 — RECOUNT before
-#: rotating): llm_similarity remainder(8, incl. the justified
-#: rows-only l3e) + llm_multimodal(6) + graph_queries(5, incl. g5) +
-#: data_quality(7, incl. dq6/dq7) + udfs(11) + skew_queries(2) = 39,
-#: + streaming first 11 of 24 = 50. ROUND 6: streaming remainder(13)
-#: + modern_sql(18) + relational_extras(7) + setops u5 re-window +
-#: r1/r2 re-verifies (p4/j6/j7); round-4 additions (llm_mixing 7,
-#: pipeline_ops 7, events e16-e19) flow to round 7's window — 20
-#: rounds leave ample rotation room. Counts drift as queries land:
-#: verify against len(catalog()) before each rotation, then regenerate
-#: CATALOG.md (scripts/gen_catalog.py) and run scripts/dtype_guard.py.
+#: give never-verified operators a driver row. ROUND 5 window (current
+#: order, recounted against len(catalog())==273 at rotation time):
+#: llm_similarity remainder(8 — l3/l3b/l3c passed r4 and carry
+#: ``window_rank=DEFER`` so they sort after every module; incl. the
+#: justified rows-only l3e) + llm_multimodal(6) + graph_queries(5,
+#: incl. g5) + data_quality(7, incl. dq6/dq7) + udfs(11) +
+#: skew_queries(2) = 39, + streaming first 11 of 25 (st1-st11, st13)
+#: = 50. Round 4 window was scalar_functions + llm_text + llm_curation
+#: + llm_dedup + l3/l3b/l3c (50/50 green, CORRECTNESS_r04). Round 3
+#: was events/aggregations/windows/setops.
+#: ROUND 6 PLAN (RECOUNT before rotating): streaming remainder(14) +
+#: modern_sql(18) + relational_extras(7) = 39, + the 6 stale driver
+#: reds re-windowed via ``window_rank=PROMOTE``: p4_cast_projection,
+#: j6_theta_range_join, j7_asof_join, e3_sessionization,
+#: a7_collect_aggs, a18_windowed_collect_flat, a19_percentile_flat,
+#: plus u5_symmetric_difference — all fixed and drive-green since r3;
+#: PROMOTE pins them into the window without dragging their whole
+#: modules along. That is 39+8=47, leaving 3 slots for round-5
+#: additions. ROUND 7: llm_mixing(7) + pipeline_ops(7) + events
+#: e16-e19 + st27/st28 + g5/dq6/dq7/lm4b follow-ups + the deferred
+#: l3/l3b/l3c if slots remain — 20 rounds leave ample rotation room.
+#: Counts drift as queries land: verify against len(catalog()) before
+#: each rotation, then regenerate CATALOG.md (scripts/gen_catalog.py)
+#: and run scripts/dtype_guard.py + a full scripts/drive_driver.py.
 _QUERY_MODULES = (
-    "scalar_functions",
-    "llm_text",
-    "llm_curation",
-    "llm_dedup",
     "llm_similarity",
     "llm_multimodal",
     "graph_queries",
     "data_quality",
     "udfs",
-    "streaming_queries",
     "skew_queries",
+    "streaming_queries",
+    "scalar_functions",
+    "llm_text",
+    "llm_curation",
+    "llm_dedup",
     "events",
     "aggregations",
     "windows",
@@ -64,6 +72,14 @@ _QUERY_MODULES = (
     "llm_mixing",
     "pipeline_ops",
 )
+
+#: Per-query window placement overrides (see :func:`register`'s
+#: ``window_rank``). PROMOTE sorts before every module (use to pin a
+#: specific stale query into the next driver window without dragging
+#: its whole module forward); DEFER sorts after every module (use to
+#: keep an already-driver-green query from re-occupying a window slot).
+PROMOTE = -1
+DEFER = 10_000
 
 
 @dataclass(frozen=True)
@@ -87,6 +103,10 @@ class Query:
     #: infeasible and which test pins the semantics instead — so the
     #: driver's ``no_oracle`` row reads as intent, not omission.
     rows_only_reason: str | None = None
+    #: None = sort by module position (the default). PROMOTE/DEFER (or
+    #: any int) override the module rank for window composition — the
+    #: query's semantics and oracle are unaffected, only catalog order.
+    window_rank: int | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -99,6 +119,7 @@ def register(
     tags: tuple[str, ...] = (),
     doc: str = "",
     rows_only_reason: str | None = None,
+    window_rank: int | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the catalog."""
     if oracle is None and not rows_only_reason:
@@ -116,6 +137,7 @@ def register(
             doc=doc or (fn.__doc__ or ""),
             tags=tags,
             rows_only_reason=rows_only_reason,
+            window_rank=window_rank,
         )
         return fn
 
@@ -136,21 +158,26 @@ def catalog() -> dict[str, Query]:
 
     Order is STRUCTURAL, not import-incidental: entries are grouped by
     ``_QUERY_MODULES`` position (then registration order within the
-    module). The driver's 50-entry correctness window is defined by
-    this order, and an early ``import queries.some_module`` elsewhere
-    (as test files legitimately do) must not be able to rotate the
-    window by registering its module first."""
+    module), except entries carrying an explicit ``window_rank``
+    (PROMOTE/DEFER), which sort by that rank instead. The driver's
+    50-entry correctness window is defined by this order, and an early
+    ``import queries.some_module`` elsewhere (as test files
+    legitimately do) must not be able to rotate the window by
+    registering its module first."""
     _ensure_loaded()
     mod_rank = {
         f"big_data_programming_spark.queries.{m}": i
         for i, m in enumerate(_QUERY_MODULES)
     }
-    names = sorted(
-        _REGISTRY,
-        key=lambda n: mod_rank.get(
-            _REGISTRY[n].fn.__module__, len(mod_rank)
-        ),
-    )  # sorted() is stable: within-module registration order survives
+
+    def rank(n: str) -> int:
+        q = _REGISTRY[n]
+        if q.window_rank is not None:
+            return q.window_rank
+        return mod_rank.get(q.fn.__module__, len(mod_rank))
+
+    names = sorted(_REGISTRY, key=rank)
+    # sorted() is stable: within-module registration order survives
     return {n: _REGISTRY[n] for n in names}
 
 

@@ -55,6 +55,12 @@ SAMPLE_QUERIES = [
     "po3_incremental_kpi_rollup",
     "e16_conversion_attribution",
     "dq6_point_in_time_join",
+    # the r6 PROMOTE re-window set (stale driver reds, fixed since r3;
+    # pinned here so a regression can't ride unseen to round 6 —
+    # p4/j6/j7/e3/a7 already sampled above):
+    "a18_freq_items",
+    "a19_quantile_profile",
+    "u5_dedup_subset",
 ]
 
 _CHILD = r"""
@@ -137,11 +143,16 @@ def test_catalog_order_is_structural_not_import_order():
         "import big_data_programming_spark.queries.pipeline_ops\n"
         "import big_data_programming_spark.queries.llm_mixing\n"
         "from big_data_programming_spark.registry import catalog, _QUERY_MODULES\n"
-        "names = list(catalog())\n"
-        "assert names[0] == 'f1_string_funcs', names[:3]\n"
-        "mods = [catalog()[n].fn.__module__.rsplit('.', 1)[-1] for n in names]\n"
+        "cat = catalog()\n"
+        "names = list(cat)\n"
+        "assert names[0] == 'l3d_knn_label_vote', names[:3]\n"
+        # DEFER entries (driver-green in a past window) sort last:
+        "assert names[-3:] == ['l3_cosine_topk', 'l3b_bucketed_near_pairs',"
+        " 'l3c_label_centroid_sim'], names[-3:]\n"
         "rank = {m: i for i, m in enumerate(_QUERY_MODULES)}\n"
-        "assert [rank[m] for m in mods] == sorted(rank[m] for m in mods)\n"
+        "eff = [q.window_rank if q.window_rank is not None else"
+        " rank[q.fn.__module__.rsplit('.', 1)[-1]] for q in cat.values()]\n"
+        "assert eff == sorted(eff)\n"
         "print('OK', len(names))\n"
     )
     out = subprocess.run(

@@ -81,12 +81,25 @@ def test_minhash_lsh_recall_vs_exact_jaccard(docs):
 
 
 def test_jaccard_df_cap_inactive_on_fixture_but_bounds_hot_tokens(docs, spark):
-    """The default max_token_df never triggers at fixture scale (so the
-    uncapped DuckDB oracle stays the exact twin), and on a synthetic
-    corpus where the exact capped result is derivable by hand, the cap
-    PROVABLY drops the hot token: pairs sharing only it vanish and
-    shared-counts exclude it (a no-op cap would fail both)."""
-    from big_data_programming_spark.operators.dedup import tokenize
+    """The default max_token_df never triggers at fixture scale, and on
+    a synthetic corpus where the exact capped result is derivable by
+    hand, the cap PROVABLY drops the hot token: pairs sharing only it
+    vanish and shared-counts exclude it (a no-op cap would fail both).
+    The DuckDB twin bakes in the SAME cap (ADVICE r4: a triggering cap
+    must not silently diverge the hash), pinned below via the shared
+    MAX_TOKEN_DF constant."""
+    from big_data_programming_spark.operators.dedup import (
+        JACCARD_ORACLE_SQL,
+        MAX_TOKEN_DF,
+        tokenize,
+    )
+
+    # oracle lockstep: the SQL twin carries the exact default cap
+    assert f"<= {MAX_TOKEN_DF}" in JACCARD_ORACLE_SQL
+    import inspect
+
+    sig = inspect.signature(jaccard_pairs)
+    assert sig.parameters["max_token_df"].default == MAX_TOKEN_DF
 
     df_counts = (
         docs.select(F.explode(F.array_distinct(tokenize(F.col("text")))).alias("t"))

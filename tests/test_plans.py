@@ -679,6 +679,40 @@ def test_bloom_probe_keeps_fact_side_map_side():
     assert "Exchange hashpartitioning(o_" not in plan, plan
 
 
+def test_peak_concurrency_sweep_is_day_partitioned():
+    """e18's sweep-line prefix sum must run PARTITIONED BY day over
+    the boundary rows — the r4 verdict's one perf-weak item was a
+    global ordered window (`WindowExec: No Partition Defined`) that
+    sorted every boundary on a single partition. The only
+    unpartitioned window allowed is the carry-in prefix sum over the
+    post-aggregation |days|-row day-total table (w8 discipline)."""
+    import re
+
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    df = catalog()["e18_peak_concurrency"].fn(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    windows = [l for l in plan.splitlines() if re.search(r"\bWindow \[", l)]
+    assert windows, plan
+    # A partitioned Window node renders three bracket groups
+    # (exprs], [partition spec], [ordering]); unpartitioned only two.
+    unpart = [l for l in windows if not re.search(r"\], \[[^\]]+\], \[", l)]
+    assert unpart, "expected the |days|-row carry-in prefix window"
+    for line in unpart:
+        assert "day_delta" in line, (
+            "unpartitioned Window over something other than the "
+            f"|days|-row day-total table:\n{line}"
+        )
+    # The boundary-row running sum is day-partitioned:
+    assert any(
+        "concurrent_in_day" in l and re.search(r"\], \[day#\d+\], \[", l)
+        for l in windows
+    ), windows
+
+
 def test_broadcast_quantile_assignment_is_broadcast():
     """lm4b's hot path (bin assignment) must join the cutpoint table
     broadcast — a shuffle here would reintroduce the total-order cost
