@@ -623,3 +623,109 @@ JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams) >= {threshold}
 """
+
+
+def winnowed_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span statistics via
+    winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the
+    MOSS algorithm), the distributed stand-in for Lee et al. 2022's
+    suffix-array ExactSubstr dedup; l2k is the catalog wrapper.
+
+    Construction (all in-row, per document): md5 every k-token gram,
+    then in each sliding window of w consecutive gram hashes keep the
+    minimum — the winnowed fingerprint set. Selection is CONTENT-
+    DEFINED: a gram's hash decides whether it is kept, so two
+    documents sharing a token run select the same fingerprints from
+    it regardless of where the run sits in each document (a fixed
+    stride grid does not have this property — runs at different
+    alignments mod stride would hash disjoint window sets and be
+    missed). Winnowing theorem: any shared run of >= w+k-1 tokens
+    shares at least one fingerprint, so both documents are flagged —
+    a worst-case guarantee, not an expectation. A fingerprint is
+    "duplicated" when it occurs in >= 2 DISTINCT documents, so a
+    document's internal repetition (l4h's signal) does not count as
+    corpus duplication.
+
+    Output: ``(id, n_fingerprints, n_dup_fingerprints, dup_frac)``.
+
+    Scale shape: fingerprinting is a pure map (array HOFs, ~2/(w+1)
+    of gram positions survive); the dup-set aggregate and the join
+    back are skew-free md5-keyed equi-shuffles with map-side combine;
+    the per-doc rollup is one hash aggregate. No all-pairs, no suffix
+    array — linear in corpus tokens, which is what runs at 100 TB.
+    """
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), i, k)).cast("binary")
+        ),
+    )
+    t = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks")).select(
+        id_col, grams.alias("grams")
+    )
+    m = F.size("grams")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("grams"), j, w)),
+    )
+    fps = t.select(id_col, F.explode(F.array_distinct(mins)).alias("h"))
+    dup = (
+        fps.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        fps.join(dup, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_fingerprints"),
+        )
+        .select(
+            id_col,
+            "n_fingerprints",
+            "n_dup_fingerprints",
+            (
+                F.col("n_dup_fingerprints").cast("double") / F.col("n_fingerprints")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def winnowed_span_oracle_sql(k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnowed_span_stats` — identical gram
+    hashing, identical window-min selection, identical dup rule."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, GREATEST(LEN(toks) - {k - 1}, 1)),
+                        i -> md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS grams
+  FROM t
+), fp AS (
+  SELECT DISTINCT doc_id, u.h
+  FROM (SELECT doc_id,
+               list_transform(generate_series(1, GREATEST(LEN(grams) - {w - 1}, 1)),
+                              j -> list_min(list_slice(grams, j, j + {w - 1}))) AS mins
+        FROM g),
+       UNNEST(mins) AS u(h)
+), dup AS (
+  SELECT h FROM fp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT fp.doc_id,
+       COUNT(*) AS n_fingerprints,
+       COUNT(*) FILTER (WHERE dup.h IS NOT NULL) AS n_dup_fingerprints,
+       CAST(COUNT(*) FILTER (WHERE dup.h IS NOT NULL) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM fp LEFT JOIN dup ON fp.h = dup.h
+GROUP BY 1
+"""

@@ -236,3 +236,116 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine_sim", "rank")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, compare pairs only WITHIN a cluster, and inside
+    every group of cosine-near duplicates keep the example FARTHEST
+    from its cluster centroid (the paper's keep rule — boundary
+    examples carry more training signal than prototypical ones).
+
+    Clustering here assigns each vector to its nearest of
+    ``n_clusters`` fixed seed centroids (the ``n_clusters`` vectors
+    with the smallest ids — deterministic and oracle-replayable). In
+    production the centroids come from an offline k-means fit exactly
+    like ivf_build's; the seeds stand in so the oracle replays the
+    assignment bit-for-bit, and the PLAN SHAPE — broadcast centroid
+    table, map-side assignment, within-cluster pairs — is identical
+    regardless of where the centroids came from.
+
+    Plan shape, stage by stage:
+    - the centroid set collapses to ONE row holding an array of
+      (cid, vector) structs, broadcast to every task; assignment is
+      an IN-ROW argmax (array_max over per-centroid cosine structs,
+      tie broken toward the smaller cid) — a pure map, NO n×k row
+      blowup and no shuffle, which is what keeps the step linear when
+      production k reaches the paper's tens of thousands;
+    - candidate pairs self-equi-join on the cluster id, so the
+      comparison count is sum of squares of CLUSTER sizes, never
+      corpus²; the quadratic-in-cluster cost is SemDeDup's documented
+      trade, controlled by k (bigger k → smaller clusters);
+    - a vector x is dropped iff some same-cluster y with
+      cosine(x, y) >= threshold BEATS it — y sits closer to the
+      centroid (higher rounded cos-to-centroid; tie toward the
+      smaller id). The minimal element of every near-dup group beats
+      all its neighbors, so exactly the per-group survivor the greedy
+      rule keeps is kept; the drop set is bounded by the duplicate
+      count and broadcasts back as an anti-probe.
+
+    Output: ``(id, cluster_id, cos_centroid, is_kept)``, one row per
+    input vector; ``cos_centroid`` rounded to 8 dp (the comparison
+    canon both engines apply to the same bit-identical double)."""
+    emb = vectors.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        emb.orderBy(id_col)
+        .limit(n_clusters)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("sid"), F.col("v").alias("c")))
+            ).alias("cents")
+        )
+    )
+    best = F.array_max(
+        F.zip_with(
+            F.col("cents"),
+            F.sequence(F.lit(1), F.size("cents")),
+            lambda s, i: F.struct(
+                cosine_similarity_col(F.col("v"), s.getField("c")).alias("cos"),
+                (-i).cast("int").alias("negcid"),
+            ),
+        )
+    )
+    asg = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select(id_col, "v", best.alias("best"))
+        .select(
+            id_col,
+            "v",
+            (-F.col("best").getField("negcid")).cast("int").alias("cluster_id"),
+            F.round(F.col("best").getField("cos"), 8).alias("cos_centroid"),
+        )
+    )
+    a = asg.select(
+        F.col(id_col).alias("_ida"),
+        F.col("cluster_id"),
+        F.col("cos_centroid").alias("_ca"),
+        F.col("v").alias("_va"),
+    )
+    b = asg.select(
+        F.col(id_col).alias("_idb"),
+        F.col("cluster_id"),
+        F.col("cos_centroid").alias("_cb"),
+        F.col("v").alias("_vb"),
+    )
+    close = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine_similarity_col(F.col("_va"), F.col("_vb")) >= threshold)
+    )
+    loser = (
+        F.when(F.col("_ca") > F.col("_cb"), F.col("_ida"))
+        .when(F.col("_cb") > F.col("_ca"), F.col("_idb"))
+        .otherwise(F.greatest("_ida", "_idb"))
+    )
+    drops = close.select(loser.alias("_drop_id")).distinct()
+    return (
+        asg.join(
+            F.broadcast(drops), asg[id_col] == F.col("_drop_id"), "left"
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            "cos_centroid",
+            F.col("_drop_id").isNull().alias("is_kept"),
+        )
+    )

@@ -80,20 +80,74 @@ def a3_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_only_reason=(
         "HLL estimates are engine-specific (register layouts differ), so no "
         "cross-engine value exists; tests/test_approx.py asserts rsd-bound "
-        "error vs the exact count, and a20/a21 are the exact-below-capacity "
-        "sketch twins that ARE oracle-paired"
+        "error vs the exact count, a4b pins the error CONTRACT against the "
+        "oracle, and a20/a21 are the exact-below-capacity sketch twins that "
+        "ARE oracle-paired"
     ),
     tags=("A4",),
 )
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimate — the 100 TB substitute for exact
     COUNT(DISTINCT): no shuffle of the distinct values, constant-size
-    sketch merge. tests/test_operators.py asserts the estimate is
-    within rsd bounds of the exact count."""
+    sketch merge — emitted next to the exact companions so the driver's
+    rows-only record still shows the estimate landing beside its truth.
+    tests/test_approx.py asserts the estimate is within rsd bounds;
+    a4b is the oracle-paired audit of the same contract."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "a4b_approx_distinct_audit",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_within_5rsd,
+       TRUE AS orders_within_5rsd
+FROM lineitem
+""",
+    tags=("A4", "A3"),
+)
+def a4b_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-paired audit for a4's HLL estimates: exact distinct
+    counts plus within-5-relative-standard-deviations flags for each
+    estimate. The estimates themselves are engine-specific (register
+    layouts differ, so DuckDB cannot replay the value), but the ERROR
+    CONTRACT is cross-engine checkable: Spark's HLL is deterministic
+    for a given input, so the bound flags are stable booleans the
+    oracle pins as literal TRUE — the same bounded-error discipline
+    as po6/po7/st27/st28, closing a4's rows-only gap from the bounds
+    side. 5x rsd (= 10% at rsd 0.02) is far outside HLL++'s observed
+    error at any cardinality, so the flag flips only on a genuine
+    sketch regression, not on noise. One pass, one aggregate; the
+    exact distincts are the expensive half (value shuffle) and exist
+    only to audit — at 100 TB you run a4, not this."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    bound = F.lit(5 * 0.02)
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts")).cast("double")
+            / F.col("exact_parts")
+            <= bound
+        ).alias("parts_within_5rsd"),
+        (
+            F.abs(F.col("ao") - F.col("exact_orders")).cast("double")
+            / F.col("exact_orders")
+            <= bound
+        ).alias("orders_within_5rsd"),
     )
 
 

@@ -25,7 +25,10 @@ from big_data_programming_spark.operators.dedup import (
     ngram_jaccard_pairs,
     normalize_text,
     simhash,
+    winnowed_span_oracle_sql,
+    winnowed_span_stats,
 )
+from big_data_programming_spark.operators.similarity import semdedup
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
 
@@ -451,3 +454,95 @@ def l1c_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_in_batch"),
         )
     )
+
+
+#: Winnowing geometry: 8-token grams, window of 4 gram hashes —
+#: guarantee: any cross-doc shared run of >= 4+8-1 = 11 tokens shares
+#: a fingerprint (Schleimer et al. 2003, Theorem: winnowing detects
+#: all matches of length >= w+k-1), independent of alignment.
+_WIN_K = 8
+_WIN_W = 4
+
+
+@register(
+    "l2k_duplicate_ngram_spans",
+    oracle=winnowed_span_oracle_sql(_WIN_K, _WIN_W),
+    tags=("L2", "L1", "A1", "F4"),
+)
+def l2k_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus exact-substring duplication via winnowing
+    fingerprints (operators/dedup.py:winnowed_span_stats — the MOSS
+    algorithm of Schleimer et al. 2003 standing in for Lee et al.
+    2022's suffix-array ExactSubstr dedup): content-defined selection
+    of 8-token-gram hashes, a fingerprint duplicated when it occurs
+    in >= 2 distinct documents, per-doc duplicated-fingerprint
+    fraction out. The content-defined selection is the load-bearing
+    choice: a fixed sampling grid misses shared runs at different
+    alignments, while winnowing guarantees any shared run of >= 11
+    tokens is caught in both documents. Linear in corpus tokens,
+    no all-pairs, no suffix array — see the operator docstring for
+    the 100 TB plan shape. Raw IEEE integer division, no rounding."""
+    d = load(spark, sf_dir, "documents")
+    return winnowed_span_stats(d, k=_WIN_K, w=_WIN_W)
+
+
+#: SemDeDup geometry: 8 seed centroids (the 8 smallest vec_ids — at
+#: production scale an offline k-means fit supplies them, see the
+#: operator docstring), near-dup threshold cosine >= 0.35 (the l2e
+#: separation point on this corpus).
+_SEM_K = 8
+_SEM_TH = 0.35
+
+
+@register(
+    "l2m_semdedup",
+    oracle=f"""
+WITH seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid, embedding AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_SEM_K})
+), scored AS (
+  SELECT e.vec_id, s.cid,
+         {_COS_DD.format(a='e.embedding', b='s.c')} AS cos_raw
+  FROM embeddings e CROSS JOIN seeds s
+), asg AS (
+  SELECT vec_id, cid AS cluster_id, ROUND(cos_raw, 8) AS cos_centroid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_raw DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+), close AS (
+  SELECT a.vec_id AS va, a.cos_centroid AS ca,
+         b.vec_id AS vb, b.cos_centroid AS cb
+  FROM asg a
+  JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_COS_DD.format(a='ea.embedding', b='eb.embedding')} >= {_SEM_TH}
+), drops AS (
+  SELECT DISTINCT CASE WHEN ca > cb THEN va
+                       WHEN cb > ca THEN vb
+                       ELSE GREATEST(va, vb) END AS drop_id
+  FROM close
+)
+SELECT asg.vec_id, cluster_id, cos_centroid, d.drop_id IS NULL AS is_kept
+FROM asg LEFT JOIN drops d ON asg.vec_id = d.drop_id
+""",
+    tags=("L2", "L3", "J1", "A1"),
+)
+def l2m_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023;
+    operators/similarity.py:semdedup): cluster the embedding space,
+    compare cosine only within clusters, and in every near-dup group
+    keep the example FARTHEST from its centroid — the paper's rule,
+    which preserves boundary examples over prototypical ones. The
+    missing middle ground between l1's exact hashing and l2e's
+    orthant-bucket near-dup: candidates are semantic neighborhoods
+    (nearest-centroid cells), not hash collisions, so paraphrases
+    that share no orthant still meet. Assignment is an in-row argmax
+    against ONE broadcast row holding the centroid array (no n x k
+    row blowup — the step that must stay linear when production k
+    hits the paper's tens of thousands); pair cost is sum of squared
+    CLUSTER sizes, controlled by k; the drop set is duplicate-bound
+    and broadcasts back as the keep-flag probe."""
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_clusters=_SEM_K, threshold=_SEM_TH)

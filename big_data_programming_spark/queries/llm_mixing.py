@@ -501,3 +501,138 @@ def lm4b_broadcast_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+#: DSIR feature-hash geometry: unigram + bigram features hashed into
+#: _DSIR_B buckets via the house md5 arithmetic (pipeline_ops.py
+#: precedent). 256 buckets keeps the model table broadcast-tiny at any
+#: corpus size; the paper (Xie et al. 2023) uses 10k — a constant.
+_DSIR_B = 256
+#: Laplace smoothing constant for both bucket models.
+_DSIR_A = 1
+
+
+@register(
+    "lm7_dsir_importance",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         list_concat(
+           toks,
+           list_transform(generate_series(1, GREATEST(LEN(toks) - 1, 0)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS fs
+  FROM t
+), fx AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', SUBSTRING(md5(u.f), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+  FROM feats, UNNEST(fs) AS u(f)
+), raw_model AS (
+  SELECT b, COUNT(*) AS cr FROM fx GROUP BY 1
+), tgt_model AS (
+  SELECT b, COUNT(*) AS ct FROM fx WHERE lang = 'en' GROUP BY 1
+), tots AS (
+  SELECT (SELECT COUNT(*) FROM fx) AS tot_r,
+         (SELECT COUNT(*) FROM fx WHERE lang = 'en') AS tot_t
+), llr AS (
+  SELECT r.b,
+         ROUND(LN((CAST(COALESCE(ct, 0) + {_DSIR_A} AS DOUBLE)
+                     / (tot_t + {_DSIR_A} * {_DSIR_B}))
+                  / (CAST(cr + {_DSIR_A} AS DOUBLE)
+                     / (tot_r + {_DSIR_A} * {_DSIR_B}))), 8) AS w
+  FROM raw_model r LEFT JOIN tgt_model USING (b) CROSS JOIN tots
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(CAST(SUM(CAST(w AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s
+  FROM fx JOIN llr USING (b) GROUP BY 1
+)
+SELECT doc_id, n_features,
+       ROUND(s / n_features, 6) AS dsir_logw,
+       ROUND(s / n_features, 6) > 0 AS resembles_target
+FROM per_doc
+""",
+    tags=("L5", "L4", "A1", "J8"),
+)
+def lm7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed unigram+bigram
+    bag-of-features bucket models for a TARGET distribution (here the
+    ``lang = 'en'`` slice standing in for the paper's high-quality
+    reference corpus) and the RAW corpus, Laplace-smoothed; each
+    document scores the mean log importance ratio of its feature
+    occurrences, ln(p_target(b)/p_raw(b)). Positive mean = the doc's
+    feature mix resembles the target more than the raw pool — the
+    selection signal DSIR resamples by.
+
+    Plan shape: one explode produces the (doc, bucket) feature stream;
+    BOTH bucket models are aggregates of that stream (map-side combine
+    into <= {_DSIR_B} groups — constant-size state, the po6 sketch
+    discipline); the scored join is (doc,bucket) x {_DSIR_B}-row model,
+    always broadcast; per-doc reduction is one hash aggregate. No
+    all-pairs, no vocabulary-sized shuffle — the model table is
+    CONSTANT regardless of corpus size, which is the whole point of
+    feature hashing at 100 TB. Selection here is the scan-only
+    threshold flag (mean > 0); top-k selection would add one sort and
+    is deliberately left to the caller (rank-free outputs compose with
+    lm1/lm3 sampling). Determinism: per-bucket log-ratio rounded 8dp
+    (identical expression tree both engines), exact DECIMAL per-doc
+    sum (order-free), mean rounded 6dp."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", "lang", F.concat(toks, bigrams).alias("fs"))
+    fx = feats.select(
+        "doc_id", "lang", F.explode(F.col("fs")).alias("f")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    raw_model = fx.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_model = (
+        fx.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = fx.agg(
+        F.count(F.lit(1)).alias("tot_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tot_t"),
+    )
+    m = _DSIR_A * _DSIR_B
+    w = F.round(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + _DSIR_A).cast("double")
+             / (F.col("tot_t") + m))
+            / ((F.col("cr") + _DSIR_A).cast("double") / (F.col("tot_r") + m))
+        ),
+        8,
+    )
+    llr = (
+        raw_model.join(tgt_model, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("b", w.alias("w"))
+    )
+    per_doc = (
+        fx.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.col("w").cast(DEC)).cast("double").alias("s"),
+        )
+    )
+    mean = F.round(F.col("s") / F.col("n_features"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_features",
+        mean.alias("dsir_logw"),
+        (mean > 0).alias("resembles_target"),
+    )

@@ -8,10 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_programming_spark.functions.canonical import oracle_davg
+from big_data_programming_spark.functions.canonical import DEC, oracle_davg
 from big_data_programming_spark.operators.text import (
     BPE_ISH_PATTERN,
     QUALITY_ORACLE_SQL,
+    STOPWORDS,
     bpe_ish_tokens,
     quality_features,
     shingle_fingerprint,
@@ -574,4 +575,431 @@ def l5c_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(passing, True)).alias("n_quality"),
         F.count_distinct(F.when(passing, F.col("content_hash"))).alias("n_exact_unique"),
         F.count_distinct(F.when(passing, F.col("simhash_bits"))).alias("n_simhash_unique"),
+    )
+
+
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+
+@register(
+    "l5d_gopher_gate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), freq AS (
+  SELECT doc_id, MAX(c) AS max_freq
+  FROM (SELECT doc_id, u.token, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS u(token)
+        GROUP BY doc_id, u.token)
+  GROUP BY doc_id
+), feats AS (
+  SELECT doc_id,
+         CAST(LEN(t) AS BIGINT) AS n_tokens,
+         CAST(list_reduce(list_transform(t, x -> LENGTH(x)), (a, b) -> a + b) AS DOUBLE)
+           / LEN(t) AS mean_word_len,
+         CAST(LEN(list_filter(t, x -> x IN {_STOP_SQL})) AS BIGINT) AS stop_count,
+         COALESCE(
+           CAST(LEN(list_transform(generate_series(1, LEN(t) - 1), i -> t[i] || ' ' || t[i + 1]))
+                - LEN(list_distinct(list_transform(generate_series(1, LEN(t) - 1),
+                                                   i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+             / NULLIF(LEN(t) - 1, 0), 0) AS dup_bigram_frac
+  FROM toks
+), rules AS (
+  SELECT f.doc_id, f.n_tokens, f.mean_word_len, f.stop_count, f.dup_bigram_frac,
+         CAST(fr.max_freq AS DOUBLE) / f.n_tokens AS top_token_frac,
+         f.n_tokens BETWEEN 20 AND 2000 AS rule_word_count,
+         f.mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+         f.stop_count >= 2 AS rule_stopword,
+         CAST(fr.max_freq AS DOUBLE) / f.n_tokens <= 0.125 AS rule_top_token,
+         f.dup_bigram_frac <= 0.08 AS rule_dup_bigram
+  FROM feats f JOIN freq fr ON f.doc_id = fr.doc_id
+)
+SELECT doc_id, n_tokens, mean_word_len, top_token_frac, dup_bigram_frac,
+       rule_word_count, rule_mean_word_len, rule_stopword, rule_top_token,
+       rule_dup_bigram,
+       CAST((CASE WHEN rule_word_count THEN 0 ELSE 1 END)
+            + (CASE WHEN rule_mean_word_len THEN 0 ELSE 1 END)
+            + (CASE WHEN rule_stopword THEN 0 ELSE 1 END)
+            + (CASE WHEN rule_top_token THEN 0 ELSE 1 END)
+            + (CASE WHEN rule_dup_bigram THEN 0 ELSE 1 END) AS BIGINT) AS n_rules_failed,
+       rule_word_count AND rule_mean_word_len AND rule_stopword
+         AND rule_top_token AND rule_dup_bigram AS keep
+FROM rules
+""",
+    tags=("L5", "L4", "A1", "F4"),
+)
+def l5d_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (the published rule-battery
+    shape of Rae et al. 2021 §A1.1, adapted to this corpus's
+    lowercase space-separated text): per-document named boolean rules
+    — word-count bounds, mean-word-length bounds, minimum stopword
+    occurrences, top-token concentration cap, duplicate-bigram cap —
+    plus the failed-rule count and the final keep decision. l4h/l5
+    emit raw signals; this is the DECISION operator a curation
+    pipeline actually applies, with per-rule attribution so a
+    threshold change's impact is auditable per rule rather than only
+    via the final keep rate.
+
+    Plan shape: every signal except top-token concentration is
+    computed in-row with array HOFs (no explode); the top-token
+    frequency is the one aggregate, shuffling per-(doc, token) counts
+    already shrunk by map-side combine, then a doc_id-keyed join back
+    — the l4h shape. All fractions are raw IEEE divisions of integers
+    and all thresholds compare those exact doubles, so the booleans
+    are bitwise-reproducible cross-engine with no rounding step. At
+    100 TB this is scan-dominated and embarrassingly parallel; the
+    rule thresholds are constants, so the gate composes with l4n/lm1
+    sampling as a pushed-down filter."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("t"))
+    freq = (
+        base.select("doc_id", F.explode(F.col("t")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_freq"))
+    )
+    n = F.size(F.col("t"))
+    total_len = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    bg = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (total_len.cast("double") / n).alias("mean_word_len"),
+        F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("stop_count"),
+        F.coalesce(
+            (F.size(bg) - F.size(F.array_distinct(bg))).cast("double")
+            / F.nullif((n - 1).cast("bigint"), F.lit(0)),
+            F.lit(0.0),
+        ).alias("dup_bigram_frac"),
+    )
+    rules = feats.join(freq, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        (F.col("max_freq").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        "dup_bigram_frac",
+        F.col("n_tokens").between(20, 2000).alias("rule_word_count"),
+        F.col("mean_word_len").between(3.0, 10.0).alias("rule_mean_word_len"),
+        (F.col("stop_count") >= 2).alias("rule_stopword"),
+        (
+            (F.col("max_freq").cast("double") / F.col("n_tokens")) <= 0.125
+        ).alias("rule_top_token"),
+        (F.col("dup_bigram_frac") <= 0.08).alias("rule_dup_bigram"),
+    )
+    failed = sum(
+        F.when(F.col(r), 0).otherwise(1)
+        for r in (
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_stopword",
+            "rule_top_token",
+            "rule_dup_bigram",
+        )
+    )
+    return rules.select(
+        "*",
+        failed.cast("bigint").alias("n_rules_failed"),
+        (
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_stopword")
+            & F.col("rule_top_token")
+            & F.col("rule_dup_bigram")
+        ).alias("keep"),
+    )
+
+
+@register(
+    "l5e_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(t) AS u(token)
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS n_total FROM vocab
+), scored AS (
+  SELECT doc_id,
+         CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 8)
+              AS DECIMAL(38,10)) AS nll
+  FROM tok JOIN vocab USING (token) CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(nll) AS s FROM scored GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_nll,
+       ROUND(EXP(ROUND(CAST(s AS DOUBLE) / n_tokens, 6)), 4) AS ppl_proxy
+FROM agg
+""",
+    tags=("L5", "L4", "A1", "J8"),
+)
+def l5e_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet/KenLM-style
+    perplexity-proxy quality signal: build the corpus unigram model
+    (token -> count, total N), score each document as the mean
+    negative log-probability of its tokens, and report exp(mean) as a
+    perplexity proxy. Low ppl = in-distribution text; high ppl =
+    out-of-vocabulary-heavy or unusual token mix. The real pipelines
+    score against a 5-gram KenLM trained on a clean reference corpus;
+    the unigram self-model keeps the identical plan shape (model
+    build + broadcast + score) fully oracle-checkable.
+
+    Plan shape: one explode feeds BOTH the vocab aggregate and the
+    scoring join; the vocab (|V| rows, far smaller than the corpus)
+    joins back keyed by token — AQE broadcasts it when it fits, else
+    it is an equi-shuffle on uniform-ish hash keys; the single-row
+    total attaches via a 1-row broadcast cross join (the l4k
+    corpus-statistics shape). Per-doc reduction is one hash
+    aggregate with map-side combine. Zipfian token skew is real at
+    100 TB ('the' is a hot join key): the fix is the sk2 recipe —
+    broadcast the top-K head of the vocab and shuffle only the tail —
+    noted here, applied when |V| exceeds broadcast budget.
+    Determinism: each token's nll is rounded to 8 dp then summed in
+    exact DECIMAL(38,10) (order-free), the mean rounded to 6 dp, and
+    exp applied to that already-rounded double on both engines —
+    the l4k component-rounding canon."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))
+    nll = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 8
+    ).cast("decimal(38,10)")
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("nll").alias("s")
+    )
+    avg = F.round(F.col("s").cast("double") / F.col("n_tokens"), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 4).alias("ppl_proxy"),
+    )
+
+
+#: Boilerplate geometry: non-overlapping 8-token chunks; a chunk text
+#: is boilerplate when it occurs in >= 2 DISTINCT documents (the
+#: RefinedWeb/CCNet line-dedup rule lifted to fixed chunks — this
+#: corpus's text is space-separated tokens with no newlines, so the
+#: "line" unit is a fixed token window instead).
+_BP_C = 8
+_BP_MIN_DOCS = 2
+
+
+@register(
+    "l5f_boilerplate_chunk_strip",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, s.i AS pos,
+         array_to_string(list_slice(toks, (s.i - 1) * {_BP_C} + 1,
+                                    (s.i - 1) * {_BP_C} + {_BP_C}), ' ') AS chunk
+  FROM t, UNNEST(generate_series(1, CAST(CEIL(LEN(toks) / {_BP_C}.0) AS BIGINT)))
+       AS s(i)
+), boiler AS (
+  SELECT chunk FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+), flagged AS (
+  SELECT c.doc_id, c.pos, c.chunk, b.chunk IS NOT NULL AS is_boiler
+  FROM c LEFT JOIN boiler b ON c.chunk = b.chunk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_boiler_chunks,
+       CAST(COALESCE(SUM(LEN(string_split(chunk, ' ')))
+                     FILTER (WHERE NOT is_boiler), 0) AS BIGINT) AS kept_tokens,
+       md5(COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                    FILTER (WHERE NOT is_boiler), '')) AS kept_md5
+FROM flagged GROUP BY 1
+""",
+    tags=("L5", "L1", "A1", "F4"),
+)
+def l5f_boilerplate_chunk_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the RefinedWeb/CCNet
+    line-dedup stage (Penedo et al. 2023 §3.3 'line-wise corrections';
+    CCNet removes duplicated lines/paragraphs across shards) adapted to
+    this corpus's newline-free space-separated text: split each doc into
+    non-overlapping {_BP_C}-token chunks, flag any chunk whose exact
+    text occurs in >= {_BP_MIN_DOCS} distinct documents, and emit the
+    per-doc strip accounting plus the md5 of the surviving text (chunks
+    re-joined in position order) so the cleaned output is value-checked
+    without shipping long strings through the hash gate.
+
+    Plan shape: chunking is in-row (one explode of ceil(n/{_BP_C})
+    chunk rows per doc — 8x FEWER rows than a token explode); the
+    boilerplate set is one chunk-text-keyed aggregate with map-side
+    combine; the flag join is chunk-text-keyed equi-shuffle (or
+    broadcast when the boiler set fits, as here); reassembly is one
+    hash aggregate whose ordered concat uses sort_array over (pos,
+    chunk) structs — deterministic, JVM-side, no Python. At 100 TB the
+    boiler set is the df>=k tail of a heavy-hit distribution — small —
+    so the probe side broadcasts; the house po1 bloom is the
+    pre-filter if it ever does not. Exact-text matching (not hashes)
+    on the join key keeps the op collision-free; keys are
+    {_BP_C}-token strings, so shuffle width is bounded."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(1), F.ceil(F.size(toks) / F.lit(float(_BP_C))).cast("int")
+        ),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - 1) * _BP_C + 1, _BP_C)
+        ),
+    )
+    c = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.posexplode(chunks).alias("pos0", "chunk"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "chunk")
+    )
+    boiler = (
+        c.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BP_MIN_DOCS)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    flagged = c.join(F.broadcast(boiler), "chunk", "left").select(
+        "doc_id",
+        "pos",
+        "chunk",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("chunk"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler_chunks"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~F.col("is_boiler"), F.size(F.split(F.col("chunk"), " "))
+                )
+            ),
+            F.lit(0),
+        ).alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("kept_md5"),
+    )
+
+
+#: Zipf fit: least-squares slope of ln(freq) on ln(rank) over the top
+#: _ZIPF_R vocabulary ranks (rank ties broken by token text so both
+#: engines pick the identical ranking).
+_ZIPF_R = 100
+
+
+@register(
+    "l4s_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT u.token
+  FROM (SELECT string_split(text, ' ') AS t FROM documents), UNNEST(t) AS u(token)
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS r FROM vocab
+), pts AS (
+  SELECT ROUND(LN(CAST(r AS DOUBLE)), 8) AS x, ROUND(LN(CAST(cnt AS DOUBLE)), 8) AS y
+  FROM ranked WHERE r <= {_ZIPF_R}
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM pts
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS n_vocab
+  FROM tok
+)
+SELECT n_tokens, n_vocab,
+       ROUND(CAST(n_vocab AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       CAST(n AS BIGINT) AS ranks_used,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM sums CROSS JOIN tot
+""",
+    tags=("L4", "A1", "W2", "F3"),
+)
+def l4s_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics fit: Zipf's-law slope via least squares of
+    ln(freq) on ln(rank) over the top {_ZIPF_R} vocabulary ranks, plus
+    type-token ratio — the sanity profile a data team checks after any
+    dedup/filter stage (natural text sits near slope -1; synthetic or
+    over-deduped corpora drift). Explicit-sums regression (n·Sxy -
+    Sx·Sy)/(n·Sxx - Sx²) instead of covar_pop/var_pop because the
+    engines' streaming-moment algorithms differ in the last ulp while
+    rounded-point decimal sums are order-free and bit-identical.
+
+    Plan shape: one token aggregate (map-side combined) produces the
+    vocabulary; the rank window is unpartitioned BUT runs over the
+    POST-AGGREGATION vocab table (|V| rows, << corpus — the w8
+    discipline) and is immediately cut to {_ZIPF_R} rows, which Spark
+    executes as a WindowGroupLimit-style top-k, not a full sort
+    spill; the regression is a 1-row aggregate of {_ZIPF_R} points.
+    Totals ride the same vocab table. At 100 TB the only corpus-scale
+    work is the first aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("token")))
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_R)
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 8).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    tot = vocab.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return sums.crossJoin(F.broadcast(tot)).select(
+        "n_tokens",
+        "n_vocab",
+        F.round(F.col("n_vocab").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.col("n").cast("bigint").alias("ranks_used"),
+        slope.alias("zipf_slope"),
     )

@@ -38,9 +38,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: a7_collect_aggs, a18_windowed_collect_flat, a19_percentile_flat,
 #: plus u5_symmetric_difference — all fixed and drive-green since r3;
 #: PROMOTE pins them into the window without dragging their whole
-#: modules along. That is 39+8=47, leaving 3 slots for round-5
-#: additions. ROUND 7: llm_mixing(7) + pipeline_ops(7) + events
-#: e16-e19 + st27/st28 + g5/dq6/dq7/lm4b follow-ups + the deferred
+#: modules along. That is 39+8=47; the 3 remaining slots take the
+#: round-5 additions l5d_gopher_gate, l5e_unigram_logprob,
+#: l2k_duplicate_ngram_spans (also PROMOTE). ROUND 7: llm_mixing(7)
+#: + pipeline_ops(7) + events e16-e19 + st27/st28 +
+#: g5/dq6/dq7/lm4b follow-ups + a4b_approx_distinct_audit + the
+#: round-5 depth additions lm7_dsir_importance,
+#: l5f_boilerplate_chunk_strip, l4s_zipf_fit, l2m_semdedup + the deferred
 #: l3/l3b/l3c if slots remain — 20 rounds leave ample rotation room.
 #: Counts drift as queries land: verify against len(catalog()) before
 #: each rotation, then regenerate CATALOG.md (scripts/gen_catalog.py)

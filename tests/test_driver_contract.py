@@ -47,6 +47,12 @@ SAMPLE_QUERIES = [
     "l4m_sequence_packing",
     "l6f_shard_manifest",
     "ud8_cogroup",
+    # round-5 additions (Gopher gate, unigram LM, winnowed spans, HLL audit)
+    "l5d_gopher_gate",
+    "l5e_unigram_logprob",
+    "l2k_duplicate_ngram_spans",
+    "a4b_approx_distinct_audit",
+    "l2m_semdedup",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",

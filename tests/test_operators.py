@@ -624,3 +624,254 @@ def test_dataset_split_stable_under_corpus_growth(spark):
     }
     assert subset and all(full[k] == v for k, v in subset.items())
     assert set(full.values()) == {"train", "val", "test"}
+
+
+# ---------- winnowed duplicate spans (l2k) ----------
+
+
+def test_winnowing_detects_misaligned_shared_run(spark):
+    """The content-defined guarantee that motivated winnowing over a
+    fixed sampling grid: a 12-token run shared at DIFFERENT offsets
+    (different alignment classes) must flag both documents — with
+    k=8, w=4 any shared run of >= 11 tokens shares a fingerprint
+    (Schleimer et al. 2003). A disjoint third doc must not flag."""
+    from big_data_programming_spark.operators.dedup import winnowed_span_stats
+
+    run = " ".join(f"r{i}" for i in range(12))
+    rows = [
+        (1, "a1 a2 a3 a4 a5 " + run + " a6 a7 a8"),
+        (2, "b1 b2 " + run + " b3 b4 b5 b6 b7 b8"),
+        (3, " ".join(f"c{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["n_dup_fingerprints"]
+        for r in winnowed_span_stats(docs, k=8, w=4).collect()
+    }
+    assert out[1] >= 1 and out[2] >= 1, out
+    assert out[3] == 0, out
+
+
+def test_winnowing_short_shared_run_not_required(spark):
+    """Below the w+k-1 guarantee the fingerprint sets of unrelated
+    docs stay disjoint: two docs sharing only a 4-token run (shorter
+    than one 8-gram) can never hash a common gram."""
+    from big_data_programming_spark.operators.dedup import winnowed_span_stats
+
+    shared = "s1 s2 s3 s4"
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + shared),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnowed_span_stats(docs, k=8, w=4)
+    assert out.agg(F.sum("n_dup_fingerprints")).collect()[0][0] == 0
+
+
+def test_winnowing_density_bound(spark, docs):
+    """Winnowing selects roughly 2/(w+1) of gram positions; the
+    distinct fingerprint count per doc must never exceed the gram
+    count (sanity on the corpus, not just planted rows)."""
+    from big_data_programming_spark.operators.dedup import winnowed_span_stats
+
+    out = winnowed_span_stats(docs, k=8, w=4)
+    tok = docs.select(F.size(F.split("text", " ")).alias("n"))
+    max_grams = tok.agg(F.max("n")).collect()[0][0]
+    mx = out.agg(F.max("n_fingerprints")).collect()[0][0]
+    assert 0 < mx <= max_grams
+
+
+# ---------- Gopher gate (l5d) / unigram logprob (l5e) ----------
+
+
+def test_gopher_gate_rule_attribution_consistent(spark):
+    """keep == (no rule failed) row-wise, each rule boolean agrees
+    with its reported statistic, and the gate is discriminating on
+    the fixture corpus (both decisions occur)."""
+    from big_data_programming_spark.registry import queries
+
+    out = queries()["l5d_gopher_gate"](spark, SMOKE_SF_DIR).collect()
+    keeps = {True: 0, False: 0}
+    for r in out:
+        assert r["keep"] == (r["n_rules_failed"] == 0)
+        assert r["rule_top_token"] == (r["top_token_frac"] <= 0.125)
+        assert r["rule_dup_bigram"] == (r["dup_bigram_frac"] <= 0.08)
+        assert r["rule_word_count"] == (20 <= r["n_tokens"] <= 2000)
+        keeps[r["keep"]] += 1
+    assert keeps[True] > 0 and keeps[False] > 0, keeps
+
+
+def test_unigram_logprob_bounds_and_ppl(spark):
+    """Every doc's mean NLL lies within the per-token NLL extremes of
+    the corpus unigram model, and ppl_proxy is exp(avg_nll) rounded
+    exactly as documented."""
+    from big_data_programming_spark.registry import queries
+    from big_data_programming_spark.sources.loaders import load
+
+    d = load(spark, SMOKE_SF_DIR, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    counts = [r[0] for r in tok.groupBy("t").count().select("count").collect()]
+    n_total = sum(counts)
+    lo = -math.log(max(counts) / n_total)
+    hi = -math.log(min(counts) / n_total)
+    out = queries()["l5e_unigram_logprob"](spark, SMOKE_SF_DIR).collect()
+    for r in out:
+        assert lo - 1e-6 <= r["avg_nll"] <= hi + 1e-6
+        assert r["ppl_proxy"] == pytest.approx(
+            round(math.exp(r["avg_nll"]), 4), abs=1e-9
+        )
+
+
+def test_a4b_audit_flags_hold(spark):
+    """The HLL error contract a4b pins as literal TRUE in the oracle
+    must hold when actually evaluated (here at the smoke SF too)."""
+    from big_data_programming_spark.registry import queries
+
+    row = queries()["a4b_approx_distinct_audit"](spark, SMOKE_SF_DIR).collect()[0]
+    assert row["parts_within_5rsd"] is True
+    assert row["orders_within_5rsd"] is True
+    assert row["exact_parts"] > 0 and row["exact_orders"] > 0
+
+
+def test_dsir_importance_contract(spark):
+    """Flag agrees with the sign row-wise, n_features = 2n-1 (unigrams
+    + bigrams), both signs occur, and the lang='en' target slice scores
+    a higher mean importance than the non-target remainder (the
+    signal's entire point)."""
+    from big_data_programming_spark.registry import queries
+
+    out = {
+        r["doc_id"]: r
+        for r in queries()["lm7_dsir_importance"](spark, SMOKE_SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet").collect()
+    en, rest = [], []
+    for d in docs:
+        r = out[d["doc_id"]]
+        n = len(d["text"].split(" "))
+        assert r["n_features"] == 2 * n - 1, (d["doc_id"], n, r["n_features"])
+        assert r["resembles_target"] == (r["dsir_logw"] > 0)
+        (en if d["lang"] == "en" else rest).append(r["dsir_logw"])
+    assert any(v > 0 for v in en) and any(v < 0 for v in rest)
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_boilerplate_strip_accounting(spark):
+    """Chunk accounting is conserved, fully-stripped docs hash the
+    empty string, and a surviving doc's kept_md5 replays from the raw
+    text by recomputing the strip in Python."""
+    import hashlib
+
+    from big_data_programming_spark.registry import queries
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries()["l5f_boilerplate_chunk_strip"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    docs = {
+        d["doc_id"]: d["text"].split(" ")
+        for d in spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet").collect()
+    }
+    # recompute the boiler set exactly
+    from collections import defaultdict
+
+    chunk_docs = defaultdict(set)
+    chunked = {}
+    for did, toks in docs.items():
+        cs = [
+            " ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)
+        ]
+        chunked[did] = cs
+        for c in cs:
+            chunk_docs[c].add(did)
+    boiler = {c for c, ds in chunk_docs.items() if len(ds) >= 2}
+    hit = stripped = 0
+    for did, r in rows.items():
+        cs = chunked[did]
+        kept = [c for c in cs if c not in boiler]
+        assert r["n_chunks"] == len(cs)
+        assert r["n_boiler_chunks"] == len(cs) - len(kept)
+        assert r["kept_tokens"] == sum(len(c.split(" ")) for c in kept)
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r["kept_md5"] == want, did
+        hit += r["n_boiler_chunks"] > 0
+        stripped += r["kept_tokens"] == 0
+    assert hit > 0  # the op does something on the fixture
+
+
+def test_zipf_fit_matches_numpy(spark):
+    """The explicit-sums regression equals numpy's polyfit on the same
+    rounded points, and ranks_used == min(R, |V|)."""
+    import numpy as np
+
+    from big_data_programming_spark.registry import queries
+
+    row = queries()["l4s_zipf_fit"](spark, SMOKE_SF_DIR).collect()[0]
+    toks = [
+        t
+        for d in spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet").collect()
+        for t in d["text"].split(" ")
+    ]
+    from collections import Counter
+
+    cnt = Counter(toks)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.round(np.log(np.arange(1, len(ranked) + 1)), 8)
+    y = np.round(np.log([c for _, c in ranked]), 8)
+    slope = np.polyfit(x, y, 1)[0]
+    assert row["ranks_used"] == min(100, len(cnt))
+    assert abs(row["zipf_slope"] - slope) < 1e-4
+    assert row["n_tokens"] == len(toks) and row["n_vocab"] == len(cnt)
+
+
+# ---------- SemDeDup (l2m) ----------
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """The paper's keep rule, distinguishable from keep-min-id: in a
+    near-dup group the member FARTHEST from its centroid survives —
+    here the seed centroid itself (cos_c = 1.0) is the prototypical
+    member and must be the one dropped. Also pins the assignment
+    tie-break (equidistant vector goes to the smaller cluster id)."""
+    from big_data_programming_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # seed c1
+        (2, [0.0, 1.0, 0.0, 0.0]),   # seed c2
+        (3, [0.9, 0.1, 0.0, 0.0]),   # c1, near-dup of 1, farther out
+        (4, [0.5, 0.5, 0.7, 0.0]),   # equidistant from both seeds
+        (5, [0.0, 0.95, 0.05, 0.0]), # c2, near-dup of 2, farther out
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(vecs, n_clusters=2, threshold=0.9).collect()
+    }
+    assert len(out) == 5
+    assert {k for k, r in out.items() if r["is_kept"]} == {3, 4, 5}
+    assert out[1]["cos_centroid"] == 1.0 and not out[1]["is_kept"]
+    assert out[2]["cos_centroid"] == 1.0 and not out[2]["is_kept"]
+    assert out[4]["cluster_id"] == 1  # tie toward the smaller cid
+    assert out[3]["cluster_id"] == 1 and out[5]["cluster_id"] == 2
+
+
+def test_semdedup_corpus_sanity(spark):
+    """On the fixture embeddings: one row per vector, cluster ids in
+    [1, 8], cosines in [-1, 1], at least one drop at the l2e
+    separation threshold, and every cluster retains a survivor."""
+    from big_data_programming_spark.registry import queries
+
+    out = queries()["l2m_semdedup"](spark, SMOKE_SF_DIR)
+    rows = out.collect()
+    n = load(spark, SMOKE_SF_DIR, "embeddings").count()
+    assert len(rows) == n
+    assert all(1 <= r["cluster_id"] <= 8 for r in rows)
+    assert all(-1.0 - 1e-9 <= r["cos_centroid"] <= 1.0 + 1e-9 for r in rows)
+    kept_by_cluster = {}
+    for r in rows:
+        kept_by_cluster.setdefault(r["cluster_id"], 0)
+        kept_by_cluster[r["cluster_id"]] += r["is_kept"]
+    assert any(not r["is_kept"] for r in rows)
+    assert all(v >= 1 for v in kept_by_cluster.values())

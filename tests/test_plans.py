@@ -209,6 +209,10 @@ def test_no_accidental_cartesian_in_catalog():
         "lm6_negative_pair_audit",  # 1-row corpus-size broadcast (LCG partner modulo)
         "po3_incremental_kpi_rollup",  # 1-row max(day) broadcast (newest-day split)
         "po7_hll_cardinality",  # 1-row exact x 1-row sketch-denominator attach
+        "lm7_dsir_importance",  # 1-row feature-total broadcast (Laplace denominators)
+        "l5e_unigram_logprob",  # 1-row vocab-total broadcast (the l4k corpus-stats shape)
+        "l4s_zipf_fit",  # 1-row regression sums x 1-row corpus-totals attach
+        "l2m_semdedup",  # 1-row centroid-array broadcast (in-row argmax assignment)
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
