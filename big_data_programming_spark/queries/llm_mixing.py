@@ -565,16 +565,26 @@ def lm7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature mix resembles the target more than the raw pool — the
     selection signal DSIR resamples by.
 
-    Plan shape: one explode produces the (doc, bucket) feature stream;
-    BOTH bucket models are aggregates of that stream (map-side combine
-    into <= {_DSIR_B} groups — constant-size state, the po6 sketch
-    discipline); the scored join is (doc,bucket) x {_DSIR_B}-row model,
-    always broadcast; per-doc reduction is one hash aggregate. No
-    all-pairs, no vocabulary-sized shuffle — the model table is
-    CONSTANT regardless of corpus size, which is the whole point of
-    feature hashing at 100 TB. Selection here is the scan-only
-    threshold flag (mean > 0); top-k selection would add one sort and
-    is deliberately left to the caller (rank-free outputs compose with
+    Plan shape: one explode produces the (doc, bucket) feature
+    stream; BOTH bucket models come out of a SINGLE conditional
+    aggregate of that stream (map-side combine into <= {_DSIR_B}
+    groups — constant-size state, the po6 sketch discipline), and the
+    Laplace totals are unpartitioned-window sums OVER the
+    {_DSIR_B}-row model table (w8 discipline: post-aggregation rows
+    only) — NOT a separate aggregate, because every extra reference
+    to a corpus-derived DataFrame re-expands the scan+explode through
+    unreused lineage (the separate raw-model/target-model/totals
+    formulation ran the explode four times; a per-(doc,bucket)
+    count-table rewrite made it worse — three explodes plus two wide
+    shuffles). This shape explodes the corpus exactly twice (model
+    build + scoring), the honest minimum without caching. The scored
+    join is (doc,bucket) x the broadcast {_DSIR_B}-row model; per-doc
+    reduction is one map-side-combined hash aggregate. No all-pairs,
+    no vocabulary-sized shuffle — the model table is CONSTANT
+    regardless of corpus size, which is the whole point of feature
+    hashing at 100 TB. Selection here is the scan-only threshold flag
+    (mean > 0); top-k selection would add one sort and is
+    deliberately left to the caller (rank-free outputs compose with
     lm1/lm3 sampling). Determinism: per-bucket log-ratio rounded 8dp
     (identical expression tree both engines), exact DECIMAL per-doc
     sum (order-free), mean rounded 6dp."""
@@ -599,28 +609,22 @@ def lm7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("b"),
     )
-    raw_model = fx.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_model = (
-        fx.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    )
-    tots = fx.agg(
-        F.count(F.lit(1)).alias("tot_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tot_t"),
+    model = fx.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
     )
     m = _DSIR_A * _DSIR_B
+    wtot = Window.partitionBy()
+    tot_r = F.sum("cr").over(wtot)
+    tot_t = F.sum("ct").over(wtot)
     w = F.round(
         F.log(
-            ((F.coalesce(F.col("ct"), F.lit(0)) + _DSIR_A).cast("double")
-             / (F.col("tot_t") + m))
-            / ((F.col("cr") + _DSIR_A).cast("double") / (F.col("tot_r") + m))
+            ((F.col("ct") + _DSIR_A).cast("double") / (tot_t + m))
+            / ((F.col("cr") + _DSIR_A).cast("double") / (tot_r + m))
         ),
         8,
     )
-    llr = (
-        raw_model.join(tgt_model, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select("b", w.alias("w"))
-    )
+    llr = model.select("b", w.alias("w"))
     per_doc = (
         fx.join(F.broadcast(llr), "b")
         .groupBy("doc_id")

@@ -730,3 +730,35 @@ def test_broadcast_quantile_assignment_is_broadcast():
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_assignment_is_in_row():
+    """l2m's centroid assignment must be an in-row argmax against the
+    broadcast centroid-array row: NO Generate anywhere in the plan (a
+    per-centroid explode would blow the corpus up n×k — the step that
+    must stay linear when production k hits tens of thousands), and
+    the drop-set probe rides back as a BroadcastHashJoin."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(catalog()["l2m_semdedup"].fn(spark, SF_DIR))
+    assert "Generate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_curation_flag_joins_broadcast():
+    """The round-5 curation stages must probe their small derived
+    tables map-side: l5f's boilerplate-chunk flag join and lm7's
+    256-row DSIR model score join are BroadcastHashJoins — a shuffle
+    on either would drag the full corpus through an exchange keyed by
+    the probe, which is exactly what these designs exist to avoid."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    for name in ("l5f_boilerplate_chunk_strip", "lm7_dsir_importance"):
+        plan = plan_of(catalog()[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
