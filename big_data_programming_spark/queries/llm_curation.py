@@ -546,3 +546,104 @@ def l4n_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source", "n_chars")
     )
+
+
+#: Semantic-decontamination geometry: the SAME benchmark slice as
+#: l4i's shingle pass (every ``_EVAL_MOD``-th doc), flagged at
+#: embedding cosine >= 0.35 (the corpus's l2e separation point).
+_SEMDECON_TH = 0.35
+
+#: 64-dim cosine fragment (the llm_dedup/llm_similarity house twin:
+#: identical left-to-right fold order to Spark's F.aggregate).
+_COS_CUR = """
+list_reduce(list_transform(generate_series(1, 64),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+/ (SQRT(list_reduce(list_transform(generate_series(1, 64),
+         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+
+@register(
+    "l4t_semantic_decontamination",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id AS eid, embedding AS c FROM embeddings
+  WHERE vec_id % {_EVAL_MOD} = 0
+), tr AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_EVAL_MOD} <> 0
+), scored AS (
+  SELECT t.vec_id, e.eid,
+         {_COS_CUR.format(a='t.embedding', b='e.c')} AS cos
+  FROM tr t CROSS JOIN ev e
+), best AS (
+  SELECT vec_id, eid, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, eid) AS rn
+  FROM scored
+)
+SELECT vec_id, ROUND(cos, 8) AS max_eval_cos,
+       CAST(eid AS BIGINT) AS nearest_eval_id,
+       cos >= {_SEMDECON_TH} AS contaminated
+FROM best WHERE rn = 1
+""",
+    tags=("L4", "L3", "L5", "J8"),
+)
+def l4t_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding companion to l4i's
+    n-gram shingle pass, against the SAME benchmark slice (every
+    {_EVAL_MOD}-th doc): a paraphrased eval question shares no 8-token
+    shingle with its training leak, but its embedding still lands
+    within cosine {_SEMDECON_TH} — the gap the n-gram pass cannot see
+    and the reason production pipelines run both. Output: per training
+    vector, the max cosine against any eval vector, the nearest eval
+    id (attribution for manual review), and the contaminated flag.
+
+    Plan shape: the eval side is benchmark-sized (thousands, never
+    corpus-sized), so it collapses to ONE broadcast row holding the
+    (id, vector) struct array, and the max-cosine scan is an IN-ROW
+    array_max over that array — a pure map over the training corpus,
+    NO |train| x |eval| row materialization (at 100 TB with a 10k-row
+    eval set, an exploded pair join would be 10,000x the corpus; this
+    is the l2m assignment discipline). Tie-break toward the smaller
+    eval id, pinned identically in the oracle's window order. Cosines
+    fold left-to-right on both engines (bit-identical doubles);
+    threshold compares the raw double, output rounds to 8 dp."""
+    from big_data_programming_spark.operators.similarity import (
+        as_double_array,
+        cosine_similarity_col,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    ev = (
+        emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("eid"), F.col("v").alias("c")))
+            ).alias("evals")
+        )
+    )
+    train = emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    best = F.array_max(
+        F.transform(
+            F.col("evals"),
+            lambda e: F.struct(
+                cosine_similarity_col(F.col("v"), e.getField("c")).alias("cos"),
+                (-e.getField("eid")).alias("negid"),
+            ),
+        )
+    )
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .select("vec_id", best.alias("best"))
+        .select(
+            "vec_id",
+            F.round(F.col("best").getField("cos"), 8).alias("max_eval_cos"),
+            (-F.col("best").getField("negid")).alias("nearest_eval_id"),
+            (F.col("best").getField("cos") >= _SEMDECON_TH).alias("contaminated"),
+        )
+    )

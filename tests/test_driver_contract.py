@@ -53,6 +53,7 @@ SAMPLE_QUERIES = [
     "l2k_duplicate_ngram_spans",
     "a4b_approx_distinct_audit",
     "l2m_semdedup",
+    "l4t_semantic_decontamination",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",

@@ -875,3 +875,23 @@ def test_semdedup_corpus_sanity(spark):
         kept_by_cluster[r["cluster_id"]] += r["is_kept"]
     assert any(not r["is_kept"] for r in rows)
     assert all(v >= 1 for v in kept_by_cluster.values())
+
+
+def test_semantic_decontamination_contract(spark):
+    """l4t: one row per NON-eval vector, the flag agrees with the
+    reported max cosine, nearest_eval_id really is an eval-slice
+    member, and the fixture corpus is discriminating (flags both
+    ways)."""
+    from big_data_programming_spark.registry import queries
+
+    emb = load(spark, SMOKE_SF_DIR, "embeddings")
+    n_train = emb.filter(F.col("vec_id") % 13 != 0).count()
+    rows = queries()["l4t_semantic_decontamination"](spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == n_train
+    flags = {True: 0, False: 0}
+    for r in rows:
+        assert r["vec_id"] % 13 != 0
+        assert r["nearest_eval_id"] % 13 == 0
+        assert r["contaminated"] == (r["max_eval_cos"] >= 0.35)
+        flags[r["contaminated"]] += 1
+    assert flags[True] > 0 and flags[False] > 0, flags
