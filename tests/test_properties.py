@@ -231,3 +231,124 @@ def test_url_canonicalization_idempotent_and_variant_invariant(
     assert canon_base == canon_dec, (base, decorated, canon_base, canon_dec)
     for r in rows:
         assert r["c2"] == r["c1"], ("not idempotent", r["c1"], r["c2"])
+
+
+# ---------- winnowing guarantee (l2k) ----------
+
+
+@st.composite
+def shared_run_docs(draw):
+    """Two docs sharing one token run of length >= w+k-1 = 11 at
+    independently random offsets, with disjoint filler vocabularies
+    (so the run is the ONLY possible gram overlap)."""
+    run_len = draw(st.integers(11, 16))
+    run = [f"r{i}" for i in range(run_len)]
+    pre1 = draw(st.integers(0, 9))
+    suf1 = draw(st.integers(0, 9))
+    pre2 = draw(st.integers(0, 9))
+    suf2 = draw(st.integers(0, 9))
+    d1 = [f"a{i}" for i in range(pre1)] + run + [f"A{i}" for i in range(suf1)]
+    d2 = [f"b{i}" for i in range(pre2)] + run + [f"B{i}" for i in range(suf2)]
+    return " ".join(d1), " ".join(d2)
+
+
+@given(docs=shared_run_docs())
+@settings(**SETTINGS)
+def test_winnowing_guarantee_any_alignment(spark, docs):
+    """Schleimer et al. 2003's detection theorem, probed generatively:
+    whatever the offsets of a shared run of >= w+k-1 tokens, BOTH
+    documents carry at least one duplicated fingerprint — the
+    content-defined-selection property a fixed sampling grid lacks."""
+    from big_data_programming_spark.operators.dedup import winnowed_span_stats
+
+    t1, t2 = docs
+    df = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["n_dup_fingerprints"]
+        for r in winnowed_span_stats(df, k=8, w=4).collect()
+    }
+    assert out[1] >= 1 and out[2] >= 1, (out, t1, t2)
+
+
+# ---------- SemDeDup vs Python reference (l2m) ----------
+
+
+def _ref_semdedup(rows, k, th):
+    """Plain-Python replica: same left-to-right cosine fold, same
+    HALF_UP 8 dp rounding, same argmax/tie and loser rules."""
+    import decimal
+    import math
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    def r8(x):
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("1e-8"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    seeds = sorted(rows)[:k]
+    cents = [(i + 1, v) for i, (_, v) in enumerate(seeds)]
+    asg = {}
+    for vid, v in rows:
+        c, negcid = max((cos(v, cv), -cid) for cid, cv in cents)
+        asg[vid] = (-negcid, r8(c))
+    drops = set()
+    ids = sorted(a for a, _ in rows)
+    vecs = dict(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if asg[a][0] != asg[b][0] or cos(vecs[a], vecs[b]) < th:
+                continue
+            ca, cb = asg[a][1], asg[b][1]
+            drops.add(a if ca > cb else b if cb > ca else max(a, b))
+    return {
+        vid: (asg[vid][0], asg[vid][1], vid not in drops) for vid, _ in rows
+    }
+
+
+@st.composite
+def vector_sets(draw):
+    n = draw(st.integers(3, 7))
+    rows = []
+    for vid in range(n):
+        v = draw(
+            st.lists(
+                st.integers(0, 2).map(float), min_size=4, max_size=4
+            ).filter(lambda xs: any(xs))
+        )
+        rows.append((vid, v))
+    return rows
+
+
+@given(rows=vector_sets())
+@settings(**SETTINGS)
+def test_semdedup_matches_reference(spark, rows):
+    """Full-output equivalence against the Python reference on random
+    small-integer vectors (which produce exact cosine ties, scaled
+    duplicates, and single-member clusters the fixture never does):
+    cluster assignment, rounded centroid cosine, and keep flags."""
+    from big_data_programming_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["cos_centroid"], r["is_kept"])
+        for r in semdedup(df, n_clusters=2, threshold=0.9).collect()
+    }
+    want = _ref_semdedup(rows, k=2, th=0.9)
+    assert set(got) == set(want)
+    for vid in got:
+        assert got[vid][0] == want[vid][0], (vid, got[vid], want[vid])
+        assert abs(got[vid][1] - want[vid][1]) < 1e-12, (vid, got, want)
+        assert got[vid][2] == want[vid][2], (vid, got[vid], want[vid])
