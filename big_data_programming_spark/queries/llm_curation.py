@@ -647,3 +647,182 @@ def l4t_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("best").getField("cos") >= _SEMDECON_TH).alias("contaminated"),
         )
     )
+
+
+#: Pipeline-verdict gate order: the cheap scan gates run first (the
+#: order a production pipeline applies them — cheapest rejection
+#: first), contamination last; `verdict` names the FIRST failing
+#: stage so a threshold change's impact is attributable per stage.
+_VERDICT_STAGES = (
+    "exact_dup",
+    "bad_length",
+    "low_stopword",
+    "contaminated_ngram",
+    "contaminated_semantic",
+)
+
+
+@register(
+    "l5g_pipeline_verdict",
+    oracle=f"""
+WITH train AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+), hashes AS (
+  SELECT doc_id, md5(text) AS h FROM train
+), firsts AS (
+  SELECT h, MIN(doc_id) AS keeper FROM hashes GROUP BY 1
+), ev_sh AS (
+  SELECT DISTINCT u.h
+  FROM (SELECT list_distinct(list_transform(
+          generate_series(1, GREATEST(LEN(string_split(text, ' ')) - {_DECON_K - 1}, 1)),
+          i -> md5(array_to_string(
+                 list_slice(string_split(text, ' '), i, i + {_DECON_K - 1}), ' ')))) AS sh
+        FROM documents WHERE doc_id % {_EVAL_MOD} = 0),
+       UNNEST(sh) AS u(h)
+), ngram_hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, UNNEST(list_distinct(list_transform(
+          generate_series(1, GREATEST(LEN(toks) - {_DECON_K - 1}, 1)),
+          i -> md5(array_to_string(list_slice(toks, i, i + {_DECON_K - 1}), ' '))))) AS h
+        FROM train) t
+  JOIN ev_sh ON t.h = ev_sh.h
+), sem AS (
+  SELECT t.vec_id AS doc_id, MAX({_COS_CUR.format(a='t.embedding', b='e.c')}) AS mx
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_EVAL_MOD} <> 0) t
+  CROSS JOIN (SELECT vec_id, embedding AS c FROM embeddings
+              WHERE vec_id % {_EVAL_MOD} = 0) e
+  GROUP BY 1
+), flags AS (
+  SELECT tr.doc_id,
+         tr.doc_id <> f.keeper AS exact_dup,
+         LEN(tr.toks) NOT BETWEEN 20 AND 2000 AS bad_length,
+         LEN(list_filter(tr.toks,
+             x -> x IN ('the', 'a', 'of', 'and', 'to'))) < 2 AS low_stopword,
+         nh.doc_id IS NOT NULL AS contaminated_ngram,
+         COALESCE(s.mx >= {_SEMDECON_TH}, FALSE) AS contaminated_semantic
+  FROM train tr
+  JOIN hashes h2 ON h2.doc_id = tr.doc_id
+  JOIN firsts f ON f.h = h2.h
+  LEFT JOIN ngram_hits nh ON nh.doc_id = tr.doc_id
+  LEFT JOIN sem s ON s.doc_id = tr.doc_id
+)
+SELECT doc_id, exact_dup, bad_length, low_stopword, contaminated_ngram,
+       contaminated_semantic,
+       CASE WHEN exact_dup THEN 'exact_dup'
+            WHEN bad_length THEN 'bad_length'
+            WHEN low_stopword THEN 'low_stopword'
+            WHEN contaminated_ngram THEN 'contaminated_ngram'
+            WHEN contaminated_semantic THEN 'contaminated_semantic'
+            ELSE 'keep' END AS verdict
+FROM flags
+""",
+    tags=("L5", "L1", "L4", "L2", "J8"),
+)
+def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone per-document audit record a curation pipeline
+    actually emits (the Dolma/RedPajama-style attribute file): every
+    training document with one boolean per gate — exact duplicate
+    (not the min-id holder of its md5 group), length bounds,
+    stopword floor, 8-token-shingle benchmark contamination (l4i's
+    rule), semantic benchmark contamination (l4t's rule) — and a
+    `verdict` naming the FIRST failing stage in pipeline order, so
+    removal counts attribute to the stage that caused them rather
+    than only to the final keep rate. Composes the registered gates
+    into one artifact; each gate's standalone query remains the
+    deep-dive view.
+
+    Plan shape: each gate is independently cheap — the dup check is
+    one md5-keyed aggregate joined back (skew-free hash keys), the
+    length/stopword gates are in-row, the shingle probe broadcasts
+    the benchmark-sized eval shingle set (l4i shape), the semantic
+    probe broadcasts the 1-row eval embedding array and scans in-row
+    (l4t shape) — and the verdict assembly is doc_id-keyed equi-joins
+    of per-doc rows. Nothing here is corpus-quadratic; at 100 TB
+    every stage is scan-plus-bounded-state, which is why production
+    pipelines emit exactly this record in one pass over each shard.
+    The doc side of the semantic gate joins embeddings on
+    doc_id = vec_id (LEFT, so docs without vectors pass that gate)."""
+    from big_data_programming_spark.operators.similarity import (
+        as_double_array,
+        cosine_similarity_col,
+    )
+    from big_data_programming_spark.operators.text import STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    hashes = train.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    firsts = hashes.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks") - (_DECON_K - 1), F.lit(1))
+            ),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, _DECON_K)).cast("binary")
+            ),
+        )
+    )
+    ev_sh = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select(F.explode(shingles).alias("h"))
+        .distinct()
+    )
+    ngram_hits = (
+        train.select("doc_id", F.explode(shingles).alias("h"))
+        .join(F.broadcast(ev_sh), "h")
+        .select("doc_id")
+        .distinct()
+        .select(F.col("doc_id"), F.lit(True).alias("_ng"))
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    ev = (
+        emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("eid"), F.col("v").alias("c")))
+            ).alias("evals")
+        )
+    )
+    mx = F.array_max(
+        F.transform(
+            F.col("evals"),
+            lambda e: cosine_similarity_col(F.col("v"), e.getField("c")),
+        )
+    )
+    sem = (
+        emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
+        .crossJoin(F.broadcast(ev))
+        .select(F.col("vec_id").alias("doc_id"), mx.alias("mx"))
+    )
+    flags = (
+        train.join(hashes, "doc_id")
+        .join(firsts, "h")
+        .join(F.broadcast(ngram_hits), "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") != F.col("keeper")).alias("exact_dup"),
+            (~F.size("toks").between(20, 2000)).alias("bad_length"),
+            (
+                F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))) < 2
+            ).alias("low_stopword"),
+            F.coalesce(F.col("_ng"), F.lit(False)).alias("contaminated_ngram"),
+            F.coalesce(F.col("mx") >= _SEMDECON_TH, F.lit(False)).alias(
+                "contaminated_semantic"
+            ),
+        )
+    )
+    verdict = F.when(F.col("exact_dup"), "exact_dup")
+    for stage in _VERDICT_STAGES[1:]:
+        verdict = verdict.when(F.col(stage), stage)
+    return flags.select(
+        "doc_id",
+        *_VERDICT_STAGES,
+        verdict.otherwise("keep").alias("verdict"),
+    )

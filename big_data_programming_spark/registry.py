@@ -45,7 +45,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: g5/dq6/dq7/lm4b follow-ups + a4b_approx_distinct_audit + the
 #: round-5 depth additions lm7_dsir_importance,
 #: l5f_boilerplate_chunk_strip, l4s_zipf_fit, l2m_semdedup,
-#: l4t_semantic_decontamination + the deferred
+#: l4t_semantic_decontamination, l5g_pipeline_verdict + the deferred
 #: l3/l3b/l3c if slots remain — 20 rounds leave ample rotation room.
 #: Counts drift as queries land: verify against len(catalog()) before
 #: each rotation, then regenerate CATALOG.md (scripts/gen_catalog.py)

@@ -54,6 +54,7 @@ SAMPLE_QUERIES = [
     "a4b_approx_distinct_audit",
     "l2m_semdedup",
     "l4t_semantic_decontamination",
+    "l5g_pipeline_verdict",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",

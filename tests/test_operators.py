@@ -895,3 +895,26 @@ def test_semantic_decontamination_contract(spark):
         assert r["contaminated"] == (r["max_eval_cos"] >= 0.35)
         flags[r["contaminated"]] += 1
     assert flags[True] > 0 and flags[False] > 0, flags
+
+
+def test_pipeline_verdict_attribution(spark):
+    """l5g: verdict must equal the FIRST true flag in pipeline order
+    (or 'keep' when none), eval-slice docs are excluded, and at least
+    two distinct verdicts occur on the fixture."""
+    from big_data_programming_spark.registry import queries
+
+    stages = (
+        "exact_dup",
+        "bad_length",
+        "low_stopword",
+        "contaminated_ngram",
+        "contaminated_semantic",
+    )
+    rows = queries()["l5g_pipeline_verdict"](spark, SMOKE_SF_DIR).collect()
+    assert rows and all(r["doc_id"] % 13 != 0 for r in rows)
+    seen = set()
+    for r in rows:
+        expect = next((s for s in stages if r[s]), "keep")
+        assert r["verdict"] == expect, (r["doc_id"], r["verdict"], expect)
+        seen.add(r["verdict"])
+    assert len(seen) >= 2, seen

@@ -214,6 +214,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l4s_zipf_fit",  # 1-row regression sums x 1-row corpus-totals attach
         "l2m_semdedup",  # 1-row centroid-array broadcast (in-row argmax assignment)
         "l4t_semantic_decontamination",  # 1-row eval-array broadcast (in-row max-cos scan)
+        "l5g_pipeline_verdict",  # 1-row eval-array broadcast (the l4t semantic gate inside)
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
