@@ -79,3 +79,20 @@ def r6(col: Column, alias: str) -> Column:
     (stddev/corr-style aggregates whose per-engine algorithms differ by
     ~1e-12 relative). Pair with ``ROUND(x, 6)`` in the oracle SQL."""
     return F.round(col, 6).alias(alias)
+
+
+#: DuckDB fragment: cosine(a, b) over the fixture's 64-dim embeddings
+#: with Spark's exact fold order — format with {a}/{b} expressions.
+#: 0.0 + x == x in IEEE, so Spark's zero-seeded F.aggregate fold equals
+#: DuckDB's first-element-seeded list_reduce, making every cosine
+#: bit-identical cross-engine. ONE definition on purpose: this string
+#: encodes the load-bearing fold-order canon, and a drifted copy would
+#: be a silent last-ulp oracle divergence (r5 review finding).
+COS64_SQL = """
+list_reduce(list_transform(generate_series(1, 64),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+/ (SQRT(list_reduce(list_transform(generate_series(1, 64),
+         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
+"""

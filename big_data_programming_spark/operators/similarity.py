@@ -238,6 +238,23 @@ def knn_join(
     )
 
 
+def collect_vector_array(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Collapse (id, vector) rows into ONE row holding the id-sorted
+    (eid, c) struct array — the broadcastable scan side of the in-row
+    max-cosine discipline (l4t / l5g; l2m's seed path is the k-limited
+    sibling). ONE definition so the standalone gate and the capstone
+    verdict stay provably identical (r5 review finding)."""
+    return vectors.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("eid"), F.col(vec_col).alias("c"))
+            )
+        ).alias("evals")
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     n_clusters: int = 8,
@@ -279,6 +296,16 @@ def semdedup(
       all its neighbors, so exactly the per-group survivor the greedy
       rule keeps is kept; the drop set is bounded by the duplicate
       count and broadcasts back as an anti-probe.
+
+    Known lineage cost (the lm7 lesson, deliberately NOT papered over
+    here): the assignment table is referenced three times — both pair
+    sides plus the keep-flag probe — and a self-join inherently
+    re-expands unreused lineage, so an uncached run assigns the corpus
+    three times. At production scale you persist the assignment table
+    first (it is also the output base and what SemDeDup pipelines
+    write out between the cluster and dedup stages); a localCheckpoint
+    here would hide the plan from the scale-hygiene tests, so the
+    materialization point is documented instead of forced.
 
     Output: ``(id, cluster_id, cos_centroid, is_kept)``, one row per
     input vector; ``cos_centroid`` rounded to 8 dp (the comparison

@@ -77,17 +77,24 @@ FROM feats
 # two sides must drift identically.
 
 
+def shingle_hashes(toks: Column, k: int = 8) -> Column:
+    """md5 hashes of every k-token shingle of a token array (at least
+    one window even for shorter docs — the degenerate shingle is the
+    whole doc). ONE definition on purpose: l4i's decontamination gate
+    and l5g's capstone verdict must stay provably identical (r5 review
+    finding), and shingle_fingerprint shares the same construction."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")),
+    )
+
+
 def shingle_fingerprint(text: Column, k: int = 8) -> Column:
     """Rolling-window document fingerprint: the minimum md5 over all
     k-token shingles (a 1-permutation MinHash). Identical prefixes of
     near-duplicate documents collide on this key, so grouping by it is
     a cheap near-dup blocking pass before pairwise comparison."""
-    toks = tokenize(text)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")),
-    )
-    return F.array_min(shingles)
+    return F.array_min(shingle_hashes(tokenize(text), k))
 
 
 #: URL canonicalization rules, applied in order (l2j, X93). Each is a

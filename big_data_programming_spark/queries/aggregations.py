@@ -88,11 +88,16 @@ def a3_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimate — the 100 TB substitute for exact
-    COUNT(DISTINCT): no shuffle of the distinct values, constant-size
-    sketch merge — emitted next to the exact companions so the driver's
-    rows-only record still shows the estimate landing beside its truth.
+    COUNT(DISTINCT): the sketch side shuffles constant-size registers,
+    never the distinct values. THIS demo entry also emits the exact
+    companions (a full distinct-value shuffle) purely so the driver's
+    rows-only record shows each estimate landing beside its truth —
+    the production form is the two approx columns alone, and the
+    exact-vs-approx cost contrast is exactly the point of the sketch.
     tests/test_approx.py asserts the estimate is within rsd bounds;
-    a4b is the oracle-paired audit of the same contract."""
+    a4b is the oracle-paired audit of the same contract (the verdict
+    evidence record; at 100 TB you run neither audit, just the
+    sketch)."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),

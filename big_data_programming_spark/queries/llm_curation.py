@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_programming_spark.operators.text import tokenize
+from big_data_programming_spark.functions.canonical import COS64_SQL
+from big_data_programming_spark.operators.text import shingle_hashes, tokenize
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
 
@@ -229,12 +230,7 @@ def l4i_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     it."""
     d = load(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (_DECON_K - 1), F.lit(1))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _DECON_K)).cast("binary")),
-        )
-    )
+    shingles = F.array_distinct(shingle_hashes(toks, _DECON_K))
     shingled = d.select("doc_id", shingles.alias("sh"))
     eval_sh = (
         shingled.filter(F.col("doc_id") % _EVAL_MOD == 0)
@@ -553,16 +549,9 @@ def l4n_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: embedding cosine >= 0.35 (the corpus's l2e separation point).
 _SEMDECON_TH = 0.35
 
-#: 64-dim cosine fragment (the llm_dedup/llm_similarity house twin:
-#: identical left-to-right fold order to Spark's F.aggregate).
-_COS_CUR = """
-list_reduce(list_transform(generate_series(1, 64),
-            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
-/ (SQRT(list_reduce(list_transform(generate_series(1, 64),
-         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
-   * SQRT(list_reduce(list_transform(generate_series(1, 64),
-           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
-"""
+#: The shared 64-dim cosine oracle fragment (functions/canonical.py:
+#: COS64_SQL) — one definition of the fold-order canon, aliased here.
+_COS_CUR = COS64_SQL
 
 
 @register(
@@ -613,20 +602,14 @@ def l4t_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compares the raw double, output rounds to 8 dp."""
     from big_data_programming_spark.operators.similarity import (
         as_double_array,
+        collect_vector_array,
         cosine_similarity_col,
     )
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    ev = (
-        emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("vec_id").alias("eid"), F.col("v").alias("c")))
-            ).alias("evals")
-        )
-    )
+    ev = collect_vector_array(emb.filter(F.col("vec_id") % _EVAL_MOD == 0))
     train = emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
     best = F.array_max(
         F.transform(
@@ -640,6 +623,11 @@ def l4t_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         train.crossJoin(F.broadcast(ev))
         .select("vec_id", best.alias("best"))
+        # Empty eval slice: the ungrouped agg still yields one row with
+        # an empty array, so array_max is NULL — drop those rows to
+        # match the oracle's zero-row CROSS JOIN semantics (the same
+        # latent-divergence class as the r4 jaccard df-cap advice).
+        .filter(F.col("best").isNotNull())
         .select(
             "vec_id",
             F.round(F.col("best").getField("cos"), 8).alias("max_eval_cos"),
@@ -745,6 +733,7 @@ def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id = vec_id (LEFT, so docs without vectors pass that gate)."""
     from big_data_programming_spark.operators.similarity import (
         as_double_array,
+        collect_vector_array,
         cosine_similarity_col,
     )
     from big_data_programming_spark.operators.text import STOPWORDS
@@ -755,16 +744,7 @@ def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = train.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
     firsts = hashes.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("toks") - (_DECON_K - 1), F.lit(1))
-            ),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(F.col("toks"), i, _DECON_K)).cast("binary")
-            ),
-        )
-    )
+    shingles = F.array_distinct(shingle_hashes(F.col("toks"), _DECON_K))
     ev_sh = (
         d.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("doc_id", tokenize(F.col("text")).alias("toks"))
@@ -781,14 +761,7 @@ def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    ev = (
-        emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("vec_id").alias("eid"), F.col("v").alias("c")))
-            ).alias("evals")
-        )
-    )
+    ev = collect_vector_array(emb.filter(F.col("vec_id") % _EVAL_MOD == 0))
     mx = F.array_max(
         F.transform(
             F.col("evals"),

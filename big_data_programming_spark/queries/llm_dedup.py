@@ -28,6 +28,7 @@ from big_data_programming_spark.operators.dedup import (
     winnowed_span_oracle_sql,
     winnowed_span_stats,
 )
+from big_data_programming_spark.functions.canonical import COS64_SQL
 from big_data_programming_spark.operators.similarity import semdedup
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
@@ -154,14 +155,9 @@ def l2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs.select("doc_a", "doc_b"))
 
 
-_COS_DD = """
-list_reduce(list_transform(generate_series(1, 64),
-            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
-/ (SQRT(list_reduce(list_transform(generate_series(1, 64),
-         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
-   * SQRT(list_reduce(list_transform(generate_series(1, 64),
-           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
-"""
+#: The shared 64-dim cosine oracle fragment (functions/canonical.py:
+#: COS64_SQL) — one definition of the fold-order canon, aliased here.
+_COS_DD = COS64_SQL
 
 
 @register(

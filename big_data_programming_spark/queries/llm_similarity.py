@@ -21,20 +21,13 @@ from big_data_programming_spark.operators.similarity import (
     lsh_sign_bucket,
     topk_cosine,
 )
+from big_data_programming_spark.functions.canonical import COS64_SQL
 from big_data_programming_spark.registry import DEFER, register
 from big_data_programming_spark.sources.loaders import load, register_views
 
-#: DuckDB fragment: cosine(a, b) with Spark's exact fold order.
-#: 0.0 + x == x in IEEE, so Spark's zero-seeded fold equals DuckDB's
-#: first-element-seeded list_reduce.
-_COS = """
-list_reduce(list_transform(generate_series(1, 64),
-            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
-/ (SQRT(list_reduce(list_transform(generate_series(1, 64),
-         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
-   * SQRT(list_reduce(list_transform(generate_series(1, 64),
-           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
-"""
+#: The shared 64-dim cosine oracle fragment (functions/canonical.py:
+#: COS64_SQL) — one definition of the fold-order canon, aliased here.
+_COS = COS64_SQL
 
 
 @register(

@@ -33,10 +33,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: was events/aggregations/windows/setops.
 #: ROUND 6 PLAN (RECOUNT before rotating): streaming remainder(14) +
 #: modern_sql(18) + relational_extras(7) = 39, + the 6 stale driver
-#: reds re-windowed via ``window_rank=PROMOTE``: p4_cast_projection,
-#: j6_theta_range_join, j7_asof_join, e3_sessionization,
-#: a7_collect_aggs, a18_windowed_collect_flat, a19_percentile_flat,
-#: plus u5_symmetric_difference — all fixed and drive-green since r3;
+#: reds re-windowed via ``window_rank=PROMOTE`` (EXACT catalog names,
+#: mirrored in tests/test_driver_contract.py SAMPLE_QUERIES): p4_cast,
+#: j6_range_join, j7_asof_join, e3_sessionization, a7_collect_aggs,
+#: a18_freq_items, a19_quantile_profile, plus u5_dedup_subset — all
+#: fixed and drive-green since r3;
 #: PROMOTE pins them into the window without dragging their whole
 #: modules along. That is 39+8=47; the 3 remaining slots take the
 #: round-5 additions l5d_gopher_gate, l5e_unigram_logprob,

@@ -757,9 +757,11 @@ def test_dsir_importance_contract(spark):
 
 
 def test_boilerplate_strip_accounting(spark):
-    """Chunk accounting is conserved, fully-stripped docs hash the
-    empty string, and a surviving doc's kept_md5 replays from the raw
-    text by recomputing the strip in Python."""
+    """Chunk accounting is conserved and every doc's kept_md5 replays
+    from the raw text by recomputing the strip in Python (the replica
+    covers the empty-survivor convention too: a fully-stripped doc
+    must hash the empty string, which `want` evaluates to when kept
+    is empty)."""
     import hashlib
 
     from big_data_programming_spark.registry import queries
@@ -787,7 +789,7 @@ def test_boilerplate_strip_accounting(spark):
         for c in cs:
             chunk_docs[c].add(did)
     boiler = {c for c, ds in chunk_docs.items() if len(ds) >= 2}
-    hit = stripped = 0
+    hit = 0
     for did, r in rows.items():
         cs = chunked[did]
         kept = [c for c in cs if c not in boiler]
@@ -797,7 +799,6 @@ def test_boilerplate_strip_accounting(spark):
         want = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert r["kept_md5"] == want, did
         hit += r["n_boiler_chunks"] > 0
-        stripped += r["kept_tokens"] == 0
     assert hit > 0  # the op does something on the fixture
 
 
