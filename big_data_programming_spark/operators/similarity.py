@@ -261,6 +261,7 @@ def semdedup(
     threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -297,15 +298,18 @@ def semdedup(
       rule keeps is kept; the drop set is bounded by the duplicate
       count and broadcasts back as an anti-probe.
 
-    Known lineage cost (the lm7 lesson, deliberately NOT papered over
-    here): the assignment table is referenced three times — both pair
-    sides plus the keep-flag probe — and a self-join inherently
-    re-expands unreused lineage, so an uncached run assigns the corpus
-    three times. At production scale you persist the assignment table
-    first (it is also the output base and what SemDeDup pipelines
-    write out between the cluster and dedup stages); a localCheckpoint
-    here would hide the plan from the scale-hygiene tests, so the
-    materialization point is documented instead of forced.
+    Materialization (the lm7 lesson, fixed in r6): the assignment
+    table is referenced three times — both pair sides plus the
+    keep-flag probe — and a self-join inherently re-expands unreused
+    lineage, so an UNMATERIALIZED run would assign the corpus three
+    times. ``materialize=True`` (the default, and what the registered
+    query uses) persists the assignment table at exactly the point a
+    production SemDeDup pipeline writes it out between the cluster
+    and dedup stages, so the corpus is assigned ONCE and the two pair
+    sides plus the probe all read the cached (spill-safe
+    MEMORY_AND_DISK) copy. ``materialize=False`` exposes the raw
+    lineage for the plan-hygiene tests that pin the in-row-argmax
+    shape of the assignment itself.
 
     Output: ``(id, cluster_id, cos_centroid, is_kept)``, one row per
     input vector; ``cos_centroid`` rounded to 8 dp (the comparison
@@ -342,6 +346,10 @@ def semdedup(
             F.round(F.col("best").getField("cos"), 8).alias("cos_centroid"),
         )
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
     a = asg.select(
         F.col(id_col).alias("_ida"),
         F.col("cluster_id"),

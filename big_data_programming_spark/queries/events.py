@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from big_data_programming_spark.functions.canonical import DEC, oracle_dsum
 from big_data_programming_spark.operators.sessions import SESSIONIZE_ORACLE_SQL, sessionize
-from big_data_programming_spark.registry import register
+from big_data_programming_spark.registry import PROMOTE, register
 from big_data_programming_spark.sources.loaders import load
 
 
@@ -96,6 +96,7 @@ def e2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e3_sessionization",
+    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle=SESSIONIZE_ORACLE_SQL.format(gap_us=30 * 60 * 1_000_000),
     tags=("ST4", "W2", "W4"),
 )

@@ -23,7 +23,7 @@ from big_data_programming_spark.operators.dedup import (
     normalize_text,
     simhash,
 )
-from big_data_programming_spark.registry import register
+from big_data_programming_spark.registry import PROMOTE, register
 from big_data_programming_spark.sources.loaders import load
 
 
@@ -583,6 +583,7 @@ _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
 
 @register(
     "l5d_gopher_gate",
+    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -721,6 +722,7 @@ def l5d_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l5e_unigram_logprob",
+    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 WITH tok AS (
   SELECT doc_id, u.token

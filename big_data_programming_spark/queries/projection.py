@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_programming_spark.registry import register
+from big_data_programming_spark.registry import PROMOTE, register
 from big_data_programming_spark.sources.loaders import load
 
 
@@ -106,6 +106,7 @@ def p3_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p4_cast",
+    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT l_orderkey,
        CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,

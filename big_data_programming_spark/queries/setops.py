@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_programming_spark.registry import register
+from big_data_programming_spark.registry import PROMOTE, register
 from big_data_programming_spark.sources.loaders import load
 
 
@@ -183,6 +183,7 @@ def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "u5_dedup_subset",
+    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
 FROM events

@@ -21,44 +21,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: Order matters operationally: the driver's correctness pass checks the
 #: FIRST 50 catalog entries only, so modules are rotated each round to
-#: give never-verified operators a driver row. ROUND 5 window (current
-#: order, recounted against len(catalog())==273 at rotation time):
-#: llm_similarity remainder(8 — l3/l3b/l3c passed r4 and carry
-#: ``window_rank=DEFER`` so they sort after every module; incl. the
-#: justified rows-only l3e) + llm_multimodal(6) + graph_queries(5,
-#: incl. g5) + data_quality(7, incl. dq6/dq7) + udfs(11) +
-#: skew_queries(2) = 39, + streaming first 11 of 25 (st1-st11, st13)
-#: = 50. Round 4 window was scalar_functions + llm_text + llm_curation
-#: + llm_dedup + l3/l3b/l3c (50/50 green, CORRECTNESS_r04). Round 3
-#: was events/aggregations/windows/setops.
-#: ROUND 6 PLAN (RECOUNT before rotating): streaming remainder(14) +
-#: modern_sql(18) + relational_extras(7) = 39, + the 6 stale driver
-#: reds re-windowed via ``window_rank=PROMOTE`` (EXACT catalog names,
-#: mirrored in tests/test_driver_contract.py SAMPLE_QUERIES): p4_cast,
-#: j6_range_join, j7_asof_join, e3_sessionization, a7_collect_aggs,
-#: a18_freq_items, a19_quantile_profile, plus u5_dedup_subset — all
-#: fixed and drive-green since r3;
-#: PROMOTE pins them into the window without dragging their whole
-#: modules along. That is 39+8=47; the 3 remaining slots take the
-#: round-5 additions l5d_gopher_gate, l5e_unigram_logprob,
-#: l2k_duplicate_ngram_spans (also PROMOTE). ROUND 7: llm_mixing(7)
-#: + pipeline_ops(7) + events e16-e19 + st27/st28 +
-#: g5/dq6/dq7/lm4b follow-ups + a4b_approx_distinct_audit + the
-#: round-5 depth additions lm7_dsir_importance,
-#: l5f_boilerplate_chunk_strip, l4s_zipf_fit, l2m_semdedup,
-#: l4t_semantic_decontamination, l5g_pipeline_verdict + the deferred
-#: l3/l3b/l3c if slots remain — 20 rounds leave ample rotation room.
+#: give never-verified operators a driver row. ROUND 6 window (current
+#: order, recounted against len(catalog())==284 at rotation time):
+#: 11 ``window_rank=PROMOTE`` pins sort first — the stale r2/r3 driver
+#: reds, all fixed and replay-green since r3/r4 (p4_cast, j6_range_join,
+#: j7_asof_join, e3_sessionization, a7_collect_aggs, a18_freq_items,
+#: a19_quantile_profile, u5_dedup_subset) plus the round-5 additions
+#: l5d_gopher_gate, l5e_unigram_logprob, l2k_duplicate_ngram_spans —
+#: then streaming remainder(14: st14-st28; the 11 r5-green st1-st11/
+#: st13 carry ``window_rank=DEFER``) + modern_sql(18) +
+#: relational_extras(7) = 11+39 = 50 exactly.
+#: Round 5 window was llm_similarity remainder + llm_multimodal +
+#: graph + data_quality + udfs + skew + st1-st11/st13 (49 green + 1
+#: justified rows-only, CORRECTNESS_r05). Round 4: scalar_functions +
+#: llm_text + llm_curation + llm_dedup + l3/l3b/l3c (50/50 green).
+#: Round 3: events/aggregations/windows/setops.
+#: ROUND 7 PLAN (RECOUNT against len(catalog()) before rotating):
+#: llm_mixing(8 incl. lm7_dsir_importance) + pipeline_ops(7) + events
+#: e16-e19(4) + a4b_approx_distinct_audit + the round-5 depth
+#: additions l5f_boilerplate_chunk_strip, l4s_zipf_fit, l2m_semdedup,
+#: l4t_semantic_decontamination, l5g_pipeline_verdict (5) = 25, +
+#: tpch remainder (q2/q4/q7-q9/q11-q22 never driver-checked) and the
+#: deferred l3/l3b/l3c for the remaining slots. 20 rounds leave ample
+#: rotation room.
 #: Counts drift as queries land: verify against len(catalog()) before
 #: each rotation, then regenerate CATALOG.md (scripts/gen_catalog.py)
 #: and run scripts/dtype_guard.py + a full scripts/drive_driver.py.
 _QUERY_MODULES = (
+    "streaming_queries",
+    "modern_sql",
+    "relational_extras",
     "llm_similarity",
     "llm_multimodal",
     "graph_queries",
     "data_quality",
     "udfs",
     "skew_queries",
-    "streaming_queries",
     "scalar_functions",
     "llm_text",
     "llm_curation",
@@ -71,8 +69,6 @@ _QUERY_MODULES = (
     "sources_queries",
     "projection",
     "joins",
-    "relational_extras",
-    "modern_sql",
     # added in round 4 — MUST stay after the modules forming the live
     # driver window so new entries don't displace it mid-round:
     "llm_mixing",
@@ -113,9 +109,15 @@ class Query:
     #: any int) override the module rank for window composition — the
     #: query's semantics and oracle are unaffected, only catalog order.
     window_rank: int | None = None
+    #: Registration index WITHIN the defining module (decorators run
+    #: top-to-bottom, so this is a pure function of the source file —
+    #: it breaks ties deterministically even when an early test import
+    #: registers some module before _ensure_loaded gets to it).
+    seq: int = 0
 
 
 _REGISTRY: dict[str, Query] = {}
+_MODULE_SEQ: dict[str, int] = {}
 _loaded = False
 
 
@@ -136,6 +138,8 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        seq = _MODULE_SEQ.get(fn.__module__, 0)
+        _MODULE_SEQ[fn.__module__] = seq + 1
         _REGISTRY[name] = Query(
             name=name,
             fn=fn,
@@ -144,6 +148,7 @@ def register(
             tags=tags,
             rows_only_reason=rows_only_reason,
             window_rank=window_rank,
+            seq=seq,
         )
         return fn
 
@@ -162,28 +167,27 @@ def _ensure_loaded() -> None:
 def catalog() -> dict[str, Query]:
     """The full named-query catalog (loads query modules on first use).
 
-    Order is STRUCTURAL, not import-incidental: entries are grouped by
-    ``_QUERY_MODULES`` position (then registration order within the
-    module), except entries carrying an explicit ``window_rank``
-    (PROMOTE/DEFER), which sort by that rank instead. The driver's
-    50-entry correctness window is defined by this order, and an early
-    ``import queries.some_module`` elsewhere (as test files
-    legitimately do) must not be able to rotate the window by
-    registering its module first."""
+    Order is STRUCTURAL, not import-incidental: entries sort by
+    (effective rank, module position, in-module registration index),
+    where effective rank is the module's ``_QUERY_MODULES`` position
+    unless the entry carries an explicit ``window_rank``
+    (PROMOTE/DEFER). All three key parts are pure functions of the
+    source tree, so the driver's 50-entry correctness window cannot be
+    rotated by an early ``import queries.some_module`` elsewhere (as
+    test files legitimately do)."""
     _ensure_loaded()
     mod_rank = {
         f"big_data_programming_spark.queries.{m}": i
         for i, m in enumerate(_QUERY_MODULES)
     }
 
-    def rank(n: str) -> int:
+    def rank(n: str) -> tuple[int, int, int]:
         q = _REGISTRY[n]
-        if q.window_rank is not None:
-            return q.window_rank
-        return mod_rank.get(q.fn.__module__, len(mod_rank))
+        m = mod_rank.get(q.fn.__module__, len(mod_rank))
+        eff = q.window_rank if q.window_rank is not None else m
+        return (eff, m, q.seq)
 
     names = sorted(_REGISTRY, key=rank)
-    # sorted() is stable: within-module registration order survives
     return {n: _REGISTRY[n] for n in names}
 
 

@@ -153,7 +153,10 @@ def test_catalog_order_is_structural_not_import_order():
         "from big_data_programming_spark.registry import catalog, _QUERY_MODULES\n"
         "cat = catalog()\n"
         "names = list(cat)\n"
-        "assert names[0] == 'l3d_knn_label_vote', names[:3]\n"
+        # PROMOTE pins (r6 stale-red re-window set) sort first:
+        "assert names[0] == 'l5d_gopher_gate', names[:3]\n"
+        "assert names[49] == 'e14_bounce_rate', names[45:50]\n"
+        "assert names[50] == 'l3d_knn_label_vote', names[50:53]\n"
         # DEFER entries (driver-green in a past window) sort last:
         "assert names[-3:] == ['l3_cosine_topk', 'l3b_bucketed_near_pairs',"
         " 'l3c_label_centroid_sim'], names[-3:]\n"
