@@ -50,6 +50,7 @@ SAMPLE_QUERIES = [
     # round-5 additions (Gopher gate, unigram LM, winnowed spans, HLL audit)
     "l5d_gopher_gate",
     "l5e_unigram_logprob",
+    "l5e2_unigram_logprob_headtail",
     "l2k_duplicate_ngram_spans",
     "a4b_approx_distinct_audit",
     "l2m_semdedup",

@@ -211,6 +211,7 @@ def test_no_accidental_cartesian_in_catalog():
         "po7_hll_cardinality",  # 1-row exact x 1-row sketch-denominator attach
         "lm7_dsir_importance",  # 1-row feature-total broadcast (Laplace denominators)
         "l5e_unigram_logprob",  # 1-row vocab-total broadcast (the l4k corpus-stats shape)
+        "l5e2_unigram_logprob_headtail",  # same 1-row vocab-total attach as l5e
         "l4s_zipf_fit",  # 1-row regression sums x 1-row corpus-totals attach
         "l2m_semdedup",  # 1-row centroid-array broadcast (in-row argmax assignment)
         "l4t_semantic_decontamination",  # 1-row eval-array broadcast (in-row max-cos scan)
@@ -779,6 +780,24 @@ def test_semdedup_assignment_is_materialized_once():
     final = plan.split("== Initial Plan ==")[0]
     n_mem = final.count("InMemoryTableScan")
     assert n_mem >= 3, final  # both pair sides + keep-flag probe
+
+
+def test_unigram_headtail_split_broadcasts_head():
+    """l5e2: the Zipf-head probe (top-K vocab types by count) and the
+    head-membership anti-join on the tail path must both be broadcast
+    — the whole point of the sk2 split is that no hot token key ever
+    crosses an exchange. The head table is K rows by construction, so
+    these broadcasts are plan-stable at any corpus size."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(catalog()["l5e2_unigram_logprob_headtail"].fn(spark, SF_DIR))
+    # head equi-probe + tail anti-probe (+ possibly the AQE'd tail join)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_curation_flag_joins_broadcast():
