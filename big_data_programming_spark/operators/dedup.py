@@ -700,6 +700,145 @@ def winnowed_span_stats(
     )
 
 
+def winnowed_span_extents(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span EXTENTS — the actual removal artifact of Lee et
+    al. 2022's ExactSubstr dedup: per document, the merged
+    ``[span_start, span_end]`` token ranges (1-based, inclusive)
+    covered by cross-corpus duplicated runs, ready for a cut-and-
+    reassemble pass (l5f's chunk-strip machinery consumes exactly this
+    shape). l2k reports per-doc *fractions*; this emits the offsets.
+
+    Construction: winnowing as in :func:`winnowed_span_stats`, but
+    each window keeps the POSITION of its minimal gram (first-index
+    tie-break — ``array_position``/``list_position`` agree on first
+    occurrence), so every selected fingerprint carries the token
+    offset where its k-gram starts. A fingerprint duplicated across
+    >= 2 distinct documents marks the k-token extent at each of its
+    selected positions; per document, marked extents sorted by start
+    merge when the next start is within k of the previous (equal
+    extent lengths make the lag test exact — no running-max needed),
+    and each merged group becomes one output span, clamped to the
+    document's token count.
+
+    Coverage contract (documented approximation vs the suffix-array
+    original): inside any shared run of >= w+k-1 tokens, winnowing
+    selects a fingerprint at least every w positions, and w < k
+    chains those marks into ONE merged span — so every such run is
+    reported as a single span covering it to within < w+k tokens of
+    slack at the edges; runs shorter than w+k-1 may be missed (the
+    same threshold l2k inherits from the winnowing theorem).
+
+    Scale shape: selection is in-row (array HOFs); the dup aggregate
+    and the mark join are md5-keyed skew-free shuffles; the merge
+    window partitions by doc_id over MARKED positions only (bounded
+    by the duplication volume, not corpus tokens). Linear, no suffix
+    array, no all-pairs."""
+    from pyspark.sql import Window
+
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), i, k)).cast("binary")
+        ),
+    )
+    t = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("toks")
+    ).select(id_col, n.alias("n_toks"), grams.alias("grams"))
+    m = F.size("grams")
+    min_pos = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda j: (
+            j.cast("bigint")
+            - 1
+            + F.array_position(
+                F.slice(F.col("grams"), j, w),
+                F.array_min(F.slice(F.col("grams"), j, w)),
+            )
+        ),
+    )
+    sel = t.select(
+        id_col,
+        "n_toks",
+        "grams",
+        F.explode(F.array_distinct(min_pos)).alias("pos"),
+    ).select(
+        id_col, "n_toks", "pos", F.element_at("grams", F.col("pos").cast("int")).alias("h")
+    )
+    dup = (
+        sel.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = sel.join(dup, "h", "semi").select(id_col, "n_toks", "pos")
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(wdoc).isNull()
+        | (F.col("pos") > F.lag("pos").over(wdoc) + k),
+        1,
+    ).otherwise(0)
+    grp = marked.select(id_col, "n_toks", "pos", brk.alias("brk")).select(
+        id_col, "n_toks", "pos", F.sum("brk").over(wdoc).alias("grp")
+    )
+    span_end = F.least(F.max("pos") + (k - 1), F.max("n_toks"))
+    return grp.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("span_start"),
+        span_end.alias("span_end"),
+        (span_end - F.min("pos") + 1).alias("span_tokens"),
+    ).select(id_col, "span_start", "span_end", "span_tokens")
+
+
+def winnowed_extents_oracle_sql(k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnowed_span_extents` — identical gram
+    hashing, identical first-index argmin selection, identical merge
+    rule and clamping."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, LEN(toks) AS n_toks,
+         list_transform(generate_series(1, GREATEST(LEN(toks) - {k - 1}, 1)),
+                        i -> md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS grams
+  FROM t
+), sel AS (
+  SELECT DISTINCT doc_id, n_toks, u.pos, list_extract(grams, u.pos) AS h
+  FROM (SELECT doc_id, n_toks, grams,
+               list_transform(generate_series(1, GREATEST(LEN(grams) - {w - 1}, 1)),
+                              j -> j - 1 + list_position(list_slice(grams, j, j + {w - 1}),
+                                                         list_min(list_slice(grams, j, j + {w - 1})))) AS mins
+        FROM g),
+       UNNEST(mins) AS u(pos)
+), dup AS (
+  SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, n_toks, pos FROM sel WHERE h IN (SELECT h FROM dup)
+), b AS (
+  SELECT doc_id, n_toks, pos,
+         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+), grps AS (
+  SELECT doc_id, n_toks, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM b
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(LEAST(MAX(pos) + {k - 1}, MAX(n_toks)) AS BIGINT) AS span_end,
+       CAST(LEAST(MAX(pos) + {k - 1}, MAX(n_toks)) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM grps
+GROUP BY doc_id, grp
+"""
+
+
 def winnowed_span_oracle_sql(k: int = 8, w: int = 4) -> str:
     """DuckDB twin of :func:`winnowed_span_stats` — identical gram
     hashing, identical window-min selection, identical dup rule."""

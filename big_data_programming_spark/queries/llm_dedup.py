@@ -25,6 +25,8 @@ from big_data_programming_spark.operators.dedup import (
     ngram_jaccard_pairs,
     normalize_text,
     simhash,
+    winnowed_extents_oracle_sql,
+    winnowed_span_extents,
     winnowed_span_oracle_sql,
     winnowed_span_stats,
 )
@@ -481,6 +483,31 @@ def l2k_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB plan shape. Raw IEEE integer division, no rounding."""
     d = load(spark, sf_dir, "documents")
     return winnowed_span_stats(d, k=_WIN_K, w=_WIN_W)
+
+
+@register(
+    "l2k2_duplicate_span_extents",
+    oracle=winnowed_extents_oracle_sql(_WIN_K, _WIN_W),
+    tags=("L2", "L1", "W4", "F4"),
+)
+def l2k2_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span EXTENTS (operators/dedup.py:
+    winnowed_span_extents) — the actual Lee et al. 2022 removal
+    artifact that l2k's per-doc fractions summarize: for every
+    document, the merged [span_start, span_end] token ranges (1-based
+    inclusive, clamped to doc length) covered by cross-corpus
+    duplicated runs. Each winnowing window keeps its minimal gram's
+    POSITION (first-index tie-break, identical in both engines), a
+    cross-doc-duplicated fingerprint marks the k-token extent at each
+    selected position, and per-doc extents merge when the next start
+    is within k of the previous — inside a shared run winnowing
+    selects at least every w < k positions, so a whole run chains
+    into ONE span with < w+k edge slack. Emitted offsets feed a
+    cut-and-reassemble pass (l5f's machinery). The merge window runs
+    over MARKED positions only — bounded by duplication volume, not
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    return winnowed_span_extents(d, k=_WIN_K, w=_WIN_W)
 
 
 #: SemDeDup geometry: 8 seed centroids (the 8 smallest vec_ids — at

@@ -608,3 +608,111 @@ def l3k_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             at="element_at({arr}, CAST({i} AS INT))",
         )
     )
+
+
+#: Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009:
+#: k=60 in the original TREC runs) and per-leg candidate depth.
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+def _rrf_oracle() -> str:
+    from big_data_programming_spark.queries.llm_text import bm25_scored_sql
+
+    return f"""
+WITH sparse AS (
+  SELECT doc_id, r_sparse FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+    FROM ({bm25_scored_sql()})
+  ) WHERE r_sparse <= {_RRF_DEPTH}
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id, r_dense FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id) AS r_dense
+    FROM (SELECT e.vec_id,
+                 {_COS.format(a='e.embedding', b='q.qv')} AS cosine_sim
+          FROM embeddings e CROSS JOIN q)
+  ) WHERE r_dense <= {_RRF_DEPTH}
+)
+SELECT COALESCE(d.vec_id, s.doc_id) AS doc_id,
+       CAST(COALESCE(d.r_dense, 0) AS BIGINT) AS dense_rank,
+       CAST(COALESCE(s.r_sparse, 0) AS BIGINT) AS sparse_rank,
+       COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.r_dense), 0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.r_sparse), 0)
+         AS rrf_score
+FROM dense d FULL OUTER JOIN sparse s ON d.vec_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "l3m_hybrid_rrf_fusion",
+    oracle=_rrf_oracle(),
+    tags=("L3", "L4", "J2", "O2"),
+)
+def l3m_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): fuse l4k's BM25 keyword ranking (the sparse leg, scored by
+    llm_text.bm25_scored — the SAME relation l4k top-k's, so the legs
+    are provably consistent) with l3's brute-force cosine ranking
+    against query vector 0 (the dense leg), by summing 1/(60+rank)
+    over the legs where each document appears. RRF is the standard
+    zero-tuning fusion baseline — integer-rank arithmetic, so unlike
+    score interpolation it needs no cross-leg calibration AND the
+    whole query is oracle-exact: ranks are row_numbers with
+    deterministic (score DESC, id) tie-breaks, and the fused score is
+    two IEEE divisions of small-int sums added in fixed order.
+
+    Plan shape: each leg is its existing scan (BM25: one in-row tf
+    scan + 1-row stats broadcast; cosine: one scan + 1-row query
+    broadcast) reduced to a {_RRF_DEPTH}-row top-k via
+    TakeOrderedAndProject BEFORE ranking, so the rank window runs
+    over {_RRF_DEPTH} rows, not the corpus (w8 discipline); the
+    fusion itself is a full-outer join of two {_RRF_DEPTH}-row
+    tables — negligible at any corpus size. Missing-leg ranks emit 0
+    (never null) so the driver's dtype canon sees int64 on both
+    engines."""
+    from pyspark.sql import Window
+
+    from big_data_programming_spark.queries.llm_text import bm25_scored
+
+    sparse_top = (
+        bm25_scored(spark, sf_dir)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    sparse = sparse_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("r_sparse"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
+    dense_top = topk_cosine(emb, query, k=_RRF_DEPTH)
+    dense = dense_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine_sim").desc(), "vec_id"))
+        .alias("r_dense"),
+    )
+    fused = dense.join(sparse, dense["vec_id"] == sparse["doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sparse")), F.lit(0.0))
+    return (
+        fused.select(
+            F.coalesce(dense["vec_id"], sparse["doc_id"]).alias("doc_id"),
+            F.coalesce(F.col("r_dense"), F.lit(0)).cast("bigint").alias("dense_rank"),
+            F.coalesce(F.col("r_sparse"), F.lit(0)).cast("bigint").alias("sparse_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+    )

@@ -291,7 +291,11 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_oracle() -> str:
+def bm25_scored_sql() -> str:
+    """The BM25-scored relation as a SQL fragment (no ORDER/LIMIT):
+    ``(doc_id, dl, tf_*, score)`` for every matching document — shared
+    by l4k's top-20 oracle and l3m's rank-fusion oracle so the two
+    provably score identically."""
     tf_cols = ",\n         ".join(
         f"LEN(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
     )
@@ -325,6 +329,12 @@ SELECT doc_id, dl,
        CAST({score_terms} AS DOUBLE) AS score
 FROM base CROSS JOIN g
 WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+SELECT * FROM ({bm25_scored_sql()})
 ORDER BY score DESC, doc_id
 LIMIT 20
 """
@@ -351,6 +361,19 @@ def l4k_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     new query into a map + top-k over it. Determinism: avgdl via the
     decimal canon, each term's contribution rounded to 6 dp then
     summed in exact decimal (same component order on both engines)."""
+    return (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25-scored relation ``(doc_id, dl, tf_*, score)`` for every
+    document matching >= 1 query term — l4k's body, shared with l3m's
+    reciprocal-rank fusion so the sparse leg of the hybrid retriever
+    provably scores identically to the standalone BM25 query. Twin of
+    :func:`bm25_scored_sql`."""
     d = load(spark, sf_dir, "documents")
 
     def tf(term: str):
@@ -393,8 +416,6 @@ def l4k_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("score", score.cast("double"))
         .filter(any_tf > 0)
         .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "score")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
     )
 
 

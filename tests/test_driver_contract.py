@@ -52,6 +52,8 @@ SAMPLE_QUERIES = [
     "l5e_unigram_logprob",
     "l5e2_unigram_logprob_headtail",
     "l2k_duplicate_ngram_spans",
+    "l2k2_duplicate_span_extents",
+    "l3m_hybrid_rrf_fusion",
     "a4b_approx_distinct_audit",
     "l2m_semdedup",
     "l4t_semantic_decontamination",

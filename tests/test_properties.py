@@ -270,6 +270,37 @@ def test_winnowing_guarantee_any_alignment(spark, docs):
     assert out[1] >= 1 and out[2] >= 1, (out, t1, t2)
 
 
+@given(docs=shared_run_docs())
+@settings(**SETTINGS)
+def test_winnowed_extents_cover_shared_run(spark, docs):
+    """l2k2's extents contract, probed generatively: whatever the
+    offsets of a shared run of >= w+k-1 tokens, BOTH documents report
+    exactly ONE span (w < k chains a run's marks together; disjoint
+    filler vocabularies mean nothing else can be marked), that span
+    overlaps the planted run, and it never overshoots the run by more
+    than w+k-2 tokens on either side (the documented edge slack)."""
+    from big_data_programming_spark.operators.dedup import winnowed_span_extents
+
+    k, w = 8, 4
+    t1, t2 = docs
+    run_len = sum(1 for tok in t1.split(" ") if tok.startswith("r"))
+    starts = {  # 1-based planted-run start per doc
+        1: next(i for i, tok in enumerate(t1.split(" "), 1) if tok.startswith("r")),
+        2: next(i for i, tok in enumerate(t2.split(" "), 1) if tok.startswith("r")),
+    }
+    df = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
+    spans = {}
+    for r in winnowed_span_extents(df, k=k, w=w).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc in (1, 2):
+        assert len(spans.get(doc, [])) == 1, (spans, t1, t2)
+        s, e = spans[doc][0]
+        run_s, run_e = starts[doc], starts[doc] + run_len - 1
+        assert s <= run_e and e >= run_s, ("no overlap", spans, t1, t2)
+        assert s >= run_s - (w + k - 2), ("front overshoot", spans, t1, t2)
+        assert e <= run_e + (w + k - 2), ("back overshoot", spans, t1, t2)
+
+
 # ---------- SemDeDup vs Python reference (l2m) ----------
 
 
