@@ -741,31 +741,74 @@ def l5d_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "l5e_unigram_logprob",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
-    oracle="""
+#: The per-document unigram-LM scoring relation as a SQL fragment —
+#: ``(doc_id, lang, n_tokens, avg_nll, ppl_proxy)`` — shared by l5e's
+#: projection and l5e3's CCNet bucketing so the two provably score
+#: identically. Twin of :func:`unigram_scored`.
+UNIGRAM_SCORED_SQL = """
 WITH tok AS (
-  SELECT doc_id, u.token
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  SELECT doc_id, lang, u.token
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        UNNEST(t) AS u(token)
 ), vocab AS (
   SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
 ), tot AS (
   SELECT SUM(cnt) AS n_total FROM vocab
 ), scored AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 8)
               AS DECIMAL(38,10)) AS nll
   FROM tok JOIN vocab USING (token) CROSS JOIN tot
 ), agg AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, SUM(nll) AS s FROM scored GROUP BY 1
+  SELECT doc_id, lang, COUNT(*) AS n_tokens, SUM(nll) AS s
+  FROM scored GROUP BY 1, 2
 )
-SELECT doc_id,
+SELECT doc_id, lang,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_nll,
        ROUND(EXP(ROUND(CAST(s AS DOUBLE) / n_tokens, 6)), 4) AS ppl_proxy
 FROM agg
+"""
+
+
+def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document unigram-LM scoring relation ``(doc_id, lang,
+    n_tokens, avg_nll, ppl_proxy)`` — l5e's body (lang carried through
+    the explode instead of a join back; the grouping key stays
+    doc-unique), shared with l5e3's CCNet head/middle/tail bucketing.
+    Twin of :data:`UNIGRAM_SCORED_SQL`."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))
+    nll = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 8
+    ).cast("decimal(38,10)")
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", nll.alias("nll"))
+    )
+    agg = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("nll").alias("s")
+    )
+    avg = F.round(F.col("s").cast("double") / F.col("n_tokens"), 6)
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 4).alias("ppl_proxy"),
+    )
+
+
+@register(
+    "l5e_unigram_logprob",
+    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
+    oracle=f"""
+SELECT doc_id, n_tokens, avg_nll, ppl_proxy FROM ({UNIGRAM_SCORED_SQL})
 """,
     tags=("L5", "L4", "A1", "J8"),
 )
@@ -796,27 +839,8 @@ def l5e_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL(38,10) (order-free), the mean rounded to 6 dp, and
     exp applied to that already-rounded double on both engines —
     the l4k component-rounding canon."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").alias("n_total"))
-    nll = F.round(
-        -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 8
-    ).cast("decimal(38,10)")
-    scored = (
-        tok.join(vocab, "token")
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", nll.alias("nll"))
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.sum("nll").alias("s")
-    )
-    avg = F.round(F.col("s").cast("double") / F.col("n_tokens"), 6)
-    return agg.select(
-        "doc_id",
-        "n_tokens",
-        avg.alias("avg_nll"),
-        F.round(F.exp(avg), 4).alias("ppl_proxy"),
+    return unigram_scored(spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_nll", "ppl_proxy"
     )
 
 
@@ -905,6 +929,101 @@ def l5e2_unigram_logprob_headtail(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_tokens",
         avg.alias("avg_nll"),
         F.round(F.exp(avg), 4).alias("ppl_proxy"),
+    )
+
+
+@register(
+    "l5e3_ccnet_ppl_buckets",
+    oracle=f"""
+WITH s AS ({UNIGRAM_SCORED_SQL}),
+ranked AS (
+  SELECT lang, avg_nll, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM s
+), cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT) THEN avg_nll END) AS c33,
+         MAX(CASE WHEN rn = CAST(CEIL(2 * n / 3.0) AS BIGINT) THEN avg_nll END) AS c67
+  FROM ranked GROUP BY lang
+), b AS (
+  SELECT s.lang,
+         CASE WHEN s.avg_nll <= c.c33 THEN 'head'
+              WHEN s.avg_nll <= c.c67 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         s.avg_nll, s.n_tokens
+  FROM s JOIN cuts c USING (lang)
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(avg_nll) AS min_nll,
+       MAX(avg_nll) AS max_nll
+FROM b GROUP BY lang, bucket
+""",
+    tags=("L5", "W1", "A1", "J8"),
+)
+def l5e3_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020):
+    per language, split documents into perplexity terciles — 'head'
+    (lowest mean nll, most in-distribution; what CCNet keeps for LM
+    training), 'middle', 'tail' — and report each bucket's document
+    count, token mass, and nll range. Composes l5e's scoring relation
+    (shared unigram_scored helper — the legs provably agree) with
+    lm4b's broadcast-cutpoint discipline: tercile cutpoints are the
+    values at ranks ceil(n/3), ceil(2n/3) per language (discrete rank
+    quantiles — both engines pick the identical element, no
+    interpolation), the |langs|x2 cutpoint table broadcasts back, and
+    bucket assignment is two comparisons map-side on the scored
+    relation. Ties share buckets (equal scores never straddle a cut —
+    what a quality gate actually wants; NTILE would split them).
+
+    Scale shape: the rank pass uses a per-lang window for oracle
+    replayability; at 100 TB the cutpoints come from one
+    approx-quantile sketch pass over the scored relation (lm4b's
+    documented swap), and the hot path — assignment + rollup — touches
+    the scored relation once, map-side. The scored relation itself is
+    l5e's two-shuffle plan."""
+    from pyspark.sql import Window
+
+    s = unigram_scored(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    cw = Window.partitionBy("lang")
+    ranked = s.select(
+        "lang",
+        "avg_nll",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") / F.lit(3.0)).cast("long"),
+                F.col("avg_nll"),
+            )
+        ).alias("c33"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 2 / F.lit(3.0)).cast("long"),
+                F.col("avg_nll"),
+            )
+        ).alias("c67"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("c33"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("c67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        s.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("bucket"), "avg_nll", "n_tokens")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
     )
 
 

@@ -51,6 +51,7 @@ SAMPLE_QUERIES = [
     "l5d_gopher_gate",
     "l5e_unigram_logprob",
     "l5e2_unigram_logprob_headtail",
+    "l5e3_ccnet_ppl_buckets",
     "l2k_duplicate_ngram_spans",
     "l2k2_duplicate_span_extents",
     "l3m_hybrid_rrf_fusion",
