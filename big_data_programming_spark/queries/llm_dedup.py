@@ -510,6 +510,97 @@ def l2k2_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed_span_extents(d, k=_WIN_K, w=_WIN_W)
 
 
+@register(
+    "l2k3_exactsubstr_strip",
+    oracle=f"""
+WITH ext AS (SELECT * FROM ({winnowed_extents_oracle_sql(_WIN_K, _WIN_W)})),
+sp AS (
+  SELECT doc_id, list({{'s': span_start, 'e': span_end}} ORDER BY span_start) AS spans
+  FROM ext GROUP BY doc_id
+),
+base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+j AS (
+  SELECT b.doc_id, b.toks,
+         COALESCE(sp.spans, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS spans
+  FROM base b LEFT JOIN sp USING (doc_id)
+),
+kk AS (
+  SELECT doc_id, LEN(toks) AS n_tokens,
+         list_filter(toks,
+           (x, i) -> LEN(list_filter(spans, s -> i >= s.s AND i <= s.e)) = 0
+         ) AS kept
+  FROM j
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - LEN(kept) AS BIGINT) AS n_removed,
+       CAST(LEN(kept) AS BIGINT) AS n_kept,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_md5,
+       CAST(n_tokens - LEN(kept) AS DOUBLE) / n_tokens AS removed_frac
+FROM kk
+""",
+    tags=("L2", "L4", "J2", "F4"),
+)
+def l2k3_exactsubstr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-and-reassemble over l2k2's extents — the removal HALF of
+    Lee et al. 2022's ExactSubstr dedup, closing the loop the extents
+    query opens: every token inside a duplicated span is dropped and
+    the survivors reassemble into the deduplicated document (emitted
+    as an md5 so the schema stays scalar; before/removed/kept counts
+    and the removed fraction ride along).
+
+    Plan shape: the span table groups to ONE sorted (s, e)-struct
+    array per affected document (duplication-bound rows), joins back
+    doc-keyed (left — untouched docs pass through whole), and the
+    strip itself is a single in-row indexed filter with a nested
+    exists over the doc's own span array: no explode of token rows,
+    no per-token shuffle. Engines agree bit-for-bit because span
+    offsets are exact integers and both lambdas test the same closed
+    interval (Spark's 0-based filter index shifted to DuckDB's
+    1-based). A production pipeline persists the extents table
+    between the mark and strip stages (the l2m materialization
+    precedent) — here the lineage is left visible for the plan
+    tests; the re-expanded fragments are in-row maps over the scan,
+    not corpus-wide joins."""
+    d = load(spark, sf_dir, "documents")
+    spans = winnowed_span_extents(d, k=_WIN_K, w=_WIN_W)
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("spans")
+    )
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    j = base.join(sp, "doc_id", "left")
+    spans_c = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            spans_c, lambda s: ((i + 1) >= s.s) & ((i + 1) <= s.e)
+        ),
+    )
+    scored = j.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        kept.alias("kept"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("bigint").alias("n_removed"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws(" ", F.col("kept")).cast("binary")).alias("kept_md5"),
+        (
+            (F.col("n_tokens") - F.size("kept")).cast("double") / F.col("n_tokens")
+        ).alias("removed_frac"),
+    )
+
+
 #: SemDeDup geometry: 8 seed centroids (the 8 smallest vec_ids — at
 #: production scale an offline k-means fit supplies them, see the
 #: operator docstring), near-dup threshold cosine >= 0.35 (the l2e

@@ -919,3 +919,37 @@ def test_pipeline_verdict_attribution(spark):
         assert r["verdict"] == expect, (r["doc_id"], r["verdict"], expect)
         seen.add(r["verdict"])
     assert len(seen) >= 2, seen
+
+
+# ---------- ExactSubstr strip vs extents (l2k2/l2k3) ----------
+
+
+def test_strip_removes_exactly_the_extents(spark):
+    """Composition theorem: merged extents are disjoint per document,
+    so l2k3's removed-token count must equal the sum of l2k2's
+    span_tokens for every document, every unaffected document keeps
+    all tokens with an unchanged md5, and a fully-stripped document
+    hashes to md5('')."""
+    import hashlib
+
+    from big_data_programming_spark.registry import queries
+
+    spans = queries()["l2k2_duplicate_span_extents"](spark, SMOKE_SF_DIR).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["span_tokens"]
+    stripped = queries()["l2k3_exactsubstr_strip"](spark, SMOKE_SF_DIR).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SMOKE_SF_DIR, "documents").collect()
+    }
+    assert len(stripped) == len(texts)
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in stripped:
+        assert r["n_removed"] == by_doc.get(r["doc_id"], 0), r
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"], r
+        if r["doc_id"] not in by_doc:
+            want = hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+            assert r["kept_md5"] == want, r
+        if r["n_kept"] == 0:
+            assert r["kept_md5"] == empty_md5, r
