@@ -1027,6 +1027,136 @@ def l5e3_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Interpolation weight for the bigram LM: score = LAMBDA * bigram MLE
+#: + (1 - LAMBDA) * unigram MLE — Jelinek-Mercer smoothing with a fixed
+#: lambda (KenLM's Kneser-Ney needs per-context discount tables; fixed-
+#: lambda JM keeps the identical plan shape fully oracle-checkable).
+_L5E4_LAMBDA = 0.75
+
+
+@register(
+    "l5e4_bigram_interp_logprob",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, u.i AS pos,
+         toks[u.i] AS w1, toks[u.i + 1] AS w2,
+         concat(toks[u.i], ' ', toks[u.i + 1]) AS big
+  FROM t, UNNEST(generate_series(1, LEN(toks) - 1)) AS u(i)
+  WHERE LEN(toks) >= 2
+), uni AS (
+  SELECT u.token AS w, COUNT(*) AS cw
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) u
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(cw) AS n_total FROM uni
+), ctx AS (
+  SELECT w1 AS w, COUNT(*) AS cctx FROM bg GROUP BY 1
+), bgm AS (
+  SELECT big, COUNT(*) AS cbg FROM bg GROUP BY 1
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(-LN(
+             {_L5E4_LAMBDA} * (CAST(cbg AS DOUBLE) / CAST(cctx AS DOUBLE))
+             + {1 - _L5E4_LAMBDA} * (CAST(cw AS DOUBLE) / CAST(n_total AS DOUBLE))
+           ), 8) AS DECIMAL(38,10)) AS nll
+  FROM bg
+  JOIN bgm USING (big)
+  JOIN ctx ON ctx.w = bg.w1
+  JOIN uni ON uni.w = bg.w2
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS s FROM scored GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+       ROUND(EXP(ROUND(CAST(s AS DOUBLE) / n_bigrams, 6)), 4) AS ppl_proxy
+FROM agg
+""",
+    tags=("L5", "L4", "A1", "J8"),
+)
+def l5e4_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring — one modeling step up l5e's
+    ladder toward the CCNet/KenLM 5-gram: each document scored by the
+    mean negative log of the Jelinek-Mercer-smoothed bigram
+    probability lambda * c(w1 w2)/c_ctx(w1) + (1-lambda) * c(w2)/N,
+    where c_ctx counts w1 as a bigram context (so the conditional
+    sums to 1 over w2 exactly). Fixed-lambda JM instead of KenLM's
+    Kneser-Ney keeps every number a ratio of exact corpus counts —
+    the whole score is oracle-checkable bit-for-bit — while the PLAN
+    is identical to what a real n-gram scorer runs: model-build
+    aggregates + model joins back onto the n-gram stream.
+
+    Plan shape: bigrams form IN-ROW (transform over sequence — no
+    self-join of token rows) and explode once; three model tables
+    join back — the bigram model keyed on the pair, the context and
+    unigram models keyed on single tokens, the 1-row total as a
+    broadcast attach. Model tables are |V|^2- and |V|-bounded (far
+    smaller than the corpus; AQE broadcasts them when they fit), and
+    the token-keyed joins carry the same Zipf hot-key exposure as
+    l5e — the l5e2 broadcast-head/shuffle-tail lever applies to each
+    verbatim at 100 TB. Per-doc reduction is one hash aggregate;
+    docs under 2 tokens have no bigrams and drop out (documented; the
+    fixture has none). Determinism: the l5e rounding canon — each
+    bigram's nll rounded to 8 dp (the interpolation's two products
+    and their sum are fixed-order IEEE ops on identical inputs), then
+    DECIMAL-summed, mean rounded to 6 dp, exp applied to the rounded
+    mean."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i.cast("int")).alias("w1"),
+            F.element_at("toks", (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.concat_ws(" ", "p.w1", "p.w2").alias("big"),
+        )
+    )
+    uni = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    tot = uni.agg(F.sum("cw").alias("n_total"))
+    ctx = bg.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("cctx"))
+    bgm = bg.groupBy("big").agg(F.count(F.lit(1)).alias("cbg"))
+    lam = _L5E4_LAMBDA
+    p = F.lit(lam) * (
+        F.col("cbg").cast("double") / F.col("cctx").cast("double")
+    ) + F.lit(1 - lam) * (
+        F.col("cw").cast("double") / F.col("n_total").cast("double")
+    )
+    nll = F.round(-F.log(p), 8).cast("decimal(38,10)")
+    scored = (
+        bg.join(bgm, "big")
+        .join(ctx, bg["w1"] == ctx["w"])
+        .join(uni, bg["w2"] == uni["w"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("nll").alias("s")
+    )
+    avg = F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 4).alias("ppl_proxy"),
+    )
+
+
 #: Boilerplate geometry: non-overlapping 8-token chunks; a chunk text
 #: is boilerplate when it occurs in >= 2 DISTINCT documents (the
 #: RefinedWeb/CCNet line-dedup rule lifted to fixed chunks — this

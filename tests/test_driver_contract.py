@@ -52,6 +52,7 @@ SAMPLE_QUERIES = [
     "l5e_unigram_logprob",
     "l5e2_unigram_logprob_headtail",
     "l5e3_ccnet_ppl_buckets",
+    "l5e4_bigram_interp_logprob",
     "l2k_duplicate_ngram_spans",
     "l2k2_duplicate_span_extents",
     "l2k3_exactsubstr_strip",

@@ -953,3 +953,41 @@ def test_strip_removes_exactly_the_extents(spark):
             assert r["kept_md5"] == want, r
         if r["n_kept"] == 0:
             assert r["kept_md5"] == empty_md5, r
+
+
+# ---------- CCNet ppl buckets (l5e3) ----------
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    """Per language: the three buckets partition the documents, sizes
+    are within one tie-group of n/3, nll ranges are ordered
+    head < middle < tail with no overlap (ties share buckets by
+    construction, so ranges can touch only at distinct cut values —
+    which the <=-cut rule forbids: equal scores land in one bucket),
+    and token mass adds up to the language's total."""
+    from big_data_programming_spark.registry import queries
+
+    rows = queries()["l5e3_ccnet_ppl_buckets"](spark, SMOKE_SF_DIR).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    scored = {}
+    for r in queries()["l5e_unigram_logprob"](spark, SMOKE_SF_DIR).collect():
+        scored[r["doc_id"]] = r
+    docs = load(spark, SMOKE_SF_DIR, "documents").select("doc_id", "lang").collect()
+    lang_counts, lang_tokens = {}, {}
+    for d in docs:
+        lang_counts[d["lang"]] = lang_counts.get(d["lang"], 0) + 1
+        lang_tokens[d["lang"]] = (
+            lang_tokens.get(d["lang"], 0) + scored[d["doc_id"]]["n_tokens"]
+        )
+    for lang, buckets in per_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, (lang, buckets)
+        n = sum(b["n_docs"] for b in buckets.values())
+        assert n == lang_counts[lang], (lang, n, lang_counts[lang])
+        assert sum(b["total_tokens"] for b in buckets.values()) == lang_tokens[lang]
+        h, m, t = buckets["head"], buckets["middle"], buckets["tail"]
+        assert h["max_nll"] < m["min_nll"] <= m["max_nll"] < t["min_nll"], (
+            lang,
+            buckets,
+        )

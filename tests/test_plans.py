@@ -214,6 +214,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l5e_unigram_logprob",  # 1-row vocab-total broadcast (the l4k corpus-stats shape)
         "l5e2_unigram_logprob_headtail",  # same 1-row vocab-total attach as l5e
         "l5e3_ccnet_ppl_buckets",  # same 1-row vocab-total attach (shared unigram_scored)
+        "l5e4_bigram_interp_logprob",  # same 1-row unigram-total attach (interpolation backoff)
         "l4s_zipf_fit",  # 1-row regression sums x 1-row corpus-totals attach
         "l2m_semdedup",  # 1-row centroid-array broadcast (in-row argmax assignment)
         "l4t_semantic_decontamination",  # 1-row eval-array broadcast (in-row max-cos scan)
