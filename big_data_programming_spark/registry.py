@@ -40,9 +40,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: llm_mixing(8 incl. lm7_dsir_importance) + pipeline_ops(7) + events
 #: e16-e19(4) + a4b_approx_distinct_audit + the round-5 depth
 #: additions l5f_boilerplate_chunk_strip, l4s_zipf_fit, l2m_semdedup,
-#: l4t_semantic_decontamination, l5g_pipeline_verdict (5) = 25, +
-#: tpch remainder (q2/q4/q7-q9/q11-q22 never driver-checked) and the
-#: deferred l3/l3b/l3c for the remaining slots. 20 rounds leave ample
+#: l4t_semantic_decontamination, l5g_pipeline_verdict (5) + the
+#: round-6 additions l5e2_unigram_logprob_headtail,
+#: l5e3_ccnet_ppl_buckets, l5e4_bigram_interp_logprob,
+#: l2k2_duplicate_span_extents, l2k3_exactsubstr_strip,
+#: l3m_hybrid_rrf_fusion (6) = 31, + the never-driver-checked tpch
+#: remainder (q2/q4/q7-q9/q11-q22 = 17) = 48, + deferred l3/l3b = 50;
+#: l3c and any later additions roll to ROUND 8. 20 rounds leave ample
 #: rotation room.
 #: Counts drift as queries land: verify against len(catalog()) before
 #: each rotation, then regenerate CATALOG.md (scripts/gen_catalog.py)

@@ -991,3 +991,57 @@ def test_ccnet_buckets_are_ordered_terciles(spark):
             lang,
             buckets,
         )
+
+
+# ---------- Hybrid RRF fusion (l3m) ----------
+
+
+def test_rrf_fusion_consistent_with_legs(spark):
+    """Recompute the fusion from the legs in Python: the top-20 fused
+    rows must carry exactly the leg ranks (dense = cosine order,
+    sparse = BM25 order, 0 when absent from a leg's top-50) and the
+    score 1/(60+r_dense) + 1/(60+r_sparse) summed over present legs."""
+    from big_data_programming_spark.queries.llm_text import bm25_scored
+    from big_data_programming_spark.registry import queries
+
+    sparse = sorted(
+        [
+            (r["doc_id"], r["score"])
+            for r in bm25_scored(spark, SMOKE_SF_DIR).collect()
+        ],
+        key=lambda t: (-t[1], t[0]),
+    )[:50]
+    r_sparse = {doc: i + 1 for i, (doc, _) in enumerate(sparse)}
+    dense_rows = queries()["l3_cosine_topk"](spark, SMOKE_SF_DIR)  # top-10 only
+    # recompute the dense leg at depth 50 the same way l3m does
+    from big_data_programming_spark.operators.similarity import (
+        as_double_array,
+        topk_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SMOKE_SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
+    dense = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in topk_cosine(emb, q, k=50).collect()
+    ]
+    r_dense = {vid: i + 1 for i, (vid, _) in enumerate(dense)}
+    want = {}
+    for doc in set(r_dense) | set(r_sparse):
+        s = 0.0
+        if doc in r_dense:
+            s += 1.0 / (60 + r_dense[doc])
+        if doc in r_sparse:
+            s += 1.0 / (60 + r_sparse[doc])
+        want[doc] = (r_dense.get(doc, 0), r_sparse.get(doc, 0), s)
+    got = queries()["l3m_hybrid_rrf_fusion"](spark, SMOKE_SF_DIR).collect()
+    assert len(got) == 20
+    expected_top = sorted(want.items(), key=lambda kv: (-kv[1][2], kv[0]))[:20]
+    assert [g["doc_id"] for g in got] == [d for d, _ in expected_top]
+    for g in got:
+        rd, rs, s = want[g["doc_id"]]
+        assert (g["dense_rank"], g["sparse_rank"]) == (rd, rs), g
+        assert abs(g["rrf_score"] - s) < 1e-12, g

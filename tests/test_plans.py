@@ -776,13 +776,14 @@ def test_semdedup_assignment_is_materialized_once():
     assert "Generate" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     # The cached relation is the ONLY consumer of the embeddings scan
-    # on the pair/probe paths: every embeddings FileScan in the final
-    # plan sits under an InMemoryRelation (cache build), not as a live
-    # re-scan. The seed row's k-limited scan is the one legitimate
-    # extra read.
-    final = plan.split("== Initial Plan ==")[0]
-    n_mem = final.count("InMemoryTableScan")
-    assert n_mem >= 3, final  # both pair sides + keep-flag probe
+    # on the pair/probe paths: every embeddings FileScan in the plan
+    # sits under an InMemoryRelation (cache build), not as a live
+    # re-scan. Count on the FULL plan string: once another test has
+    # materialized the same cache entry, the cached child prints as an
+    # isFinalPlan=true AdaptiveSparkPlan whose inner "== Initial Plan
+    # ==" marker would truncate a split-based count (the r6 suite
+    # order-dependence bug).
+    assert plan.count("InMemoryTableScan") >= 3, plan  # 2 pair sides + probe
 
 
 def test_unigram_headtail_split_broadcasts_head():
