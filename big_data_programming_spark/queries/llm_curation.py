@@ -650,9 +650,9 @@ _VERDICT_STAGES = (
 )
 
 
-@register(
-    "l5g_pipeline_verdict",
-    oracle=f"""
+#: l5g's full oracle (shared with l5h's ablation rollup, which
+#: aggregates over exactly this relation).
+_L5G_ORACLE = f"""
 WITH train AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks
   FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
@@ -704,7 +704,12 @@ SELECT doc_id, exact_dup, bad_length, low_stopword, contaminated_ngram,
             WHEN contaminated_semantic THEN 'contaminated_semantic'
             ELSE 'keep' END AS verdict
 FROM flags
-""",
+"""
+
+
+@register(
+    "l5g_pipeline_verdict",
+    oracle=_L5G_ORACLE,
     tags=("L5", "L1", "L4", "L2", "J8"),
 )
 def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,4 +803,85 @@ def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *_VERDICT_STAGES,
         verdict.otherwise("keep").alias("verdict"),
+    )
+
+
+@register(
+    "l5h_gate_ablation",
+    oracle=f"""
+WITH v AS ({_L5G_ORACLE}),
+n AS (
+  SELECT COUNT(*) AS n_docs,
+         {", ".join(
+             f'''CAST(SUM(CAST({g} AS INT)) AS BIGINT) AS fl_{g},
+         CAST(SUM(CASE WHEN {g} AND
+               (CAST(exact_dup AS INT) + CAST(bad_length AS INT)
+                + CAST(low_stopword AS INT) + CAST(contaminated_ngram AS INT)
+                + CAST(contaminated_semantic AS INT)) = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS ex_{g},
+         CAST(SUM(CASE WHEN verdict = '{g}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS fa_{g}''' for g in _VERDICT_STAGES)}
+  FROM v
+)
+{" UNION ALL ".join(
+    f'''SELECT '{g}' AS gate, fl_{g} AS n_flagged, ex_{g} AS n_exclusive,
+       fa_{g} AS n_first_attributed,
+       CAST(fl_{g} AS DOUBLE) / n_docs AS flag_rate,
+       CAST(n_docs AS BIGINT) AS n_docs FROM n''' for g in _VERDICT_STAGES)}
+""",
+    tags=("L5", "A2", "A11"),
+)
+def l5h_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate ablation over the pipeline-verdict record — the removal-
+    attribution table a curation run reports next to its attribute
+    file: per gate, how many documents it flags (n_flagged), how many
+    it ALONE flags (n_exclusive — the documents recovered if just
+    this gate were dropped, the ablation number), and how many the
+    pipeline attributes to it as the first failing stage
+    (n_first_attributed — order-dependent, so Σ over gates =
+    total removals while Σ n_flagged double-counts overlaps; the gap
+    between the two columns IS the overlap structure).
+
+    Plan shape: one aggregate pass over l5g's verdict relation
+    computes all 15 gate statistics map-side-combined into a single
+    row; the per-gate output rows unpivot that 1-row table in-memory
+    (explode of a 5-element literal-keyed array — no second corpus
+    pass, no join). Composes the registered l5g directly so the
+    ablation provably describes the shipped verdict semantics."""
+    v = l5g_pipeline_verdict(spark, sf_dir)
+    n_fired = sum(F.col(g).cast("int") for g in _VERDICT_STAGES)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for g in _VERDICT_STAGES:
+        aggs.append(F.sum(F.col(g).cast("int")).cast("bigint").alias(f"fl_{g}"))
+        aggs.append(
+            F.sum(F.when(F.col(g) & (n_fired == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ex_{g}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("verdict") == g, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"fa_{g}")
+        )
+    one = v.agg(*aggs)
+    gate_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("gate"),
+                    F.col(f"fl_{g}").alias("n_flagged"),
+                    F.col(f"ex_{g}").alias("n_exclusive"),
+                    F.col(f"fa_{g}").alias("n_first_attributed"),
+                )
+                for g in _VERDICT_STAGES
+            ]
+        )
+    )
+    return one.select("n_docs", gate_rows.alias("g")).select(
+        F.col("g.gate").alias("gate"),
+        F.col("g.n_flagged").alias("n_flagged"),
+        F.col("g.n_exclusive").alias("n_exclusive"),
+        F.col("g.n_first_attributed").alias("n_first_attributed"),
+        (F.col("g.n_flagged").cast("double") / F.col("n_docs")).alias("flag_rate"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
     )
