@@ -292,35 +292,18 @@ def _minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_banded_pairs(
+def minhash_band_candidates(
     docs: DataFrame,
-    threshold: float = 0.5,
     num_hashes: int = 24,
     rows_per_band: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs via hand-rolled MinHash + LSH banding, pure SQL
-    expressions end to end (no spark.ml) — the from-first-principles
-    twin of :func:`minhash_dedup_pairs`.
-
-    Per doc, IN-ROW (no explode, no shuffle): distinct tokens →
-    28-bit md5 base hashes → k=``num_hashes`` universal-hash minima =
-    the MinHash signature — one array HOF chain inside whole-stage
-    codegen. Banding: k/r bands of r signature slots each; docs
-    agreeing on ALL slots of some band become candidates via a
-    (band_idx, band_key) equi-join — the only shuffle moves
-    (doc, band_key) rows, never token lists. Candidates are then
-    exact-verified against true token Jaccard (candidates-only join).
-
-    The signature step costs O(tokens × k) multiply-mods as a pure
-    map; at 100 TB this is the canonical dedup shape (the GPL-free
-    rewrite of every web-dedup pipeline). Banding recall for a true
-    pair at similarity J is 1-(1-J^r)^(k/r): r=2, k=24 → 97% at
-    J=0.5, >99.9% at J=0.7; missed borderline pairs are missed
-    IDENTICALLY by the oracle, because the hash constants are shared
-    literals — the oracle certifies cross-engine determinism of the
-    full pipeline (recall vs ground truth is l2's job)."""
+    """The CANDIDATE stage of :func:`minhash_banded_pairs`, exposed so
+    the banding itself is auditable (l2n measures its recall against
+    exact-Jaccard ground truth): distinct ``(doc_a, doc_b)`` pairs
+    agreeing on all slots of >= 1 LSH band — before any exact
+    verification. Twin of :func:`minhash_band_candidates_sql`."""
     consts = _minhash_constants(num_hashes)
     n_bands = num_hashes // rows_per_band
     toks_arr = F.array_distinct(tokenize(F.col(text_col)))
@@ -336,6 +319,7 @@ def minhash_banded_pairs(
             ),
         ).alias("h"),
     )
+
     def _uhash(a: int, b: int):
         # closure factory: Spark infers HOF arity from the lambda
         # signature, so the constants must be captured, not defaulted
@@ -373,7 +357,7 @@ def minhash_banded_pairs(
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -382,6 +366,41 @@ def minhash_banded_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via hand-rolled MinHash + LSH banding, pure SQL
+    expressions end to end (no spark.ml) — the from-first-principles
+    twin of :func:`minhash_dedup_pairs`.
+
+    Per doc, IN-ROW (no explode, no shuffle): distinct tokens →
+    28-bit md5 base hashes → k=``num_hashes`` universal-hash minima =
+    the MinHash signature — one array HOF chain inside whole-stage
+    codegen. Banding: k/r bands of r signature slots each; docs
+    agreeing on ALL slots of some band become candidates via a
+    (band_idx, band_key) equi-join — the only shuffle moves
+    (doc, band_key) rows, never token lists. Candidates are then
+    exact-verified against true token Jaccard (candidates-only join).
+
+    The signature step costs O(tokens × k) multiply-mods as a pure
+    map; at 100 TB this is the canonical dedup shape (the GPL-free
+    rewrite of every web-dedup pipeline). Banding recall for a true
+    pair at similarity J is 1-(1-J^r)^(k/r): r=2, k=24 → 97% at
+    J=0.5, >99.9% at J=0.7; missed borderline pairs are missed
+    IDENTICALLY by the oracle, because the hash constants are shared
+    literals — the oracle certifies cross-engine determinism of the
+    full pipeline (recall vs ground truth is l2n's audit)."""
+    cand = minhash_band_candidates(
+        docs, num_hashes=num_hashes, rows_per_band=rows_per_band,
+        text_col=text_col, id_col=id_col,
     )
     toks = docs.select(
         F.col(id_col).alias("doc"),
@@ -411,13 +430,11 @@ def minhash_banded_pairs(
     )
 
 
-def minhash_banded_oracle_sql(
-    threshold: float = 0.5, num_hashes: int = 24, rows_per_band: int = 2
+def minhash_band_candidates_sql(
+    num_hashes: int = 24, rows_per_band: int = 2
 ) -> str:
-    """DuckDB identical-arithmetic twin of :func:`minhash_banded_pairs`
-    — same md5 base hashes, same (a, b) literals, same banding, same
-    exact-verify arithmetic, so the output (including any banding
-    misses) matches value-for-value."""
+    """DuckDB twin of :func:`minhash_band_candidates` — the candidate
+    CTE of the banded oracle, exposed for l2n's recall audit."""
     consts = _minhash_constants(num_hashes)
     n_bands = num_hashes // rows_per_band
     sig_items = ",\n           ".join(
@@ -443,10 +460,23 @@ WITH base AS (
 ), bands AS (
   SELECT doc, g.j AS band, {key_expr} AS key
   FROM sigs, (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
-), cand AS (
-  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+"""
+
+
+def minhash_banded_oracle_sql(
+    threshold: float = 0.5, num_hashes: int = 24, rows_per_band: int = 2
+) -> str:
+    """DuckDB identical-arithmetic twin of :func:`minhash_banded_pairs`
+    — same md5 base hashes, same (a, b) literals, same banding, same
+    exact-verify arithmetic, so the output (including any banding
+    misses) matches value-for-value."""
+    return f"""
+WITH cand AS (
+  SELECT * FROM ({minhash_band_candidates_sql(num_hashes, rows_per_band)})
 ), toks AS (
   SELECT doc_id AS doc, UNNEST(list_distinct(string_split(text, ' '))) AS token
   FROM documents

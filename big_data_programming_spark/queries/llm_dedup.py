@@ -18,6 +18,8 @@ from big_data_programming_spark.operators.dedup import (
     SIMHASH_ORACLE_SQL,
     exact_dedup_keys,
     jaccard_pairs,
+    minhash_band_candidates,
+    minhash_band_candidates_sql,
     minhash_banded_oracle_sql,
     minhash_banded_pairs,
     minhash_dedup_pairs,
@@ -483,6 +485,83 @@ def l2k_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB plan shape. Raw IEEE integer division, no rounding."""
     d = load(spark, sf_dir, "documents")
     return winnowed_span_stats(d, k=_WIN_K, w=_WIN_W)
+
+
+@register(
+    "l2n_banding_recall_audit",
+    oracle=f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({JACCARD_ORACLE_SQL.format(threshold=0.5)})
+), cand AS (
+  SELECT * FROM ({minhash_band_candidates_sql()})
+), m AS (
+  SELECT t.doc_a IS NOT NULL AS in_truth, c.doc_a IS NOT NULL AS in_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_positive,
+       CAST(SUM(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missed,
+       CAST(SUM(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_candidates,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS recall,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS candidate_precision
+FROM m
+""",
+    tags=("L2", "J2", "A2"),
+)
+def l2n_banding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-tuning measurement loop, closed: LSH banding recall
+    and candidate precision measured against exact-Jaccard ground
+    truth at the same threshold. l2i's docstring states the banding
+    theory (r=2, k=24 -> ~97% expected recall at J=0.5); this query
+    MEASURES it — the banded candidate set (minhash_band_candidates,
+    pre-verification, exposed from l2i's pipeline so the audit
+    describes the shipped banding exactly) full-outer-joins the exact
+    pair set (jaccard_pairs, l2's capped ground-truth twin), and one
+    aggregate emits truth/candidate/TP/miss/false-candidate counts
+    plus recall and candidate precision. All integer counts and two
+    IEEE divisions — oracle-exact.
+
+    Scale shape: the candidate side is the production banding path;
+    the truth side is the fixture-bounded quadratic twin (inverted-
+    index join, MAX_TOKEN_DF-capped) that exists exactly for audits
+    like this one — at 100 TB you run it on a sampled shard, which is
+    how web-dedup pipelines actually estimate banding recall before
+    committing to (k, r). The fuse join and the final aggregate are
+    pair-keyed and single-row."""
+    d = load(spark, sf_dir, "documents")
+    truth = jaccard_pairs(d, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(True).alias("_t")
+    )
+    cand = minhash_band_candidates(d).select(
+        "doc_a", "doc_b", F.lit(True).alias("_c")
+    )
+    m = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("_t", F.lit(False)).alias("in_truth"),
+        F.coalesce("_c", F.lit(False)).alias("in_cand"),
+    )
+    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    n_cand = F.sum(F.when(F.col("in_cand"), 1).otherwise(0))
+    tp = F.sum(F.when(F.col("in_truth") & F.col("in_cand"), 1).otherwise(0))
+    return m.agg(
+        n_truth.cast("bigint").alias("n_truth"),
+        n_cand.cast("bigint").alias("n_candidates"),
+        tp.cast("bigint").alias("n_true_positive"),
+        F.sum(F.when(F.col("in_truth") & ~F.col("in_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+        F.sum(F.when(F.col("in_cand") & ~F.col("in_truth"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_candidates"),
+        (tp.cast("double") / n_truth).alias("recall"),
+        (tp.cast("double") / n_cand).alias("candidate_precision"),
+    )
 
 
 @register(
