@@ -885,3 +885,83 @@ def l5h_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("g.n_flagged").cast("double") / F.col("n_docs")).alias("flag_rate"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "l4u_corpus_datasheet",
+    oracle="""
+WITH base AS (
+  SELECT source, lang,
+         md5(text) AS h,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LEN(string_split(text, ' ')) BETWEEN 20 AND 2000
+           AND LEN(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) >= 2 AS keeps
+  FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+       ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 8) AS dup_frac,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       CAST(SUM(CASE WHEN keeps THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_basic,
+       ROUND(CAST(SUM(CASE WHEN keeps THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 8) AS keep_rate
+FROM base
+GROUP BY source, lang
+""",
+    tags=("L4", "L5", "L1", "A1", "A3"),
+)
+def l4u_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet — the per-(source, language) summary table
+    a curated-dataset release publishes (the Dolma/RedPajama datasheet
+    shape): document count, distinct-text count and the implied exact-
+    duplicate fraction, token mass, mean document length, and how many
+    documents clear the basic quality gate (l5's length + stopword
+    rules, recomputed in-row so the datasheet needs no join against
+    the gate query).
+
+    Plan shape: ONE scan computes md5, token count, and the gate
+    boolean in-row; one grouped aggregate (bounded |source|x|lang|
+    groups) does everything else — COUNT(DISTINCT md5) is the only
+    expensive aggregate and it shuffles 16-byte hashes with map-side
+    partial distinct, the l1 discipline. At 100 TB this is one pass
+    over each shard plus a tiny final merge; every release pipeline
+    runs exactly this before publishing. Ratios are int/int IEEE
+    divisions rounded on both engines."""
+    from big_data_programming_spark.operators.text import STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    keeps = F.size(toks).between(20, 2000) & (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) >= 2
+    )
+    base = d.select(
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        keeps.alias("keeps"),
+    )
+    return base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("h")).alias("n_unique_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.col("h")).cast("double") / F.count(F.lit(1)),
+            8,
+        ).alias("dup_frac"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
+        F.sum(F.when(F.col("keeps"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep_basic"),
+        F.round(
+            F.sum(F.when(F.col("keeps"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("keep_rate"),
+    )
