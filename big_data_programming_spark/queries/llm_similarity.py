@@ -716,3 +716,129 @@ def l3m_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(20)
     )
+
+
+#: nprobe sweep for the IVF recall audit — the cost/recall curve an
+#: ANN deployment tunes before fixing its probe budget.
+_IVF_AUDIT_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "l3o_ivf_recall_audit",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g
+), cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(x) AS cx
+  FROM flat GROUP BY label, pos
+), cvec AS (
+  SELECT label, list(cx ORDER BY pos) AS centroid
+  FROM cent GROUP BY label
+), ranked AS (
+  SELECT c.label,
+         ROW_NUMBER() OVER (
+           ORDER BY {_COS.format(a='c.centroid', b='q.qv')} DESC, c.label
+         ) AS rl
+  FROM cvec c CROSS JOIN q
+), sims AS (
+  SELECT e.vec_id, r.rl,
+         {_COS.format(a='e.embedding', b='q.qv')} AS csim
+  FROM embeddings e JOIN ranked r USING (label) CROSS JOIN q
+), truth AS (
+  SELECT vec_id FROM sims ORDER BY csim DESC, vec_id LIMIT 10
+), np AS (
+  SELECT UNNEST([{", ".join(str(n) for n in _IVF_AUDIT_NPROBES)}]) AS nprobe
+), rk AS (
+  SELECT np.nprobe, s.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY np.nprobe
+                            ORDER BY s.csim DESC, s.vec_id) AS rn
+  FROM sims s JOIN np ON s.rl <= np.nprobe
+)
+SELECT nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_scanned,
+       CAST(SUM(CASE WHEN rn <= 10
+                      AND vec_id IN (SELECT vec_id FROM truth)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN rn <= 10
+                      AND vec_id IN (SELECT vec_id FROM truth)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_at_10
+FROM rk GROUP BY nprobe
+""",
+    tags=("L3", "L7", "A1", "W6"),
+)
+def l3o_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN measurement loop, closed (l2n's sibling for similarity
+    search): recall@10 and candidate-scan cost of the IVF probe at
+    nprobe in {1, 2, 4, 8}, measured against the brute-force top-10 —
+    the cost/recall curve a deployment tunes before fixing its probe
+    budget. Uses l3f's deterministic fixed-grid quantizer (decimal-
+    exact per-label centroids) so the whole audit carries a value-hash
+    oracle; l3e's seeded-KMeans build has the identical probe plan.
+
+    Plan shape: centroids rank against the query ONCE (|labels|-row
+    window); one corpus pass computes every vector's cosine plus its
+    list's probe rank; the truth top-10 is a TakeOrdered; the nprobe
+    sweep attaches as a 4-row broadcast dimension and the per-nprobe
+    top-10 window partitions by nprobe over PROBED candidates only.
+    One grouped aggregate then emits scan cost, overlap, and recall in
+    a single pass — the candidate relation is never re-expanded (the
+    lm7 lesson). At production scale the per-nprobe window takes the
+    knn_join salt split; here candidates are list-bounded."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q")
+    )
+    ranked = (
+        label_centroids(emb)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "label",
+            cosine_similarity_col(F.col("centroid"), F.col("q")).alias("csim"),
+        )
+        .select(
+            "label",
+            F.row_number()
+            .over(Window.orderBy(F.col("csim").desc(), "label"))
+            .alias("rl"),
+        )
+    )
+    sims = (
+        emb.join(F.broadcast(ranked), "label")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "rl",
+            cosine_similarity_col(
+                as_double_array(F.col("embedding")), F.col("q")
+            ).alias("csim"),
+        )
+    )
+    truth = (
+        sims.orderBy(F.col("csim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("_t"))
+    )
+    np_dim = spark.createDataFrame(
+        [(n,) for n in _IVF_AUDIT_NPROBES], "nprobe int"
+    )
+    cand = sims.crossJoin(F.broadcast(np_dim)).filter(
+        F.col("rl") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe").orderBy(F.col("csim").desc(), "vec_id")
+    hit = F.when((F.col("rn") <= 10) & F.col("_t"), 1).otherwise(0)
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(truth), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_scanned"),
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            (F.sum(hit).cast("double") / 10).alias("recall_at_10"),
+        )
+    )

@@ -57,6 +57,7 @@ SAMPLE_QUERIES = [
     "l2k2_duplicate_span_extents",
     "l2k3_exactsubstr_strip",
     "l2n_banding_recall_audit",
+    "l3o_ivf_recall_audit",
     "l3m_hybrid_rrf_fusion",
     "a4b_approx_distinct_audit",
     "l2m_semdedup",

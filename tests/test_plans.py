@@ -204,6 +204,7 @@ def test_no_accidental_cartesian_in_catalog():
         "dq1_constraint_checks",  # 1-row × 1-row scalar-count attach (FK rule)
         "l3h_random_projection_topk",  # 1-row projection matrix + 1-row query vector broadcasts
         "l3m_hybrid_rrf_fusion",  # 1-row BM25-stats + 1-row query-vector broadcasts (the l4k/l3 legs)
+        "l3o_ivf_recall_audit",  # 1-row query vector + 4-row nprobe-dimension broadcasts
         "l3k_adc_search",  # 1-row ADC lookup-table broadcast (PQ query side)
         "s15_compaction",  # 1-row files-before count attached to the 1-row summary
         "dq3_partition_drift",  # 1-row median + 1-row MAD broadcast attaches
