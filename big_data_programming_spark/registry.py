@@ -40,14 +40,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: llm_mixing(8 incl. lm7_dsir_importance) + pipeline_ops(7) + events
 #: e16-e19(4) + a4b_approx_distinct_audit + the round-5 depth
 #: additions l5f_boilerplate_chunk_strip, l4s_zipf_fit, l2m_semdedup,
-#: l4t_semantic_decontamination, l5g_pipeline_verdict (5) + the
+#: l4t_semantic_decontamination, l5g_pipeline_verdict (5) + ALL TEN
 #: round-6 additions l5e2_unigram_logprob_headtail,
 #: l5e3_ccnet_ppl_buckets, l5e4_bigram_interp_logprob,
 #: l2k2_duplicate_span_extents, l2k3_exactsubstr_strip,
-#: l3m_hybrid_rrf_fusion (6) = 31, + the never-driver-checked tpch
-#: remainder (q2/q4/q7-q9/q11-q22 = 17) = 48, + deferred l3/l3b = 50;
-#: l3c and any later additions roll to ROUND 8. 20 rounds leave ample
-#: rotation room.
+#: l2n_banding_recall_audit, l3m_hybrid_rrf_fusion,
+#: l3o_ivf_recall_audit, l5h_gate_ablation, l4u_corpus_datasheet
+#: (10) = 35, + the first 15 of the never-driver-checked tpch
+#: remainder (q2/q4/q7-q9/q11-q22 = 17 total) = 50; the last 2 tpch,
+#: deferred l3/l3b/l3c, and any later additions roll to ROUND 8.
+#: 20 rounds leave ample rotation room.
 #: Counts drift as queries land: verify against len(catalog()) before
 #: each rotation, then regenerate CATALOG.md (scripts/gen_catalog.py)
 #: and run scripts/dtype_guard.py + a full scripts/drive_driver.py.
