@@ -780,14 +780,18 @@ def l3o_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; l3e's seeded-KMeans build has the identical probe plan.
 
     Plan shape: centroids rank against the query ONCE (|labels|-row
-    window); one corpus pass computes every vector's cosine plus its
-    list's probe rank; the truth top-10 is a TakeOrdered; the nprobe
-    sweep attaches as a 4-row broadcast dimension and the per-nprobe
-    top-10 window partitions by nprobe over PROBED candidates only.
-    One grouped aggregate then emits scan cost, overlap, and recall in
-    a single pass — the candidate relation is never re-expanded (the
-    lm7 lesson). At production scale the per-nprobe window takes the
-    knn_join salt split; here candidates are list-bounded."""
+    window); the scored relation (each vector's cosine plus its
+    list's probe rank — a pure map over the scan) feeds the truth
+    top-10 (TakeOrdered) and the candidate sweep, so it expands twice
+    — two map-only corpus passes, acceptable for an audit run rarely
+    (persist the scored relation to make it one, the l2m lever). The
+    nprobe sweep attaches as a 4-row broadcast dimension, the
+    per-nprobe top-10 window partitions by nprobe over PROBED
+    candidates only, and ONE grouped aggregate emits scan cost,
+    overlap, and recall — the candidate relation itself is never
+    re-expanded (the lm7 lesson). At production scale the per-nprobe
+    window takes the knn_join salt split; here candidates are
+    list-bounded."""
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")

@@ -41,6 +41,7 @@ from big_data_programming_spark.queries.events import E2_SLIDING_ORACLE
 from big_data_programming_spark.registry import DEFER, register
 from big_data_programming_spark.sources.loaders import load
 from big_data_programming_spark.streaming.harness import (
+    documents_stream,
     drain,
     drain_foreach_batch,
     events_stream,
@@ -1493,3 +1494,68 @@ def st28_streaming_cm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "st29_streaming_curation_monitor",
+    # keep OUT of the live r6 window (streaming module sorts first);
+    # rolls to the r8 rotation with the other post-rotation additions
+    window_rank=DEFER,
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 2000
+                      AND LEN(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a', 'of', 'and', 'to'))) >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 2000
+                            AND LEN(list_filter(string_split(text, ' '),
+                                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) >= 2
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 8) AS keep_rate
+FROM documents
+GROUP BY source
+""",
+    tags=("ST2", "S8", "L5", "A1"),
+)
+def st29_streaming_curation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest monitoring — the live dashboard a
+    continuous curation pipeline runs while crawl shards land: the
+    documents table consumed AS A STREAM (harness.documents_stream —
+    the first non-events streaming surface), l5's basic quality gate
+    evaluated in-row per arriving document, and a running per-source
+    aggregate of document count, token mass, keep count, and keep
+    rate in complete mode. Under availableNow bounded replay the
+    final emission equals the batch aggregate, so the whole streaming
+    path carries a value-hash oracle (the l4u datasheet's gate
+    columns, grouped by source only).
+
+    Plan shape: the gate is a stateless map on the stream; the only
+    state is the running per-source aggregate — |sources| rows,
+    constant per micro-batch, mergeable across restarts via the
+    checkpoint. At 100 TB/day ingest this is the canonical monitoring
+    topology: no joins, no watermark (no event-time), state bounded
+    by the source-key cardinality."""
+    from big_data_programming_spark.operators.text import STOPWORDS, tokenize
+
+    s = documents_stream(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    keeps = F.size(toks).between(20, 2000) & (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) >= 2
+    )
+    gated = s.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        keeps.alias("keeps"),
+    )
+    agg = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("keeps"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
+        F.round(
+            F.sum(F.when(F.col("keeps"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("keep_rate"),
+    )
+    return drain(agg, "complete")

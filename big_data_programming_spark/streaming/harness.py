@@ -43,6 +43,18 @@ _EVENTS_RAW_SCHEMA = StructType(
     ]
 )
 
+#: documents schema for the streaming file source (matches the fixture
+#: parquet exactly; no timestamps, so no zone handling needed).
+_DOCUMENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
 _sink_ids = itertools.count()
 
 
@@ -75,6 +87,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the documents corpus as an unbounded stream: the
+    continuous-ingest shape of a training-data pipeline (crawl batches
+    landing as files; the same query runs unchanged when the directory
+    keeps receiving shards). No event-time column, so no watermark —
+    consumers are either stateless maps or running aggregates."""
+    return (
+        spark.readStream.schema(_DOCUMENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def drain(df: DataFrame, output_mode: str) -> DataFrame:

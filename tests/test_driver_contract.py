@@ -65,6 +65,7 @@ SAMPLE_QUERIES = [
     "l5g_pipeline_verdict",
     "l5h_gate_ablation",
     "l4u_corpus_datasheet",
+    "st29_streaming_curation_monitor",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",
