@@ -583,3 +583,61 @@ def dq7_functional_dependency_profile(
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+#: k-anonymity threshold: a quasi-identifier group smaller than K
+#: makes its members re-identifiable in a release.
+_KANON_K = 5
+
+
+@register(
+    "dq8_k_anonymity",
+    oracle=f"""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents GROUP BY lang, source
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_exposed_docs,
+       ROUND(CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 8) AS exposed_frac,
+       CAST(SUM(n) AS BIGINT) AS n_docs
+FROM g
+""",
+    tags=("A1", "A2", "L5"),
+)
+def dq8_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over the (lang, source) quasi-
+    identifier: a dataset release is k-anonymous when every
+    quasi-identifier combination covers >= k individuals (Sweeney
+    2002); groups below k=5 (_KANON_K) make their members
+    re-identifiable by joining on the published attributes. Reports
+    group count, the smallest group, how many groups and documents
+    fall below k, and the exposed fraction — the go/no-go numbers a
+    privacy review reads before publishing the datasheet's group
+    table (l4u exposes exactly these groups, so the two are one
+    release bundle).
+
+    Plan shape: one grouped count over the bounded quasi-identifier
+    key space, then a single 1-row rollup of the group table — two
+    map-side-combined aggregates, no joins; the second runs over
+    |lang|x|source| rows regardless of corpus size."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    small = F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0))
+    exposed = F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("min_group_size"),
+        small.cast("bigint").alias("n_small_groups"),
+        exposed.cast("bigint").alias("n_exposed_docs"),
+        F.round(exposed.cast("double") / F.sum("n"), 8).alias("exposed_frac"),
+        F.sum("n").alias("n_docs"),
+    )

@@ -745,3 +745,52 @@ def l2m_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6; plan-pinned by test_semdedup_assignment_is_materialized_once)."""
     emb = load(spark, sf_dir, "embeddings")
     return semdedup(emb, n_clusters=_SEM_K, threshold=_SEM_TH)
+
+
+@register(
+    "l2o_similarity_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(list_slice(embedding, 1, 8),
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT FLOOR({COS64_SQL.format(a='l.embedding', b='r.embedding')} * 20) / 20
+           AS sim_bin
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT sim_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY sim_bin
+""",
+    tags=("L2", "L3", "A14", "J1"),
+)
+def l2o_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution profile over the sign-LSH bucket
+    candidates — the histogram a dedup owner reads to PICK the
+    near-dup threshold (l2e hard-codes 0.35 because this corpus
+    separates there; this query is where that number comes from).
+    Binned at 0.05 by floor(cos*20)/20 — floor of a bit-identical
+    double is bit-identical, so even the bin edges are oracle-exact.
+
+    Plan shape: identical candidate structure to l2e/l3b (orthant
+    equi-join bounds candidates to ~n^2/2^8, never all-pairs), then
+    ONE hash aggregate over the binned similarity — the histogram is
+    <= 41 rows regardless of corpus size, so the profile costs the
+    candidate join and nothing else. At 100 TB run it on a sampled
+    shard first, exactly like the l2n truth side."""
+    from big_data_programming_spark.operators.similarity import (
+        bucketed_near_pairs,
+    )
+
+    pairs = bucketed_near_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=-1.0, n_planes=8
+    )
+    return (
+        pairs.select(
+            (F.floor(F.col("cosine_sim") * 20) / 20).alias("sim_bin")
+        )
+        .groupBy("sim_bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -66,6 +66,8 @@ SAMPLE_QUERIES = [
     "l5h_gate_ablation",
     "l4u_corpus_datasheet",
     "st29_streaming_curation_monitor",
+    "dq8_k_anonymity",
+    "l2o_similarity_histogram",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",
