@@ -74,7 +74,7 @@ def lsh_sign_bucket(vec: Column, n_planes: int = 8) -> Column:
 
 def bucketed_near_pairs(
     vectors: DataFrame,
-    threshold: float,
+    threshold: float | None,
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -82,7 +82,10 @@ def bucketed_near_pairs(
     """Embedding near-duplicate pairs: equi-join on the sign-LSH bucket,
     then exact cosine on the (few) same-bucket candidates. The bucket
     join bounds the candidate set to ~n²/2^planes instead of n² — the
-    scale path for pairwise similarity."""
+    scale path for pairwise similarity. ``threshold=None`` keeps ALL
+    candidate pairs (the l2o profiling path) with no filter at all —
+    structurally identical to a filter-free oracle, where a ``>= -1``
+    sentinel could diverge on float-error sub- -1 cosines or NaN."""
     b = vectors.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("v"),
@@ -92,14 +95,14 @@ def bucketed_near_pairs(
     pairs = l.join(
         r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     )
-    return (
-        pairs.select(
-            F.col(f"l.{id_col}").alias("vec_a"),
-            F.col(f"r.{id_col}").alias("vec_b"),
-            cosine_similarity_col(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    out = pairs.select(
+        F.col(f"l.{id_col}").alias("vec_a"),
+        F.col(f"r.{id_col}").alias("vec_b"),
+        cosine_similarity_col(F.col("l.v"), F.col("r.v")).alias("cosine_sim"),
     )
+    if threshold is None:
+        return out
+    return out.filter(F.col("cosine_sim") >= threshold)
 
 
 def label_centroids(
@@ -309,7 +312,15 @@ def semdedup(
     sides plus the probe all read the cached (spill-safe
     MEMORY_AND_DISK) copy. ``materialize=False`` exposes the raw
     lineage for the plan-hygiene tests that pin the in-row-argmax
-    shape of the assignment itself.
+    shape of the assignment itself; tiny-input unit/property tests
+    also pass False (no point pinning 5-row caches). Lifetime note:
+    the cached table has no in-function release point (the return is
+    lazy — an eager unpersist would recompute the 3x lineage this
+    flag exists to avoid), so each materialized call pins one
+    assignment-sized cache entry until session end or an explicit
+    ``spark.catalog.clearCache()``; a production pipeline writes the
+    assignment table to storage between stages instead, which is the
+    durable form of the same materialization.
 
     Output: ``(id, cluster_id, cos_centroid, is_kept)``, one row per
     input vector; ``cos_centroid`` rounded to 8 dp (the comparison

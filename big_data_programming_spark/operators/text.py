@@ -13,6 +13,19 @@ from pyspark.sql import functions as F
 #: Tiny deterministic stopword list shared with the oracle SQL.
 STOPWORDS = ("the", "a", "of", "and", "to")
 
+
+def basic_gate_sql(toks_expr: str) -> str:
+    """DuckDB spelling of the l5 basic quality gate (length 20-2000 +
+    >= 2 stopwords) over a token-list expression — ONE definition so
+    the l4u / st29 oracles cannot drift from STOPWORDS or from each
+    other (r6 review finding: the fragment was hand-inlined 3x)."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"LEN({toks_expr}) BETWEEN 20 AND 2000\n"
+        f"                      AND LEN(list_filter({toks_expr},\n"
+        f"                              x -> x IN ({stop}))) >= 2"
+    )
+
 #: BPE-ish tokenizer regex: letter runs, digit runs, or single
 #: non-alphanumeric marks — the shape (not the vocab) of a byte-pair
 #: pre-tokenizer. POSIX-simple so Java and RE2 agree.

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_programming_spark.functions.canonical import COS64_SQL
-from big_data_programming_spark.operators.text import shingle_hashes, tokenize
+from big_data_programming_spark.operators.text import (
+    basic_gate_sql,
+    shingle_hashes,
+    tokenize,
+)
 from big_data_programming_spark.registry import register
 from big_data_programming_spark.sources.loaders import load
 
@@ -889,14 +893,12 @@ def l5h_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l4u_corpus_datasheet",
-    oracle="""
+    oracle=f"""
 WITH base AS (
   SELECT source, lang,
          md5(text) AS h,
          LEN(string_split(text, ' ')) AS n_tokens,
-         LEN(string_split(text, ' ')) BETWEEN 20 AND 2000
-           AND LEN(list_filter(string_split(text, ' '),
-                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) >= 2 AS keeps
+         {basic_gate_sql("string_split(text, ' ')")} AS keeps
   FROM documents
 )
 SELECT source, lang,

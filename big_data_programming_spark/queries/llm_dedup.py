@@ -785,7 +785,7 @@ def l2o_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = bucketed_near_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=-1.0, n_planes=8
+        load(spark, sf_dir, "embeddings"), threshold=None, n_planes=8
     )
     return (
         pairs.select(

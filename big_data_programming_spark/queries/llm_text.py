@@ -853,28 +853,10 @@ _L5E_HEAD_K = 8
 
 @register(
     "l5e2_unigram_logprob_headtail",
-    oracle="""
-WITH tok AS (
-  SELECT doc_id, u.token
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       UNNEST(t) AS u(token)
-), vocab AS (
-  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
-), tot AS (
-  SELECT SUM(cnt) AS n_total FROM vocab
-), scored AS (
-  SELECT doc_id,
-         CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 8)
-              AS DECIMAL(38,10)) AS nll
-  FROM tok JOIN vocab USING (token) CROSS JOIN tot
-), agg AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, SUM(nll) AS s FROM scored GROUP BY 1
-)
-SELECT doc_id,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_nll,
-       ROUND(EXP(ROUND(CAST(s AS DOUBLE) / n_tokens, 6)), 4) AS ppl_proxy
-FROM agg
+    # the split is plan-level only, so the oracle IS l5e's: the same
+    # shared-fragment projection (one canon definition, no drift)
+    oracle=f"""
+SELECT doc_id, n_tokens, avg_nll, ppl_proxy FROM ({UNIGRAM_SCORED_SQL})
 """,
     tags=("L5", "L4", "A1", "J8", "sk2"),
 )
@@ -1090,12 +1072,18 @@ def l5e4_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + model joins back onto the n-gram stream.
 
     Plan shape: bigrams form IN-ROW (transform over sequence — no
-    self-join of token rows) and explode once; three model tables
-    join back — the bigram model keyed on the pair, the context and
-    unigram models keyed on single tokens, the 1-row total as a
-    broadcast attach. Model tables are |V|^2- and |V|-bounded (far
-    smaller than the corpus; AQE broadcasts them when they fit), and
-    the token-keyed joins carry the same Zipf hot-key exposure as
+    self-join of token rows) and the exploded bigram stream is
+    PERSISTED (MEMORY_AND_DISK, the l2m discipline) because three
+    consumers read it — the scoring stream plus the bigram and
+    context model builds — and unreused lineage would re-explode the
+    corpus per consumer; with the cache the corpus tokenizes exactly
+    twice (bigram build + unigram model), the minimum without
+    deriving one model from the other. Three model tables join back —
+    the bigram model keyed on the pair, the context and unigram
+    models keyed on single tokens, the 1-row total as a broadcast
+    attach. Model tables are |V|^2- and |V|-bounded (far smaller
+    than the corpus; AQE broadcasts them when they fit), and the
+    token-keyed joins carry the same Zipf hot-key exposure as
     l5e — the l5e2 broadcast-head/shuffle-tail lever applies to each
     verbatim at 100 TB. Per-doc reduction is one hash aggregate;
     docs under 2 tokens have no bigrams and drop out (documented; the
@@ -1104,6 +1092,8 @@ def l5e4_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     and their sum are fixed-order IEEE ops on identical inputs), then
     DECIMAL-summed, mean rounded to 6 dp, exp applied to the rounded
     mean."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
     pairs = F.transform(
@@ -1122,6 +1112,7 @@ def l5e4_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.w2").alias("w2"),
             F.concat_ws(" ", "p.w1", "p.w2").alias("big"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = (
         d.select(F.explode(tokenize(F.col("text"))).alias("w"))

@@ -1496,24 +1496,31 @@ def st28_streaming_cm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from big_data_programming_spark.operators.text import basic_gate_sql
+
+#: the shared l5 basic-gate fragment (one definition with l4u's oracle)
+_gate_sql_fragment = basic_gate_sql("string_split(text, ' ')")
+
+
 @register(
     "st29_streaming_curation_monitor",
     # keep OUT of the live r6 window (streaming module sorts first);
     # rolls to the r8 rotation with the other post-rotation additions
     window_rank=DEFER,
-    oracle="""
+    oracle=f"""
+WITH g AS (
+  SELECT source,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         {_gate_sql_fragment} AS keeps
+  FROM documents
+)
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       CAST(SUM(CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 2000
-                      AND LEN(list_filter(string_split(text, ' '),
-                              x -> x IN ('the', 'a', 'of', 'and', 'to'))) >= 2
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-       ROUND(CAST(SUM(CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 2000
-                            AND LEN(list_filter(string_split(text, ' '),
-                                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) >= 2
-                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 8) AS keep_rate
-FROM documents
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN keeps THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(CASE WHEN keeps THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 8) AS keep_rate
+FROM g
 GROUP BY source
 """,
     tags=("ST2", "S8", "L5", "A1"),

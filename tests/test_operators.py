@@ -848,7 +848,7 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = {
         r["vec_id"]: r
-        for r in semdedup(vecs, n_clusters=2, threshold=0.9).collect()
+        for r in semdedup(vecs, n_clusters=2, threshold=0.9, materialize=False).collect()
     }
     assert len(out) == 5
     assert {k for k, r in out.items() if r["is_kept"]} == {3, 4, 5}
@@ -1012,7 +1012,6 @@ def test_rrf_fusion_consistent_with_legs(spark):
         key=lambda t: (-t[1], t[0]),
     )[:50]
     r_sparse = {doc: i + 1 for i, (doc, _) in enumerate(sparse)}
-    dense_rows = queries()["l3_cosine_topk"](spark, SMOKE_SF_DIR)  # top-10 only
     # recompute the dense leg at depth 50 the same way l3m does
     from big_data_programming_spark.operators.similarity import (
         as_double_array,

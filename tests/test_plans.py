@@ -806,6 +806,21 @@ def test_unigram_headtail_split_broadcasts_head():
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bigram_stream_is_materialized_once():
+    """l5e4 (r6 review finding): the exploded bigram stream feeds
+    three consumers (scoring stream + bigram and context models), so
+    it must be persisted — the plan shows InMemoryTableScans instead
+    of three re-expanded tokenize+explode lineages. Same discipline
+    and same test shape as l2m's assignment materialization."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(catalog()["l5e4_bigram_interp_logprob"].fn(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
 def test_curation_flag_joins_broadcast():
     """The round-5 curation stages must probe their small derived
     tables map-side: l5f's boilerplate-chunk flag join and lm7's

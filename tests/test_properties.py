@@ -375,7 +375,7 @@ def test_semdedup_matches_reference(spark, rows):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = {
         r["vec_id"]: (r["cluster_id"], r["cos_centroid"], r["is_kept"])
-        for r in semdedup(df, n_clusters=2, threshold=0.9).collect()
+        for r in semdedup(df, n_clusters=2, threshold=0.9, materialize=False).collect()
     }
     want = _ref_semdedup(rows, k=2, th=0.9)
     assert set(got) == set(want)
