@@ -90,6 +90,94 @@ FROM feats
 # two sides must drift identically.
 
 
+# --- l5i fastText-style quality classifier (Joulin et al. 2016) ------
+#
+#: Hashed feature-space size. 256 buckets keeps the weight vector a
+#: broadcast-tiny 1-row artifact at any corpus size (lm7's DSIR
+#: discipline — feature hashing is WHY fastText-style classifiers run
+#: at 100 TB: the model is constant-size regardless of vocabulary).
+L5I_BUCKETS = 256
+#: Intercept, calibrated empirically on the fixture corpus (DuckDB
+#: prototype, sf0.01: keep-rate 253/500 with zero logit==0 boundary
+#: rows — non-degenerate both ways). A trained model would learn this;
+#: the md5-derived stand-in keeps the artifact deterministic.
+L5I_BIAS = 0.03
+
+
+def _l5i_weight(key: int | str) -> float:
+    """Deterministic stand-in for a trained weight: first 8 hex chars
+    of md5("l5i:<key>") mapped to [-1, 1), rounded 8dp so the literal
+    parses to the identical double in Spark and DuckDB. A real
+    deployment swaps this table for trained fastText weights; the
+    query shape (1-row broadcast + in-row dot product) is unchanged."""
+    import hashlib
+
+    h = int(hashlib.md5(f"l5i:{key}".encode()).hexdigest()[:8], 16)
+    return round(h / 2**31 - 1.0, 8)
+
+
+#: The fixed weight vector (one scalar per hashed bucket — a 1-dim
+#: quality head over hashed unigram+bigram counts).
+L5I_WEIGHTS: tuple[float, ...] = tuple(_l5i_weight(i) for i in range(L5I_BUCKETS))
+
+
+def unigram_bigram_features(toks: Column) -> Column:
+    """fastText's feature set: the tokens plus their adjacent bigrams,
+    formed IN-ROW with slice/zip_with (no token explode, no self-join
+    — the l5e4 discipline)."""
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def quality_logit(toks: Column, weights: Column) -> Column:
+    """l5i logit: mean hashed-feature weight + bias, rounded 6dp.
+    Pure in-row pipeline — transform maps each feature to its bucket
+    weight (md5 -> first 8 hex -> % {B}), aggregate folds LEFT in
+    array order (the l4t fixed-order-fold canon, so Spark and DuckDB
+    produce the identical IEEE double), then /n + bias + round."""
+    fs = unigram_bigram_features(toks)
+    contrib = lambda f: F.element_at(  # noqa: E731
+        weights,
+        (
+            F.conv(F.substring(F.md5(f.cast("binary")), 1, 8), 16, 10).cast("long")
+            % L5I_BUCKETS
+        ).cast("int")
+        + 1,
+    )
+    s = F.aggregate(
+        F.transform(fs, contrib), F.lit(0.0), lambda a, b: a + b
+    )
+    return F.round(F.lit(L5I_BIAS) + s / F.size(fs), 6)
+
+
+def quality_logit_sql(toks_expr: str, w_expr: str) -> str:
+    """DuckDB spelling of :func:`quality_logit` — ONE definition so the
+    l5i / l5g / l5h oracles cannot drift from each other (the
+    basic_gate_sql lesson). ``w_expr`` must reference a DOUBLE[]
+    column holding L5I_WEIGHTS in bucket order."""
+    fs = (
+        f"list_concat({toks_expr}, "
+        f"list_transform(generate_series(1, GREATEST(LEN({toks_expr}) - 1, 0)), "
+        f"i -> {toks_expr}[i] || ' ' || {toks_expr}[i + 1]))"
+    )
+    return (
+        f"ROUND({L5I_BIAS} + list_reduce(list_transform({fs}, "
+        f"f -> {w_expr}[(CAST(CONCAT('0x', SUBSTRING(md5(f), 1, 8)) AS BIGINT) "
+        f"% {L5I_BUCKETS}) + 1]), (a, b) -> a + b) / LEN({fs}), 6)"
+    )
+
+
+def l5i_weights_sql() -> str:
+    """The weight vector as a DuckDB DOUBLE[] literal (the oracle's
+    stand-in for loading the model artifact)."""
+    return "[" + ", ".join(repr(w) for w in L5I_WEIGHTS) + "]::DOUBLE[]"
+
+
 def shingle_hashes(toks: Column, k: int = 8) -> Column:
     """md5 hashes of every k-token shingle of a token array (at least
     one window even for shorter docs — the degenerate shingle is the

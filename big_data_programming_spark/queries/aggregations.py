@@ -232,7 +232,6 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a7_collect_aggs",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT o_orderstatus,
        array_to_string(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|') AS priorities,
@@ -678,7 +677,6 @@ def a17_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a18_freq_items",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT array_to_string(list_sort(list(DISTINCT event_type)), '|') AS freq_event_types
 FROM events
@@ -706,7 +704,6 @@ def a18_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a19_quantile_profile",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT source,
        COUNT(*) AS n_docs,

@@ -96,7 +96,6 @@ def e2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e3_sessionization",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle=SESSIONIZE_ORACLE_SQL.format(gap_us=30 * 60 * 1_000_000),
     tags=("ST4", "W2", "W4"),
 )

@@ -162,7 +162,6 @@ def j5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j6_range_join",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 WITH bands(band, lo, hi) AS (
   VALUES ('tiny', 0.0, 50.0), ('small', 50.0, 150.0),
@@ -197,7 +196,6 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j7_asof_join",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT e.event_id, e.user_id, e.ts,
        MAX(o.o_orderdate) AS last_order_date

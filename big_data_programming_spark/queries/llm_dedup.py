@@ -466,7 +466,6 @@ _WIN_W = 4
 
 @register(
     "l2k_duplicate_ngram_spans",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle=winnowed_span_oracle_sql(_WIN_K, _WIN_W),
     tags=("L2", "L1", "A1", "F4"),
 )

@@ -11,10 +11,14 @@ from pyspark.sql.window import Window
 from big_data_programming_spark.functions.canonical import DEC, oracle_davg
 from big_data_programming_spark.operators.text import (
     BPE_ISH_PATTERN,
+    L5I_WEIGHTS,
     QUALITY_ORACLE_SQL,
     STOPWORDS,
     bpe_ish_tokens,
+    l5i_weights_sql,
     quality_features,
+    quality_logit,
+    quality_logit_sql,
     shingle_fingerprint,
     tokenize,
 )
@@ -604,7 +608,6 @@ _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
 
 @register(
     "l5d_gopher_gate",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -806,7 +809,6 @@ def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l5e_unigram_logprob",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle=f"""
 SELECT doc_id, n_tokens, avg_nll, ppl_proxy FROM ({UNIGRAM_SCORED_SQL})
 """,
@@ -1355,4 +1357,73 @@ def l4s_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").cast("bigint").alias("ranks_used"),
         slope.alias("zipf_slope"),
+    )
+
+
+@register(
+    "l5i_fasttext_quality_gate",
+    oracle=f"""
+WITH w AS (SELECT {l5i_weights_sql()} AS wv),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         CAST(2 * LEN(toks) - 1 AS BIGINT) AS n_features,
+         {quality_logit_sql("toks", "wv")} AS quality_logit
+  FROM t CROSS JOIN w
+)
+SELECT doc_id, n_tokens, n_features, quality_logit,
+       ROUND(1.0 / (1.0 + EXP(-quality_logit)), 6) AS quality_score,
+       quality_logit > 0 AS keep_quality
+FROM scored
+""",
+    tags=("L5", "L4", "F4"),
+)
+def l5i_fasttext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier gate (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification") — the
+    industry-standard curation stage CCNet (Wenzek et al. 2020), GPT-3
+    (Brown et al. 2020 §A) and LLaMA all apply: hashed unigram+bigram
+    bag-of-features, a linear head, sigmoid score, keep flag. The
+    weight vector here is a fixed md5-derived stand-in for a trained
+    Wikipedia-vs-crawl model (operators/text.py:_l5i_weight documents
+    the swap point); everything else — feature hashing, the broadcast
+    model attach, the in-row dot product — is the production topology.
+
+    Plan shape: the model is ONE row (a 256-double array, the lm7
+    feature-hashing discipline: constant-size regardless of
+    vocabulary), broadcast-crossJoined onto the scan; features form
+    in-row (slice/zip_with bigrams — no token explode, no shuffle at
+    all), and the dot product is an in-row fold in array order (the
+    l4t fixed-order canon, so DuckDB replays the identical IEEE sum).
+    The whole gate is a pure map over document partitions — at 100 TB
+    it runs at scan speed and composes with lm1/l4n sampling as a
+    pushed-down filter, exactly why production pipelines can afford
+    to score every crawl document. Determinism: logit rounded 6dp
+    before both the sigmoid and the keep comparison (bias calibrated
+    so no fixture doc sits on the boundary)."""
+    d = load(spark, sf_dir, "documents")
+    w = spark.range(1).select(
+        F.array(*[F.lit(x) for x in L5I_WEIGHTS]).alias("wv")
+    )
+    n = F.size(F.col("toks"))
+    scored = (
+        d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .crossJoin(F.broadcast(w))
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            (2 * n - 1).cast("bigint").alias("n_features"),
+            quality_logit(F.col("toks"), F.col("wv")).alias("quality_logit"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_features",
+        "quality_logit",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("quality_logit"))), 6
+        ).alias("quality_score"),
+        (F.col("quality_logit") > 0).alias("keep_quality"),
     )

@@ -106,7 +106,6 @@ def p3_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p4_cast",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT l_orderkey,
        CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,

@@ -183,7 +183,6 @@ def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "u5_dedup_subset",
-    window_rank=PROMOTE,  # r6 window pin (stale driver red / round-5 addition)
     oracle="""
 SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
 FROM events

@@ -1504,9 +1504,6 @@ _gate_sql_fragment = basic_gate_sql("string_split(text, ' ')")
 
 @register(
     "st29_streaming_curation_monitor",
-    # keep OUT of the live r6 window (streaming module sorts first);
-    # rolls to the r8 rotation with the other post-rotation additions
-    window_rank=DEFER,
     oracle=f"""
 WITH g AS (
   SELECT source,

@@ -20,36 +20,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: queries/ modules that register themselves on import (order = catalog order).
 #:
 #: Order matters operationally: the driver's correctness pass checks the
-#: FIRST 50 catalog entries only, so modules are rotated each round to
-#: give never-verified operators a driver row. ROUND 6 window (current
-#: order, recounted against len(catalog())==284 at rotation time):
-#: 11 ``window_rank=PROMOTE`` pins sort first — the stale r2/r3 driver
-#: reds, all fixed and replay-green since r3/r4 (p4_cast, j6_range_join,
-#: j7_asof_join, e3_sessionization, a7_collect_aggs, a18_freq_items,
-#: a19_quantile_profile, u5_dedup_subset) plus the round-5 additions
-#: l5d_gopher_gate, l5e_unigram_logprob, l2k_duplicate_ngram_spans —
-#: then streaming remainder(14: st14-st28; the 11 r5-green st1-st11/
-#: st13 carry ``window_rank=DEFER``) + modern_sql(18) +
-#: relational_extras(7) = 11+39 = 50 exactly.
-#: Round 5 window was llm_similarity remainder + llm_multimodal +
-#: graph + data_quality + udfs + skew + st1-st11/st13 (49 green + 1
-#: justified rows-only, CORRECTNESS_r05). Round 4: scalar_functions +
-#: llm_text + llm_curation + llm_dedup + l3/l3b/l3c (50/50 green).
-#: Round 3: events/aggregations/windows/setops.
-#: ROUND 7 PLAN (RECOUNT against len(catalog()) before rotating):
-#: llm_mixing(8 incl. lm7_dsir_importance) + pipeline_ops(7) + events
-#: e16-e19(4) + a4b_approx_distinct_audit + the round-5 depth
-#: additions l5f_boilerplate_chunk_strip, l4s_zipf_fit, l2m_semdedup,
-#: l4t_semantic_decontamination, l5g_pipeline_verdict (5) + ALL TEN
-#: round-6 additions l5e2_unigram_logprob_headtail,
-#: l5e3_ccnet_ppl_buckets, l5e4_bigram_interp_logprob,
-#: l2k2_duplicate_span_extents, l2k3_exactsubstr_strip,
-#: l2n_banding_recall_audit, l3m_hybrid_rrf_fusion,
-#: l3o_ivf_recall_audit, l5h_gate_ablation, l4u_corpus_datasheet
-#: (10) = 35, + the first 15 of the never-driver-checked tpch
-#: remainder (q2/q4/q7-q9/q11-q22 = 17 total) = 50; the last 2 tpch,
-#: deferred l3/l3b/l3c, and any later additions roll to ROUND 8.
-#: 20 rounds leave ample rotation room.
+#: FIRST 50 catalog entries only, so the window is rotated each round to
+#: give never-verified operators a driver row. ROUND 7 window (current):
+#: the 50 names in ``_WINDOW_PROMOTE`` below — 50 of the 54 queries that
+#: had never received a driver row through r6 (the r6 verdict corrected
+#: the original r7 plan, which wasted 15 slots re-checking the tpch
+#: remainder: all 22 tpch queries are double-green from r01/r02 and
+#: tpch.py is unchanged since round 2). Composition: the 35 planned
+#: never-checked (llm_mixing 8, pipeline_ops 7, e16-e19, a4b, the five
+#: round-5 depth queries l5f/l4s/l2m/l4t/l5g, the ten round-6 additions
+#: l5e2/l5e3/l5e4/l2k2/l2k3/l2n/l3m/l3o/l5h/l4u) + 15 of the remaining
+#: genuinely unchecked (j10/j6b/j12/j13, dq8, l2o, st29,
+#: s10-s13/s15-s17, o9) = 50 exactly (verified against the r1-r6
+#: CORRECTNESS ledger at rotation time; len(catalog())==297).
+#: ROUND 8 PLAN — the coverage-completion round: the 4 rollovers
+#: (s18_xml_roundtrip, s19_python_sink, s20_parameterized_sql,
+#: l4m2_bpe_proxy_packing) + every query added during round 7.
+#: After round 8 every registered query has a driver row.
+#: STANDING INVARIANT from round 7 on: every NEW query enters the NEXT
+#: round's window — no exceptions; a query never ships un-driver-checked
+#: for more than one round.
+#: History: r6 window = 11 stale-red PROMOTE pins + st14-st28 +
+#: modern_sql + relational_extras (50/50 green, CORRECTNESS_r06).
+#: r5 = llm_similarity remainder + multimodal + graph + data_quality +
+#: udfs + skew + st1-st11/st13. r4 = scalar_functions + llm_text +
+#: llm_curation + llm_dedup + l3/l3b/l3c. r3 = events/aggregations/
+#: windows/setops. r2 = sources/projection/joins/tpch. All green.
 #: Counts drift as queries land: verify against len(catalog()) before
 #: each rotation, then regenerate CATALOG.md (scripts/gen_catalog.py)
 #: and run scripts/dtype_guard.py + a full scripts/drive_driver.py.
@@ -88,6 +84,54 @@ _QUERY_MODULES = (
 #: keep an already-driver-green query from re-occupying a window slot).
 PROMOTE = -1
 DEFER = 10_000
+
+#: ROUND 7 driver window — the central rotation list. Names here sort
+#: before every module (rank PROMOTE), overriding any per-query
+#: ``window_rank``; within the set, order is (module rank, seq), so the
+#: window composition is still a pure function of the source tree.
+#: Edit THIS set (only) when rotating; keep len == 50 == the driver's
+#: correctness-window size. Names must be copied exactly from
+#: ``list(catalog())`` — scripts/check_window.py asserts membership.
+_WINDOW_PROMOTE: frozenset[str] = frozenset({
+    # streaming_queries
+    "st29_streaming_curation_monitor",
+    # llm_similarity
+    "l3m_hybrid_rrf_fusion", "l3o_ivf_recall_audit",
+    # data_quality
+    "dq8_k_anonymity",
+    # llm_text
+    "l5e2_unigram_logprob_headtail", "l5e3_ccnet_ppl_buckets",
+    "l5e4_bigram_interp_logprob", "l5f_boilerplate_chunk_strip",
+    "l4s_zipf_fit",
+    # llm_curation
+    "l4t_semantic_decontamination", "l5g_pipeline_verdict",
+    "l5h_gate_ablation", "l4u_corpus_datasheet",
+    # llm_dedup
+    "l2n_banding_recall_audit", "l2k2_duplicate_span_extents",
+    "l2k3_exactsubstr_strip", "l2m_semdedup", "l2o_similarity_histogram",
+    # events
+    "e16_conversion_attribution", "e17_wow_kpi", "e18_peak_concurrency",
+    "e19_cohort_ltv",
+    # aggregations
+    "a4b_approx_distinct_audit",
+    # sources_queries
+    "s10_orc_roundtrip", "s11_text_source", "s12_binaryfile_source",
+    "s13_schema_evolution", "s15_compaction", "s16_python_datasource",
+    "s17_python_source_pushdown", "o9_file_size_targeting",
+    # joins
+    "j10_null_safe_join", "j6b_binned_range_join",
+    "j12_dynamic_partition_pruning", "j13_lateral_join",
+    # llm_mixing
+    "lm1_temperature_mix", "lm2_mix_epoch_plan", "lm3_reservoir_per_source",
+    "lm4_curriculum_bins", "lm5_incremental_simhash_dedup",
+    "lm6_negative_pair_audit", "lm4b_broadcast_quantile_bins",
+    "lm7_dsir_importance",
+    # pipeline_ops
+    "po1_bloom_prefilter", "po2_observed_quality_gate",
+    "po3_incremental_kpi_rollup", "po4_stratified_hash_sample",
+    "po5_incremental_join_maintenance", "po6_countmin_heavy_hitters",
+    "po7_hll_cardinality",
+})
 
 
 @dataclass(frozen=True)
@@ -190,7 +234,10 @@ def catalog() -> dict[str, Query]:
     def rank(n: str) -> tuple[int, int, int]:
         q = _REGISTRY[n]
         m = mod_rank.get(q.fn.__module__, len(mod_rank))
-        eff = q.window_rank if q.window_rank is not None else m
+        if n in _WINDOW_PROMOTE:  # central rotation list wins
+            eff = PROMOTE
+        else:
+            eff = q.window_rank if q.window_rank is not None else m
         return (eff, m, q.seq)
 
     names = sorted(_REGISTRY, key=rank)

@@ -64,13 +64,22 @@ def canon_frame(df):
 
 
 def main() -> int:
+    # --only name1,name2 restricts the drive to the given queries — the
+    # r6 advisor's process fix: run the cross-engine comparison for NEW
+    # queries in the same commit that lands their oracles, instead of
+    # deferring to the next driver window.
+    only: set[str] | None = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
+
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     import __spark_entry__ as entrymod
 
-    e = entrymod.entry(spark)
-    n = e.count()
-    assert n > 0, "entry() returned 0 rows"
-    print(f"entry(): {n} rows OK")
+    if only is None:
+        e = entrymod.entry(spark)
+        n = e.count()
+        assert n > 0, "entry() returned 0 rows"
+        print(f"entry(): {n} rows OK")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -79,6 +88,10 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        assert not missing, f"--only names not in catalog: {sorted(missing)}"
+        qs = {n: f for n, f in qs.items() if n in only}
     match = mismatch = err = 0
     rows_only = []
     for name, fn in qs.items():

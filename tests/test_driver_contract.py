@@ -68,6 +68,8 @@ SAMPLE_QUERIES = [
     "st29_streaming_curation_monitor",
     "dq8_k_anonymity",
     "l2o_similarity_histogram",
+    # round-7 additions
+    "l5i_fasttext_quality_gate",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",
@@ -163,19 +165,23 @@ def test_catalog_order_is_structural_not_import_order():
         "import sys; sys.path.insert(0, '/root/repo')\n"
         "import big_data_programming_spark.queries.pipeline_ops\n"
         "import big_data_programming_spark.queries.llm_mixing\n"
-        "from big_data_programming_spark.registry import catalog, _QUERY_MODULES\n"
+        "from big_data_programming_spark.registry import"
+        " catalog, _QUERY_MODULES, _WINDOW_PROMOTE\n"
         "cat = catalog()\n"
         "names = list(cat)\n"
-        # PROMOTE pins (r6 stale-red re-window set) sort first:
-        "assert names[0] == 'l5d_gopher_gate', names[:3]\n"
-        "assert names[49] == 'e14_bounce_rate', names[45:50]\n"
-        "assert names[50] == 'l3d_knn_label_vote', names[50:53]\n"
+        # The r7 central rotation set IS the first 50, ordered by module:
+        "assert set(names[:50]) == _WINDOW_PROMOTE, names[:50]\n"
+        "assert names[0] == 'st29_streaming_curation_monitor', names[:3]\n"
+        "assert names[49] == 'po7_hll_cardinality', names[45:50]\n"
+        "assert names[50] == 'st14_checkpoint_recovery', names[50:53]\n"
         # DEFER entries (driver-green in a past window) sort last:
         "assert names[-3:] == ['l3_cosine_topk', 'l3b_bucketed_near_pairs',"
         " 'l3c_label_centroid_sim'], names[-3:]\n"
         "rank = {m: i for i, m in enumerate(_QUERY_MODULES)}\n"
-        "eff = [q.window_rank if q.window_rank is not None else"
-        " rank[q.fn.__module__.rsplit('.', 1)[-1]] for q in cat.values()]\n"
+        "eff = [-1 if n in _WINDOW_PROMOTE else"
+        " (q.window_rank if q.window_rank is not None else"
+        " rank[q.fn.__module__.rsplit('.', 1)[-1]])"
+        " for n, q in cat.items()]\n"
         "assert eff == sorted(eff)\n"
         "print('OK', len(names))\n"
     )

@@ -221,6 +221,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l4t_semantic_decontamination",  # 1-row eval-array broadcast (in-row max-cos scan)
         "l5g_pipeline_verdict",  # 1-row eval-array broadcast (the l4t semantic gate inside)
         "l5h_gate_ablation",  # same 1-row eval-array broadcast (aggregates over l5g)
+        "l5i_fasttext_quality_gate",  # 1-row 256-double model-vector broadcast
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():

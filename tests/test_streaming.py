@@ -191,12 +191,20 @@ def test_streaming_query_listener_reports_progress(spark):
         )
         n_total = sum(r.n for r in out.collect())
     finally:
-        # listener delivery is async; give the bus a moment, then detach
+        # Listener delivery is async: poll for the terminated event with
+        # a bounded deadline instead of one fixed sleep — under full-suite
+        # load a 2 s sleep starved (the suite's only flake, r6 verdict).
         import time
 
-        time.sleep(2)
+        expected = load(spark, SF_DIR, "events").count()
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and not (
+            events["terminated"] >= 1
+            and events["started"] >= 1
+            and events["rows"] >= expected
+        ):
+            time.sleep(0.25)
         spark.streams.removeListener(listener)
-    expected = load(spark, SF_DIR, "events").count()
     assert n_total == expected
     assert events["started"] >= 1
     assert events["terminated"] >= 1
