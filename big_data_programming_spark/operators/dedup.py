@@ -736,6 +736,7 @@ def winnowed_span_extents(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Duplicated-span EXTENTS — the actual removal artifact of Lee et
     al. 2022's ExactSubstr dedup: per document, the merged
@@ -768,7 +769,20 @@ def winnowed_span_extents(
     and the mark join are md5-keyed skew-free shuffles; the merge
     window partitions by doc_id over MARKED positions only (bounded
     by the duplication volume, not corpus tokens). Linear, no suffix
-    array, no all-pairs."""
+    array, no all-pairs.
+
+    Materialization (the semdedup/l5e4 discipline, r6 advisor
+    finding): the selected-fingerprint relation feeds TWO consumers —
+    the duplicated-fingerprint aggregate and the semi-join mark probe
+    — so an unmaterialized run tokenizes and winnows the corpus
+    twice. ``materialize=True`` (the default, and what the registered
+    l2k2/l2k3 queries use) persists it (spill-safe MEMORY_AND_DISK)
+    at exactly the point a production ExactSubstr pipeline writes its
+    fingerprint table out between the select and dedup stages;
+    ``materialize=False`` exposes the raw lineage for plan tests and
+    tiny-input property tests. Same lifetime note as semdedup: no
+    in-function release point (the return is lazy); callers that loop
+    can release via session.release_caches(spark)."""
     from pyspark.sql import Window
 
     n = F.size("toks")
@@ -801,6 +815,10 @@ def winnowed_span_extents(
     ).select(
         id_col, "n_toks", "pos", F.element_at("grams", F.col("pos").cast("int")).alias("h")
     )
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        sel = sel.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         sel.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))

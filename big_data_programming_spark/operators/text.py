@@ -229,3 +229,47 @@ def canonicalize_url(url: Column) -> Column:
     for pat, repl in URL_CANON_RULES:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`canonicalize_url`, generated from the
+    SAME URL_CANON_RULES chain — ONE definition so the l2j and l5j
+    oracles cannot drift from the Spark canonicalizer (the
+    basic_gate_sql lesson). Java's global-by-default regexp_replace
+    maps to DuckDB's 'g' flag on the one rule that can match more
+    than once per URL; $N replacements map to \\N."""
+    out = f"LOWER({expr})"
+    for pat, repl in URL_CANON_RULES:
+        flag = ", 'g'" if pat == r"&utm_[^&]*" else ""
+        sql_repl = repl.replace("$1", r"\1").replace("$3", r"\3")
+        out = f"regexp_replace({out}, '{pat}', '{sql_repl}'{flag})"
+    return out
+
+
+def synthetic_url(doc_id: Column, source: Column) -> Column:
+    """The corpus has no real URLs, so l2j/l5j synthesize four
+    deterministic surface variants of the same logical page per doc
+    (scheme/www/port/fragment/tracking-param noise) — the f9
+    convention. ONE definition shared by both queries."""
+    variant = doc_id % 4
+    page = (doc_id % 100).cast("string")
+    base = F.concat(source, F.lit(".example.com/page/"), page)
+    return (
+        F.when(variant == 0, F.concat(F.lit("https://www."), base, F.lit("/")))
+        .when(variant == 1, F.concat(F.lit("http://"), base,
+                                     F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(variant == 2, F.concat(F.lit("https://"), source,
+                                     F.lit(".example.com:443/page/"), page))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("#section-2")))
+    )
+
+
+def synthetic_url_sql(doc_id: str = "doc_id", source: str = "source") -> str:
+    """DuckDB twin of :func:`synthetic_url`."""
+    page = f"CAST({doc_id} % 100 AS VARCHAR)"
+    return f"""CASE {doc_id} % 4
+           WHEN 0 THEN 'https://www.' || {source} || '.example.com/page/' || {page} || '/'
+           WHEN 1 THEN 'http://' || {source} || '.example.com/page/' || {page} || '?utm_source=feed&utm_medium=rss'
+           WHEN 2 THEN 'https://' || {source} || '.example.com:443/page/' || {page}
+           ELSE 'https://' || {source} || '.example.com/page/' || {page} || '#section-2'
+         END"""

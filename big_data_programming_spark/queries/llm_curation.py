@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from big_data_programming_spark.functions.canonical import COS64_SQL
 from big_data_programming_spark.operators.text import (
+    L5I_WEIGHTS,
     basic_gate_sql,
+    l5i_weights_sql,
+    quality_logit,
+    quality_logit_sql,
     shingle_hashes,
     tokenize,
 )
@@ -645,20 +649,27 @@ def l4t_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: order a production pipeline applies them — cheapest rejection
 #: first), contamination last; `verdict` names the FIRST failing
 #: stage so a threshold change's impact is attributable per stage.
+#: low_quality (the l5i fastText-style classifier, round 7) slots
+#: after the heuristic gates and before the join-bearing
+#: contamination stages — the CCNet/GPT-3 position.
 _VERDICT_STAGES = (
     "exact_dup",
     "bad_length",
     "low_stopword",
+    "low_quality",
     "contaminated_ngram",
     "contaminated_semantic",
 )
 
 
-#: l5g's full oracle (shared with l5h's ablation rollup, which
-#: aggregates over exactly this relation).
-_L5G_ORACLE = f"""
-WITH train AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks
+#: Shared oracle fragments — ONE definition of the train slice, the
+#: per-gate side tables, the six gate flag expressions, and the gate
+#: join set, composed verbatim by the l5g, l5h (via l5g) and l5j
+#: oracles so the three artifacts provably cannot drift (the
+#: basic_gate_sql discipline applied to the whole pipeline).
+_PIPE_CTES = f"""w AS (SELECT {l5i_weights_sql()} AS wv),
+train AS (
+  SELECT doc_id, text, source, string_split(text, ' ') AS toks
   FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
 ), hashes AS (
   SELECT doc_id, md5(text) AS h FROM train
@@ -685,27 +696,33 @@ WITH train AS (
   CROSS JOIN (SELECT vec_id, embedding AS c FROM embeddings
               WHERE vec_id % {_EVAL_MOD} = 0) e
   GROUP BY 1
-), flags AS (
-  SELECT tr.doc_id,
-         tr.doc_id <> f.keeper AS exact_dup,
+)"""
+
+_GATE_FLAGS_SQL = f"""tr.doc_id <> f.keeper AS exact_dup,
          LEN(tr.toks) NOT BETWEEN 20 AND 2000 AS bad_length,
          LEN(list_filter(tr.toks,
              x -> x IN ('the', 'a', 'of', 'and', 'to'))) < 2 AS low_stopword,
+         {quality_logit_sql('tr.toks', 'wv')} <= 0 AS low_quality,
          nh.doc_id IS NOT NULL AS contaminated_ngram,
-         COALESCE(s.mx >= {_SEMDECON_TH}, FALSE) AS contaminated_semantic
-  FROM train tr
+         COALESCE(s.mx >= {_SEMDECON_TH}, FALSE) AS contaminated_semantic"""
+
+_GATE_JOINS_SQL = """FROM train tr
+  CROSS JOIN w
   JOIN hashes h2 ON h2.doc_id = tr.doc_id
   JOIN firsts f ON f.h = h2.h
   LEFT JOIN ngram_hits nh ON nh.doc_id = tr.doc_id
-  LEFT JOIN sem s ON s.doc_id = tr.doc_id
+  LEFT JOIN sem s ON s.doc_id = tr.doc_id"""
+
+#: l5g's full oracle (shared with l5h's ablation rollup, which
+#: aggregates over exactly this relation).
+_L5G_ORACLE = f"""
+WITH {_PIPE_CTES}, flags AS (
+  SELECT tr.doc_id,
+         {_GATE_FLAGS_SQL}
+  {_GATE_JOINS_SQL}
 )
-SELECT doc_id, exact_dup, bad_length, low_stopword, contaminated_ngram,
-       contaminated_semantic,
-       CASE WHEN exact_dup THEN 'exact_dup'
-            WHEN bad_length THEN 'bad_length'
-            WHEN low_stopword THEN 'low_stopword'
-            WHEN contaminated_ngram THEN 'contaminated_ngram'
-            WHEN contaminated_semantic THEN 'contaminated_semantic'
+SELECT doc_id, {", ".join(_VERDICT_STAGES)},
+       CASE {" ".join(f"WHEN {s} THEN '{s}'" for s in _VERDICT_STAGES)}
             ELSE 'keep' END AS verdict
 FROM flags
 """
@@ -721,8 +738,11 @@ def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually emits (the Dolma/RedPajama-style attribute file): every
     training document with one boolean per gate — exact duplicate
     (not the min-id holder of its md5 group), length bounds,
-    stopword floor, 8-token-shingle benchmark contamination (l4i's
-    rule), semantic benchmark contamination (l4t's rule) — and a
+    stopword floor, fastText-style classifier quality (l5i's rule —
+    the CCNet/GPT-3 linear gate, its 1-row model broadcast and
+    in-row dot product riding the same scan), 8-token-shingle
+    benchmark contamination (l4i's rule), semantic benchmark
+    contamination (l4t's rule) — and a
     `verdict` naming the FIRST failing stage in pipeline order, so
     removal counts attribute to the stage that caused them rather
     than only to the final keep rate. Composes the registered gates
@@ -782,11 +802,15 @@ def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ev))
         .select(F.col("vec_id").alias("doc_id"), mx.alias("mx"))
     )
+    wrow = spark.range(1).select(
+        F.array(*[F.lit(x) for x in L5I_WEIGHTS]).alias("wv")
+    )
     flags = (
         train.join(hashes, "doc_id")
         .join(firsts, "h")
         .join(F.broadcast(ngram_hits), "doc_id", "left")
         .join(sem, "doc_id", "left")
+        .crossJoin(F.broadcast(wrow))
         .select(
             "doc_id",
             (F.col("doc_id") != F.col("keeper")).alias("exact_dup"),
@@ -794,6 +818,7 @@ def l5g_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))) < 2
             ).alias("low_stopword"),
+            (quality_logit(F.col("toks"), F.col("wv")) <= 0).alias("low_quality"),
             F.coalesce(F.col("_ng"), F.lit(False)).alias("contaminated_ngram"),
             F.coalesce(F.col("mx") >= _SEMDECON_TH, F.lit(False)).alias(
                 "contaminated_semantic"
@@ -819,9 +844,7 @@ n AS (
          {", ".join(
              f'''CAST(SUM(CAST({g} AS INT)) AS BIGINT) AS fl_{g},
          CAST(SUM(CASE WHEN {g} AND
-               (CAST(exact_dup AS INT) + CAST(bad_length AS INT)
-                + CAST(low_stopword AS INT) + CAST(contaminated_ngram AS INT)
-                + CAST(contaminated_semantic AS INT)) = 1
+               ({" + ".join(f"CAST({s} AS INT)" for s in _VERDICT_STAGES)}) = 1
              THEN 1 ELSE 0 END) AS BIGINT) AS ex_{g},
          CAST(SUM(CASE WHEN verdict = '{g}' THEN 1 ELSE 0 END) AS BIGINT)
            AS fa_{g}''' for g in _VERDICT_STAGES)}
@@ -966,4 +989,276 @@ def l4u_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             8,
         ).alias("keep_rate"),
+    )
+
+
+#: l5j full pipeline order (Dolma/RedPajama stack): URL canonical dedup
+#: -> exact dedup -> heuristic gates -> classifier gate -> fuzzy
+#: (SimHash) dedup -> n-gram decontamination -> semantic
+#: decontamination. A superset of _VERDICT_STAGES: the l5g gates keep
+#: their relative order; url_dup runs first (the cheapest key) and the
+#: near-dup collapse sits between the scan gates and the join-bearing
+#: decontamination stages, where production pipelines put it.
+_L5J_STAGES = (
+    "url_dup",
+    "exact_dup",
+    "bad_length",
+    "low_stopword",
+    "low_quality",
+    "near_dup_simhash",
+    "contaminated_ngram",
+    "contaminated_semantic",
+)
+
+
+def _l5j_oracle() -> str:
+    from big_data_programming_spark.operators.dedup import SIMHASH_ORACLE_SQL
+    from big_data_programming_spark.operators.text import (
+        canonicalize_url_sql,
+        synthetic_url_sql,
+    )
+
+    dim = " UNION ALL ".join(
+        f"SELECT {i + 1} AS ord, '{s}' AS stage"
+        for i, s in enumerate(_L5J_STAGES + ("keep",))
+    )
+    first_fail = " ".join(f"WHEN {s} THEN '{s}'" for s in _L5J_STAGES)
+    return f"""
+WITH {_PIPE_CTES},
+urls AS (
+  SELECT doc_id,
+         {canonicalize_url_sql(synthetic_url_sql())} AS cu
+  FROM train
+), url_keep AS (
+  SELECT cu, MIN(doc_id) AS ukeeper FROM urls GROUP BY 1
+), sig AS (
+  {SIMHASH_ORACLE_SQL.format(maxbit=15)}
+), sig_keep AS (
+  SELECT sg.simhash_bits, MIN(sg.doc_id) AS skeeper
+  FROM sig sg JOIN train t ON t.doc_id = sg.doc_id
+  GROUP BY 1
+), pflags AS (
+  SELECT tr.doc_id,
+         CAST(LEN(tr.toks) AS BIGINT) AS n_tokens,
+         tr.doc_id <> uk.ukeeper AS url_dup,
+         tr.doc_id <> sk.skeeper AS near_dup_simhash,
+         {_GATE_FLAGS_SQL}
+  {_GATE_JOINS_SQL}
+  JOIN urls u ON u.doc_id = tr.doc_id
+  JOIN url_keep uk ON uk.cu = u.cu
+  JOIN sig sg ON sg.doc_id = tr.doc_id
+  JOIN sig_keep sk ON sk.simhash_bits = sg.simhash_bits
+), v AS (
+  SELECT n_tokens, CASE {first_fail} ELSE 'keep' END AS verdict
+  FROM pflags
+), per_v AS (
+  SELECT verdict, CAST(COUNT(*) AS BIGINT) AS rm,
+         CAST(SUM(n_tokens) AS BIGINT) AS rmt
+  FROM v GROUP BY 1
+), dim AS (
+  {dim}
+), j AS (
+  SELECT d.ord, d.stage, COALESCE(p.rm, 0) AS rm, COALESCE(p.rmt, 0) AS rmt
+  FROM dim d LEFT JOIN per_v p ON p.verdict = d.stage
+), fun AS (
+  SELECT ord, stage, rm, rmt,
+         SUM(rm) OVER () AS n_total,
+         SUM(rmt) OVER () AS tok_total,
+         COALESCE(SUM(rm) OVER (ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         SUM(rmt) OVER (ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+  FROM j
+)
+SELECT CAST(ord AS BIGINT) AS stage_ord, stage,
+       CAST(n_total - cb AS BIGINT) AS docs_in,
+       CAST(rm AS BIGINT) AS docs_removed,
+       CAST(n_total - cb - rm AS BIGINT) AS docs_out,
+       CAST(tok_total - ct AS BIGINT) AS tokens_out,
+       ROUND(CAST(rm AS DOUBLE) / (n_total - cb), 6) AS removed_frac
+FROM fun WHERE stage <> 'keep'
+"""
+
+
+@register(
+    "l5j_curation_pipeline",
+    oracle=_l5j_oracle(),
+    tags=("L5", "L1", "L2", "L4", "A1", "W2", "J8"),
+)
+def l5j_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone end-to-end curation run as ONE query: the ordered
+    Dolma/RedPajama stack — URL canonical dedup (l2j's key), exact
+    dedup (l5g's md5 keeper), heuristic gates (length + stopword),
+    fastText-style classifier gate (l5i), SimHash near-dup collapse
+    (l2b/lm5's 16-bit signature, min-doc survivor), 8-shingle
+    benchmark decontamination (l4i), semantic decontamination (l4t) —
+    emitting the per-stage FUNNEL: docs in/removed/out, surviving
+    token mass, and the stage removal fraction. Attribution is
+    first-fail in pipeline order over independently computed
+    attributes — exactly Dolma's architecture (attributes computed
+    per-doc in parallel, the mixer applies rules in order), which is
+    what makes the whole stack one pass per attribute instead of a
+    sequential re-scan per stage. Every rule is the shared fragment
+    of its standalone query (operators/text.py, _PIPE_CTES,
+    _GATE_FLAGS_SQL), so each stage provably equals its deep-dive
+    twin; l5g/l5h remain the per-document and per-gate views of the
+    same semantics.
+
+    Plan shape: per-doc attributes are in-row where the standalone op
+    is in-row (URL canon, gates, classifier — the wv model rides one
+    broadcast row); the three dedup keepers are min-aggregates on
+    hashed keys (16-60 byte shuffles, skew-free); decontamination
+    probes broadcast the benchmark-sized eval sets. The funnel itself
+    is ONE grouped aggregate to <= 9 first-fail rows, unpivoted
+    against a literal stage dimension with unpartitioned windows OVER
+    THOSE 9 ROWS ONLY (w8 discipline). Bounded corpus re-reads: each
+    keeper/probe side consumes its own scan (test_plans pins the
+    FileScan count) — at 100 TB production would persist the
+    attribute relation between stages (the Dolma attribute files);
+    the funnel never re-scans per stage, which is the property that
+    matters at scale."""
+    from big_data_programming_spark.operators.dedup import simhash
+    from big_data_programming_spark.operators.similarity import (
+        as_double_array,
+        collect_vector_array,
+        cosine_similarity_col,
+    )
+    from big_data_programming_spark.operators.text import (
+        STOPWORDS,
+        canonicalize_url,
+        quality_logit,
+        synthetic_url,
+    )
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", "text", "source", tokenize(F.col("text")).alias("toks")
+    )
+    urls = train.select(
+        "doc_id",
+        canonicalize_url(
+            synthetic_url(F.col("doc_id"), F.col("source"))
+        ).alias("cu"),
+    )
+    url_keep = urls.groupBy("cu").agg(F.min("doc_id").alias("ukeeper"))
+    hashes = train.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    firsts = hashes.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    sig = simhash(d, bits=16)
+    sig_keep = (
+        sig.join(train.select("doc_id"), "doc_id")
+        .groupBy("simhash_bits")
+        .agg(F.min("doc_id").alias("skeeper"))
+    )
+    shingles = F.array_distinct(shingle_hashes(F.col("toks"), _DECON_K))
+    ev_sh = (
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select(F.explode(shingles).alias("h"))
+        .distinct()
+    )
+    ngram_hits = (
+        train.select("doc_id", F.explode(shingles).alias("h"))
+        .join(F.broadcast(ev_sh), "h")
+        .select("doc_id")
+        .distinct()
+        .select(F.col("doc_id"), F.lit(True).alias("_ng"))
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    ev = collect_vector_array(emb.filter(F.col("vec_id") % _EVAL_MOD == 0))
+    mx = F.array_max(
+        F.transform(
+            F.col("evals"),
+            lambda e: cosine_similarity_col(F.col("v"), e.getField("c")),
+        )
+    )
+    sem = (
+        emb.filter(F.col("vec_id") % _EVAL_MOD != 0)
+        .crossJoin(F.broadcast(ev))
+        .select(F.col("vec_id").alias("doc_id"), mx.alias("mx"))
+    )
+    wrow = spark.range(1).select(
+        F.array(*[F.lit(x) for x in L5I_WEIGHTS]).alias("wv")
+    )
+    pflags = (
+        train.join(urls, "doc_id")
+        .join(url_keep, "cu")
+        .join(hashes, "doc_id")
+        .join(firsts, "h")
+        .join(sig, "doc_id")
+        .join(sig_keep, "simhash_bits")
+        .join(F.broadcast(ngram_hits), "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .crossJoin(F.broadcast(wrow))
+        .select(
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            (F.col("doc_id") != F.col("ukeeper")).alias("url_dup"),
+            (F.col("doc_id") != F.col("keeper")).alias("exact_dup"),
+            (~F.size("toks").between(20, 2000)).alias("bad_length"),
+            (
+                F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))) < 2
+            ).alias("low_stopword"),
+            (quality_logit(F.col("toks"), F.col("wv")) <= 0).alias("low_quality"),
+            (F.col("doc_id") != F.col("skeeper")).alias("near_dup_simhash"),
+            F.coalesce(F.col("_ng"), F.lit(False)).alias("contaminated_ngram"),
+            F.coalesce(F.col("mx") >= _SEMDECON_TH, F.lit(False)).alias(
+                "contaminated_semantic"
+            ),
+        )
+    )
+    verdict = F.when(F.col(_L5J_STAGES[0]), _L5J_STAGES[0])
+    for stage in _L5J_STAGES[1:]:
+        verdict = verdict.when(F.col(stage), stage)
+    v = pflags.select("n_tokens", verdict.otherwise("keep").alias("verdict"))
+    per_v = v.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rm"),
+        F.sum("n_tokens").cast("bigint").alias("rmt"),
+    )
+    dim = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("ord"), F.lit(s).alias("stage")
+                    )
+                    for i, s in enumerate(_L5J_STAGES + ("keep",))
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.ord").alias("ord"), F.col("s.stage").alias("stage"))
+    j = dim.join(
+        F.broadcast(per_v), dim["stage"] == per_v["verdict"], "left"
+    ).select(
+        "ord",
+        "stage",
+        F.coalesce("rm", F.lit(0)).alias("rm"),
+        F.coalesce("rmt", F.lit(0)).alias("rmt"),
+    )
+    wall = Window.partitionBy()
+    cb_w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, -1)
+    ct_w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    fun = j.select(
+        "ord",
+        "stage",
+        "rm",
+        "rmt",
+        F.sum("rm").over(wall).alias("n_total"),
+        F.sum("rmt").over(wall).alias("tok_total"),
+        F.coalesce(F.sum("rm").over(cb_w), F.lit(0)).alias("cb"),
+        F.sum("rmt").over(ct_w).alias("ct"),
+    )
+    return fun.filter(F.col("stage") != "keep").select(
+        F.col("ord").cast("bigint").alias("stage_ord"),
+        "stage",
+        (F.col("n_total") - F.col("cb")).cast("bigint").alias("docs_in"),
+        F.col("rm").cast("bigint").alias("docs_removed"),
+        (F.col("n_total") - F.col("cb") - F.col("rm"))
+        .cast("bigint")
+        .alias("docs_out"),
+        (F.col("tok_total") - F.col("ct")).cast("bigint").alias("tokens_out"),
+        F.round(
+            F.col("rm").cast("double") / (F.col("n_total") - F.col("cb")), 6
+        ).alias("removed_frac"),
     )

@@ -34,6 +34,10 @@ from big_data_programming_spark.operators.dedup import (
 )
 from big_data_programming_spark.functions.canonical import COS64_SQL
 from big_data_programming_spark.operators.similarity import semdedup
+from big_data_programming_spark.operators.text import (
+    canonicalize_url_sql,
+    synthetic_url_sql,
+)
 from big_data_programming_spark.registry import PROMOTE, register
 from big_data_programming_spark.sources.loaders import load
 
@@ -333,33 +337,12 @@ def l2h_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l2j_url_canonical_dedup",
-    oracle="""
+    oracle=f"""
 WITH raw AS (
-  SELECT doc_id,
-         CASE doc_id % 4
-           WHEN 0 THEN 'https://www.' || source || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '/'
-           WHEN 1 THEN 'http://' || source || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'
-           WHEN 2 THEN 'https://' || source || '.example.com:443/page/' || CAST(doc_id % 100 AS VARCHAR)
-           ELSE 'https://' || source || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '#section-2'
-         END AS url
+  SELECT doc_id, {synthetic_url_sql()} AS url
   FROM documents
 ), canon AS (
-  SELECT doc_id,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(LOWER(url), '^https?://', ''),
-                       '^(www\\.)+', ''),
-                     '#.*$', ''),
-                   '&utm_[^&]*', '', 'g'),
-                 '\\?utm_[^&]*&', '?'),
-               '\\?utm_[^&]*$', ''),
-             '^([^/:]+):(443|80)([/?]|$)', '\\1\\3'),
-           '[/?]+$', '') AS canonical_url
+  SELECT doc_id, {canonicalize_url_sql("url")} AS canonical_url
   FROM raw
 )
 SELECT canonical_url,
@@ -385,17 +368,12 @@ def l2j_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization URL dedup IS exact dedup. At 100 TB the canonical
     key (~60 bytes) is what shuffles, never the page payload."""
     d = load(spark, sf_dir, "documents")
-    variant = F.col("doc_id") % 4
-    page = (F.col("doc_id") % 100).cast("string")
-    base = F.concat(F.col("source"), F.lit(".example.com/page/"), page)
-    url = (
-        F.when(variant == 0, F.concat(F.lit("https://www."), base, F.lit("/")))
-        .when(variant == 1, F.concat(F.lit("http://"), base, F.lit("?utm_source=feed&utm_medium=rss")))
-        .when(variant == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com:443/page/"), page))
-        .otherwise(F.concat(F.lit("https://"), base, F.lit("#section-2")))
+    from big_data_programming_spark.operators.text import (
+        canonicalize_url,
+        synthetic_url,
     )
-    from big_data_programming_spark.operators.text import canonicalize_url
 
+    url = synthetic_url(F.col("doc_id"), F.col("source"))
     return (
         d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
         .groupBy("canonical_url")

@@ -69,3 +69,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Release every DataFrame cache in the session (the r6 advisor's
+    unpersist hook): the materialize=True operators (semdedup's
+    assignment table, l5e4's bigram stream, winnowed_span_extents'
+    fingerprint table) persist at their documented pipeline write-out
+    points and deliberately have NO in-function release — the return
+    is lazy, so an eager unpersist would recompute the very lineage
+    the persist avoids. A long-lived session that loops over such
+    queries (repeated bench reps, a REPL) calls this between
+    iterations once each result is consumed; one-shot driver runs
+    never need it."""
+    spark.catalog.clearCache()

@@ -70,6 +70,7 @@ SAMPLE_QUERIES = [
     "l2o_similarity_histogram",
     # round-7 additions
     "l5i_fasttext_quality_gate",
+    "l5j_curation_pipeline",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",

@@ -908,6 +908,7 @@ def test_pipeline_verdict_attribution(spark):
         "exact_dup",
         "bad_length",
         "low_stopword",
+        "low_quality",
         "contaminated_ngram",
         "contaminated_semantic",
     )
@@ -1044,3 +1045,55 @@ def test_rrf_fusion_consistent_with_legs(spark):
         rd, rs, s = want[g["doc_id"]]
         assert (g["dense_rank"], g["sparse_rank"]) == (rd, rs), g
         assert abs(g["rrf_score"] - s) < 1e-12, g
+
+
+# ---------- End-to-end curation pipeline (l5j) ----------
+
+
+def test_curation_funnel_invariants(spark):
+    """l5j: the funnel must be internally consistent — 8 stages in
+    pipeline order, docs_in of stage 1 equals the train-slice size,
+    each stage's docs_out = docs_in - docs_removed = next stage's
+    docs_in, token mass is non-increasing, and the released docs_out
+    equals the number of documents no stage flags (recomputed from
+    the per-doc l5g verdict superset: every l5g-flagged doc is also
+    removed by l5j, since l5j's stages are a superset with identical
+    shared-fragment rules)."""
+    from big_data_programming_spark.registry import queries
+
+    rows = sorted(
+        queries()["l5j_curation_pipeline"](spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r["stage_ord"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "url_dup",
+        "exact_dup",
+        "bad_length",
+        "low_stopword",
+        "low_quality",
+        "near_dup_simhash",
+        "contaminated_ngram",
+        "contaminated_semantic",
+    ]
+    n_train = (
+        load(spark, SMOKE_SF_DIR, "documents")
+        .filter(F.col("doc_id") % 13 != 0)
+        .count()
+    )
+    assert rows[0]["docs_in"] == n_train
+    prev_out, prev_tok = None, None
+    for r in rows:
+        assert r["docs_out"] == r["docs_in"] - r["docs_removed"], r
+        if prev_out is not None:
+            assert r["docs_in"] == prev_out, r
+            assert r["tokens_out"] <= prev_tok, r
+        prev_out, prev_tok = r["docs_out"], r["tokens_out"]
+    # the l5g verdict is a 6-stage subset of l5j's 8 rules, so docs it
+    # flags are necessarily removed: released <= l5g keeps.
+    l5g_keeps = sum(
+        1
+        for v in queries()["l5g_pipeline_verdict"](spark, SMOKE_SF_DIR).collect()
+        if v["verdict"] == "keep"
+    )
+    assert rows[-1]["docs_out"] <= l5g_keeps
+    assert rows[-1]["docs_out"] >= 1  # the fixture releases something

@@ -222,6 +222,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l5g_pipeline_verdict",  # 1-row eval-array broadcast (the l4t semantic gate inside)
         "l5h_gate_ablation",  # same 1-row eval-array broadcast (aggregates over l5g)
         "l5i_fasttext_quality_gate",  # 1-row 256-double model-vector broadcast
+        "l5j_curation_pipeline",  # 1-row model-vector + 1-row eval-array broadcasts
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
@@ -836,3 +837,56 @@ def test_curation_flag_joins_broadcast():
         plan = plan_of(catalog()[name].fn(spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_l5i_model_broadcast_in_row():
+    """l5i (round 7): the 256-double model vector attaches as ONE
+    broadcast row and the whole gate is a pure map — exactly one
+    documents scan, no shuffle exchange anywhere (the scoring never
+    leaves the scan stage), and the only join is the broadcast model
+    attach."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(catalog()["l5i_fasttext_quality_gate"].fn(spark, SF_DIR))
+    assert len(re.findall(r"FileScan parquet[^\n]*documents", plan)) == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_l5j_pipeline_bounded_scans():
+    """l5j (round 7 capstone): per-stage attributes are computed
+    independently (Dolma architecture), so corpus re-reads are BOUNDED
+    — one scan per keeper/probe side, never compounding per stage
+    (<= 10 documents scans for 8 stages, 2 embeddings scans), and the
+    funnel assembly adds no corpus pass at all: its unpartitioned
+    windows run over the 9-row stage dimension only. No cartesian
+    products; the only BNLJs are the two 1-row attaches (model vector,
+    eval embedding array)."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(catalog()["l5j_curation_pipeline"].fn(spark, SF_DIR))
+    docs = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    embs = len(re.findall(r"FileScan parquet[^\n]*embeddings", plan))
+    assert docs <= 10, (docs, plan)
+    assert embs <= 2, (embs, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+
+
+def test_winnow_fingerprints_materialized_once():
+    """l2k2 (r6 advisor finding): the selected-fingerprint relation
+    feeds two consumers (dup aggregate + semi-join mark probe), so it
+    must be persisted — the plan shows InMemoryTableScans instead of
+    two re-expanded tokenize+winnow lineages. Same discipline and
+    same test shape as l2m/l5e4."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(catalog()["l2k2_duplicate_span_extents"].fn(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan
