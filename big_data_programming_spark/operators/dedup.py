@@ -292,20 +292,20 @@ def _minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_band_candidates(
+def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 24,
-    rows_per_band: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The CANDIDATE stage of :func:`minhash_banded_pairs`, exposed so
-    the banding itself is auditable (l2n measures its recall against
-    exact-Jaccard ground truth): distinct ``(doc_a, doc_b)`` pairs
-    agreeing on all slots of >= 1 LSH band — before any exact
-    verification. Twin of :func:`minhash_band_candidates_sql`."""
+    """The MinHash SIGNATURE relation ``(doc, sig: array<long>)`` —
+    computed IN-ROW (distinct tokens -> 28-bit md5 base hashes -> k
+    universal-hash minima, one array-HOF chain in whole-stage
+    codegen). Exposed as its own stage because the signature table IS
+    the persistence artifact of an incremental dedup pipeline (lm8):
+    k longs per doc, never the text. Twin of the ``sigs`` CTE in
+    :func:`minhash_signatures_sql`."""
     consts = _minhash_constants(num_hashes)
-    n_bands = num_hashes // rows_per_band
     toks_arr = F.array_distinct(tokenize(F.col(text_col)))
     base = docs.select(F.col(id_col).alias("doc"), toks_arr.alias("ts")).filter(
         F.size("ts") > 0
@@ -325,7 +325,7 @@ def minhash_band_candidates(
         # signature, so the constants must be captured, not defaulted
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_PRIME)
 
-    sig = hv.select(
+    return hv.select(
         "doc",
         F.array(
             *[
@@ -334,7 +334,17 @@ def minhash_band_candidates(
             ]
         ).alias("sig"),
     )
-    bands = sig.select(
+
+
+def minhash_bands(
+    sig: DataFrame, num_hashes: int = 24, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding of a signature relation: ``(doc, band, key)`` rows,
+    one per band, key = the band's signature slots joined as a string.
+    Exposed separately so the incremental path (lm8) can band the
+    history and the new batch independently of candidate generation."""
+    n_bands = num_hashes // rows_per_band
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -356,6 +366,24 @@ def minhash_band_candidates(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    num_hashes: int = 24,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CANDIDATE stage of :func:`minhash_banded_pairs`, exposed so
+    the banding itself is auditable (l2n measures its recall against
+    exact-Jaccard ground truth): distinct ``(doc_a, doc_b)`` pairs
+    agreeing on all slots of >= 1 LSH band — before any exact
+    verification. Twin of :func:`minhash_band_candidates_sql`."""
+    sig = minhash_signatures(
+        docs, num_hashes=num_hashes, text_col=text_col, id_col=id_col
+    )
+    bands = minhash_bands(sig, num_hashes=num_hashes, rows_per_band=rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -430,23 +458,17 @@ def minhash_banded_pairs(
     )
 
 
-def minhash_band_candidates_sql(
-    num_hashes: int = 24, rows_per_band: int = 2
-) -> str:
-    """DuckDB twin of :func:`minhash_band_candidates` — the candidate
-    CTE of the banded oracle, exposed for l2n's recall audit."""
+def minhash_signatures_sql(num_hashes: int = 24) -> str:
+    """DuckDB twin of :func:`minhash_signatures` — the base/hv/sigs
+    CTE fragment (``sigs`` ends the chain with columns (doc, sig)),
+    exposed so lm8's incremental oracle composes the identical
+    signature arithmetic."""
     consts = _minhash_constants(num_hashes)
-    n_bands = num_hashes // rows_per_band
     sig_items = ",\n           ".join(
         f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MINHASH_PRIME}))"
         for (a, b) in consts
     )
-    key_expr = " || '-' || ".join(
-        f"CAST(sig[j * {rows_per_band} + {i + 1}] AS VARCHAR)"
-        for i in range(rows_per_band)
-    )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id AS doc, list_distinct(string_split(text, ' ')) AS ts
   FROM documents
 ), hv AS (
@@ -457,8 +479,28 @@ WITH base AS (
   SELECT doc,
          [{sig_items}] AS sig
   FROM hv
-), bands AS (
-  SELECT doc, g.j AS band, {key_expr} AS key
+)"""
+
+
+def minhash_band_key_sql(rows_per_band: int = 2) -> str:
+    """DuckDB spelling of one band's key over ``sig`` with band index
+    ``j`` in scope — twin of the key construction in
+    :func:`minhash_bands`."""
+    return " || '-' || ".join(
+        f"CAST(sig[j * {rows_per_band} + {i + 1}] AS VARCHAR)"
+        for i in range(rows_per_band)
+    )
+
+
+def minhash_band_candidates_sql(
+    num_hashes: int = 24, rows_per_band: int = 2
+) -> str:
+    """DuckDB twin of :func:`minhash_band_candidates` — the candidate
+    CTE of the banded oracle, exposed for l2n's recall audit."""
+    n_bands = num_hashes // rows_per_band
+    return f"""
+WITH {minhash_signatures_sql(num_hashes)}, bands AS (
+  SELECT doc, g.j AS band, {minhash_band_key_sql(rows_per_band)} AS key
   FROM sigs, (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
 )
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b

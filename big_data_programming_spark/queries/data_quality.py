@@ -641,3 +641,136 @@ def dq8_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exposed.cast("double") / F.sum("n"), 8).alias("exposed_frac"),
         F.sum("n").alias("n_docs"),
     )
+
+
+#: dq9 conventions: the l4t semantic-contamination rule (max cosine
+#: vs the eval slice >= 0.35, the fixture's separation point), the
+#: % 13 eval-slice convention, and a synthesized 7-day ingest cycle
+#: (vec_id % 7 — the corpus carries no ingest timestamps; the l2j
+#: synthetic-surface convention applied to time). Drift = the day's
+#: contamination rate deviating from the corpus rate by > 5 pp,
+#: decided in EXACT integer cross-multiplication (the dq5 discipline).
+_DQ9_EVAL_MOD = 13
+_DQ9_DAYS = 7
+_DQ9_TH = 0.35
+
+
+def _dq9_oracle() -> str:
+    from big_data_programming_spark.functions.canonical import COS64_SQL
+
+    return f"""
+WITH sem AS (
+  SELECT t.vec_id, MAX({COS64_SQL.format(a='t.embedding', b='e.c')}) AS mx
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {_DQ9_EVAL_MOD} <> 0) t
+  CROSS JOIN (SELECT vec_id, embedding AS c FROM embeddings
+              WHERE vec_id % {_DQ9_EVAL_MOD} = 0) e
+  GROUP BY 1
+), daily AS (
+  SELECT vec_id % {_DQ9_DAYS} AS ingest_day,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN mx >= {_DQ9_TH} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM sem GROUP BY 1
+), tot AS (
+  SELECT ingest_day, n_docs, n_contaminated,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS n_all,
+         CAST(SUM(n_contaminated) OVER () AS BIGINT) AS nc_all
+  FROM daily
+)
+SELECT CAST(ingest_day AS BIGINT) AS ingest_day, n_docs, n_contaminated,
+       CAST(n_contaminated AS DOUBLE) / n_docs AS contam_rate,
+       CAST(nc_all AS DOUBLE) / n_all AS corpus_rate,
+       CAST(CAST(CAST(n_contaminated AS HUGEINT) * n_all
+                 - CAST(nc_all AS HUGEINT) * n_docs AS VARCHAR) AS DOUBLE)
+         / (1.0 * n_docs * n_all) AS rate_dev,
+       ABS(CAST(n_contaminated AS HUGEINT) * n_all
+           - CAST(nc_all AS HUGEINT) * n_docs) * 20
+         > CAST(n_docs AS HUGEINT) * n_all AS is_drifted
+FROM tot
+"""
+
+
+@register(
+    "dq9_contamination_drift",
+    oracle=_dq9_oracle(),
+    tags=("L4", "A1", "W4", "F3"),
+)
+def dq9_contamination_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-day contamination drift monitor — dq5's drift shape
+    applied to the l4t semantic-decontamination flag: a curation
+    pipeline's benchmark-leak rate should be stationary across ingest
+    batches, so a day whose rate deviates from the corpus rate by
+    more than 5 pp is the alarm that an upstream source started
+    shipping eval-adjacent content (the fixture's synthesized day 4
+    sits at ~18.5% vs the ~8.5% corpus rate and trips it; the other
+    six days do not — non-degenerate both ways). The flag is l4t's
+    rule verbatim (max cosine vs the broadcast eval slice >= 0.35);
+    the ingest day is synthesized as vec_id % 7 (documented — the
+    corpus has no ingest timestamps).
+
+    Plan shape: ONE corpus pass computes each vector's max-cos against
+    the 1-row broadcast eval array in-row (the l4t shape — no
+    |train| x |eval| row blowup), one grouped aggregate reduces to
+    {_DQ9_DAYS} day rows, and corpus totals ride unpartitioned windows
+    OVER THOSE ROWS ONLY (w8 discipline). The drift verdict is exact
+    integer cross-multiplication widened to DECIMAL(38,0)/HUGEINT
+    (|n_cd * N - nc_all * n_day| * 20 > n_day * N <=> |dev| > 5 pp) —
+    the dq5 discipline, hash-exact at any partition count and immune
+    to int64 overflow at planetary batch sizes."""
+    from big_data_programming_spark.operators.similarity import (
+        as_double_array,
+        collect_vector_array,
+        cosine_similarity_col,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    ev = collect_vector_array(emb.filter(F.col("vec_id") % _DQ9_EVAL_MOD == 0))
+    mx = F.array_max(
+        F.transform(
+            F.col("evals"),
+            lambda e: cosine_similarity_col(F.col("v"), e.getField("c")),
+        )
+    )
+    daily = (
+        emb.filter(F.col("vec_id") % _DQ9_EVAL_MOD != 0)
+        .crossJoin(F.broadcast(ev))
+        .select((F.col("vec_id") % _DQ9_DAYS).alias("ingest_day"), mx.alias("mx"))
+        .groupBy("ingest_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("mx") >= _DQ9_TH, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+    wall = Window.partitionBy()
+    tot = daily.select(
+        "ingest_day",
+        "n_docs",
+        "n_contaminated",
+        F.sum("n_docs").over(wall).cast("bigint").alias("n_all"),
+        F.sum("n_contaminated").over(wall).cast("bigint").alias("nc_all"),
+    )
+    dev = F.col("n_contaminated").cast(DEC) * F.col("n_all") - F.col(
+        "nc_all"
+    ).cast(DEC) * F.col("n_docs")
+    return tot.select(
+        F.col("ingest_day").cast("bigint").alias("ingest_day"),
+        "n_docs",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_docs")).alias(
+            "contam_rate"
+        ),
+        (F.col("nc_all").cast("double") / F.col("n_all")).alias("corpus_rate"),
+        (
+            dev.cast("double")
+            / (F.lit(1.0) * F.col("n_docs") * F.col("n_all"))
+        ).alias("rate_dev"),
+        (
+            F.abs(dev) * 20
+            > F.col("n_docs").cast(DEC) * F.col("n_all")
+        ).alias("is_drifted"),
+    )

@@ -640,3 +640,134 @@ def lm7_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("dsir_logw"),
         (mean > 0).alias("resembles_target"),
     )
+
+
+#: lm8 incremental-MinHash geometry: the lm5 history/new-batch split
+#: (doc_id % 10 = 9 plays the arrivals), l2i's 24-hash / 2-rows-per-
+#: band signatures, and a >= 12-of-24 matching-component acceptance
+#: (estimated Jaccard >= 0.5 — the l2n-audited operating point).
+_LM8_K = 24
+_LM8_R = 2
+_LM8_MIN_MATCH = 12
+
+
+def _lm8_oracle() -> str:
+    from big_data_programming_spark.operators.dedup import (
+        minhash_band_key_sql,
+        minhash_signatures_sql,
+    )
+
+    n_bands = _LM8_K // _LM8_R
+    return f"""
+WITH {minhash_signatures_sql(_LM8_K)},
+hist AS (SELECT * FROM sigs WHERE doc % 10 <> 9),
+new AS (SELECT * FROM sigs WHERE doc % 10 = 9),
+hb AS (
+  SELECT doc, g.j AS band, {minhash_band_key_sql(_LM8_R)} AS key
+  FROM hist, (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), nb AS (
+  SELECT doc, g.j AS band, {minhash_band_key_sql(_LM8_R)} AS key
+  FROM new, (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), cand AS (
+  SELECT DISTINCT nb.doc AS new_doc, hb.doc AS hist_doc
+  FROM nb JOIN hb ON nb.band = hb.band AND nb.key = hb.key
+), scored AS (
+  SELECT c.new_doc, c.hist_doc,
+         list_sum(list_transform(generate_series(1, {_LM8_K}),
+           i -> CASE WHEN ns.sig[i] = hs.sig[i] THEN 1 ELSE 0 END)) AS m
+  FROM cand c
+  JOIN new ns ON ns.doc = c.new_doc
+  JOIN hist hs ON hs.doc = c.hist_doc
+)
+SELECT new_doc AS new_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+       CAST(MAX(m) AS BIGINT) AS best_matching,
+       ROUND(CAST(MAX(m) AS DOUBLE) / {_LM8_K}, 6) AS best_est_jaccard,
+       ARG_MIN(hist_doc, ({_LM8_K} - m) * 1000000 + hist_doc) AS dup_of
+FROM scored
+WHERE m >= {_LM8_MIN_MATCH}
+GROUP BY 1
+"""
+
+
+@register(
+    "lm8_incremental_minhash_dedup",
+    oracle=_lm8_oracle(),
+    tags=("L2", "L1", "J1", "F10"),
+)
+def lm8_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen for the BANDED family — lm5's
+    SimHash tier rebuilt on MinHash signatures, completing the
+    incremental story for both fuzzy-dedup families: the persisted
+    history is the l2i signature table ((doc, 24 longs) — never the
+    text, which an incremental pipeline no longer has for old docs),
+    the NEW batch (doc_id % 10 = 9 plays the arrivals) is signed and
+    banded identically, band equi-joins generate candidates against
+    history only, and acceptance is the SIGNATURE-level Jaccard
+    estimate: matching components / 24 >= 0.5 (>= 12 of 24) — the
+    estimator whose banding operating point l2n audits (97%
+    theoretical recall at J = 0.5; measured 99.6%). Per new doc:
+    candidate count, best estimate, and the best (highest-match,
+    id-tiebroken) historical match. l1c is the exact tier, lm5 the
+    SimHash tier; this is the MinHash tier.
+
+    Plan shape: signatures are in-row array-HOF chains
+    (operators/dedup.py:minhash_signatures — the SAME stage the batch
+    l2i pipeline runs, so history and arrivals provably share
+    arithmetic); the band join shuffles only (doc, band_key) rows of
+    the NEW batch against band-bucketed history; the match count is
+    an in-row zip-compare of two 24-long arrays per CANDIDATE (no
+    token re-read — the text never participates). At 100 TB the
+    history side is 192 bytes/doc and the incremental cost is bounded
+    by the arrival batch times its candidate fan-out, exactly why
+    production web dedup persists signatures, not shingles.
+    Determinism: integer match counts, ROUND only at the reported
+    estimate; ARG_MIN key is exact integer arithmetic."""
+    from big_data_programming_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=_LM8_K)
+    hist = sig.filter(F.col("doc") % 10 != 9)
+    new = sig.filter(F.col("doc") % 10 == 9)
+    hb = minhash_bands(hist, num_hashes=_LM8_K, rows_per_band=_LM8_R).select(
+        F.col("doc").alias("hist_doc"), "band", "key"
+    )
+    nb = minhash_bands(new, num_hashes=_LM8_K, rows_per_band=_LM8_R).select(
+        F.col("doc").alias("new_doc"), "band", "key"
+    )
+    cand = nb.join(hb, ["band", "key"]).select("new_doc", "hist_doc").distinct()
+    ns = new.select(F.col("doc").alias("new_doc"), F.col("sig").alias("sig_n"))
+    hs = hist.select(F.col("doc").alias("hist_doc"), F.col("sig").alias("sig_h"))
+    m = F.aggregate(
+        F.zip_with(
+            F.col("sig_n"),
+            F.col("sig_h"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(ns, "new_doc")
+        .join(hs, "hist_doc")
+        .select("new_doc", "hist_doc", m.alias("m"))
+    )
+    return (
+        scored.filter(F.col("m") >= _LM8_MIN_MATCH)
+        .groupBy(F.col("new_doc").alias("new_doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
+            F.max("m").cast("bigint").alias("best_matching"),
+            F.round(F.max("m").cast("double") / _LM8_K, 6).alias(
+                "best_est_jaccard"
+            ),
+            F.min_by(
+                "hist_doc",
+                (F.lit(_LM8_K) - F.col("m")).cast("long") * 1_000_000
+                + F.col("hist_doc"),
+            ).alias("dup_of"),
+        )
+    )

@@ -1427,3 +1427,243 @@ def l5i_fasttext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_score"),
         (F.col("quality_logit") > 0).alias("keep_quality"),
     )
+
+
+#: Stupid-backoff weight (Brants et al. 2007, "Large Language Models
+#: in Machine Translation" §4): S(w3|w1 w2) = c(w1w2w3)/c(w1w2) if the
+#: trigram was seen in training, else ALPHA * c(w2w3)/c(w2), else
+#: ALPHA^2 * c(w3)/N. Scores are deliberately NOT normalized (the
+#: paper's point: ratios of raw counts need no discount tables), which
+#: is exactly what keeps every branch oracle-exact. ALPHA2 is written
+#: as one literal so both engines multiply by the identical double.
+_L5E5_ALPHA = 0.4
+_L5E5_ALPHA2 = 0.16
+
+
+@register(
+    "l5e5_trigram_backoff_logprob",
+    oracle=f"""
+WITH train AS (
+  SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 13 <> 0
+), ev AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 13 = 0
+), tri_ev AS (
+  SELECT doc_id,
+         concat(toks[u.i], ' ', toks[u.i + 1], ' ', toks[u.i + 2]) AS tg,
+         concat(toks[u.i], ' ', toks[u.i + 1]) AS big12,
+         concat(toks[u.i + 1], ' ', toks[u.i + 2]) AS big23,
+         toks[u.i + 1] AS w2, toks[u.i + 2] AS w3
+  FROM ev, UNNEST(generate_series(1, LEN(toks) - 2)) AS u(i)
+  WHERE LEN(toks) >= 3
+), tri_m AS (
+  SELECT concat(toks[u.i], ' ', toks[u.i + 1], ' ', toks[u.i + 2]) AS tg,
+         COUNT(*) AS c3
+  FROM train, UNNEST(generate_series(1, LEN(toks) - 2)) AS u(i)
+  WHERE LEN(toks) >= 3 GROUP BY 1
+), bg_m AS (
+  SELECT concat(toks[u.i], ' ', toks[u.i + 1]) AS bgk, COUNT(*) AS c2
+  FROM train, UNNEST(generate_series(1, LEN(toks) - 1)) AS u(i)
+  WHERE LEN(toks) >= 2 GROUP BY 1
+), uni_m AS (
+  SELECT u.w, COUNT(*) AS c1 FROM (SELECT UNNEST(toks) AS w FROM train) u GROUP BY 1
+), tot AS (
+  SELECT SUM(c1) AS n FROM uni_m
+), scored AS (
+  SELECT e.doc_id,
+         t3.c3 IS NOT NULL AS hit3,
+         t3.c3 IS NULL AND b23.c2 IS NOT NULL AS hit2,
+         CAST(ROUND(-LN(
+           CASE
+             WHEN t3.c3 IS NOT NULL
+               THEN CAST(t3.c3 AS DOUBLE) / CAST(b12.c2 AS DOUBLE)
+             WHEN b23.c2 IS NOT NULL
+               THEN {_L5E5_ALPHA} * (CAST(b23.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+             ELSE {_L5E5_ALPHA2}
+               * (CAST(GREATEST(COALESCE(u3.c1, 0), 1) AS DOUBLE) / CAST(n AS DOUBLE))
+           END), 8) AS DECIMAL(38,10)) AS nll
+  FROM tri_ev e
+  LEFT JOIN tri_m t3 ON t3.tg = e.tg
+  LEFT JOIN bg_m b12 ON b12.bgk = e.big12
+  LEFT JOIN bg_m b23 ON b23.bgk = e.big23
+  LEFT JOIN uni_m u2 ON u2.w = e.w2
+  LEFT JOIN uni_m u3 ON u3.w = e.w3
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams,
+         CAST(SUM(CASE WHEN hit3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+         CAST(SUM(CASE WHEN hit2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff2,
+         CAST(SUM(CASE WHEN NOT hit3 AND NOT hit2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_backoff1,
+         SUM(nll) AS s
+  FROM scored GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_trigrams AS BIGINT) AS n_trigrams,
+       n_hit3, n_backoff2, n_backoff1,
+       ROUND(CAST(s AS DOUBLE) / n_trigrams, 6) AS avg_nll,
+       ROUND(EXP(ROUND(CAST(s AS DOUBLE) / n_trigrams, 6)), 4) AS ppl_proxy
+FROM agg
+""",
+    tags=("L5", "L4", "A1", "J8"),
+)
+def l5e5_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff (Brants et al. 2007) — the next
+    rung of the l5e -> l5e4 modeling ladder, and the first HELD-OUT
+    scoring in the family: the model trains on the train slice
+    (doc_id % 13 != 0) and scores the eval slice, the topology of a
+    real CCNet-style filter (a Wikipedia-trained model scoring crawl
+    documents). Self-scoring would never leave the trigram branch;
+    held-out scoring exercises the backoff ladder for real (fixture:
+    1029 trigram hits, 728 bigram backoffs, 0 unigram backoffs at
+    sf0.01 — the per-branch counts are output columns so the mix is
+    auditable). Unseen w3 falls to the documented OOV floor
+    GREATEST(c,1)/N; the fixture's closed 31-token vocabulary never
+    triggers it.
+
+    Plan shape — the model-join ladder at its widest: three model
+    tables bounded by |V|^3 / |V|^2 / |V| regardless of corpus size
+    (the reason n-gram LMs scale: Brants built 5-gram models over
+    2 trillion tokens this way), joined back onto the in-row-formed
+    eval trigram stream; the 1-row total broadcasts. The bigram and
+    unigram models are each probed TWICE (context key + backoff key),
+    so both are persisted (MEMORY_AND_DISK) — without the persist each
+    second probe would re-tokenize the train corpus (the l5e4/l2m
+    lesson); with it the train corpus is expanded exactly three times
+    (once per model order — deriving lower orders from the trigram
+    stream would miss the n-grams at document edges, KenLM's
+    adjusted-count subtlety, so the three expansions are the honest
+    minimum) and the eval slice once. Token-keyed model joins carry
+    the Zipf hot-key exposure; the l5e2 broadcast-head/shuffle-tail
+    lever applies verbatim at 100 TB. Determinism: the l5e canon —
+    per-trigram nll rounded 8dp (every branch a fixed-order IEEE
+    expression over exact counts), DECIMAL sum, mean rounded 6dp."""
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+
+    def toks_of(pred):
+        return d.filter(pred).select(
+            "doc_id", tokenize(F.col("text")).alias("toks")
+        )
+
+    train = toks_of(F.col("doc_id") % 13 != 0)
+    ev = toks_of(F.col("doc_id") % 13 == 0)
+    n = F.size("toks")
+
+    def ngrams(df, order):
+        width = order - 1
+        parts = lambda i: [  # noqa: E731
+            F.element_at("toks", (i + j).cast("int")) for j in range(order)
+        ]
+        return (
+            df.filter(n >= order)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), n - width),
+                        lambda i: F.concat_ws(" ", *parts(i)),
+                    )
+                ).alias("g"),
+            )
+        )
+
+    tri_m = ngrams(train, 3).groupBy(F.col("g").alias("tg")).agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bg_m = (
+        ngrams(train, 2)
+        .groupBy(F.col("g").alias("bgk"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni_m = (
+        ngrams(train, 1)
+        .groupBy(F.col("g").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = uni_m.agg(F.sum("c1").alias("ntot"))
+    tri_ev = (
+        ev.filter(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.struct(
+                        F.element_at("toks", i.cast("int")).alias("w1"),
+                        F.element_at("toks", (i + 1).cast("int")).alias("w2"),
+                        F.element_at("toks", (i + 2).cast("int")).alias("w3"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "p.w1", "p.w2", "p.w3").alias("tg"),
+            F.concat_ws(" ", "p.w1", "p.w2").alias("big12"),
+            F.concat_ws(" ", "p.w2", "p.w3").alias("big23"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w3").alias("w3"),
+        )
+    )
+    b12 = bg_m.select(F.col("bgk").alias("k12"), F.col("c2").alias("c2_12"))
+    b23 = bg_m.select(F.col("bgk").alias("k23"), F.col("c2").alias("c2_23"))
+    u2 = uni_m.select(F.col("w").alias("uw2"), F.col("c1").alias("c1_w2"))
+    u3 = uni_m.select(F.col("w").alias("uw3"), F.col("c1").alias("c1_w3"))
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2_12").cast("double"),
+        )
+        .when(
+            F.col("c2_23").isNotNull(),
+            F.lit(_L5E5_ALPHA)
+            * (F.col("c2_23").cast("double") / F.col("c1_w2").cast("double")),
+        )
+        .otherwise(
+            F.lit(_L5E5_ALPHA2)
+            * (
+                F.greatest(F.coalesce(F.col("c1_w3"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+                / F.col("ntot").cast("double")
+            )
+        )
+    )
+    scored = (
+        tri_ev.join(tri_m, "tg", "left")
+        .join(b12, F.col("big12") == F.col("k12"), "left")
+        .join(b23, F.col("big23") == F.col("k23"), "left")
+        .join(u2, F.col("w2") == F.col("uw2"), "left")
+        .join(u3, F.col("w3") == F.col("uw3"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("c3").isNotNull().alias("hit3"),
+            (F.col("c3").isNull() & F.col("c2_23").isNotNull()).alias("hit2"),
+            F.round(-F.log(score), 8).cast("decimal(38,10)").alias("nll"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(F.when(F.col("hit3"), 1).otherwise(0)).cast("bigint").alias("n_hit3"),
+        F.sum(F.when(F.col("hit2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_backoff2"),
+        F.sum(F.when(~F.col("hit3") & ~F.col("hit2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_backoff1"),
+        F.sum("nll").alias("s"),
+    )
+    avg = F.round(F.col("s").cast("double") / F.col("n_trigrams"), 6)
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "n_hit3",
+        "n_backoff2",
+        "n_backoff1",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 4).alias("ppl_proxy"),
+    )

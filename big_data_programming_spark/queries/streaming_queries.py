@@ -1501,6 +1501,13 @@ from big_data_programming_spark.operators.text import basic_gate_sql
 #: the shared l5 basic-gate fragment (one definition with l4u's oracle)
 _gate_sql_fragment = basic_gate_sql("string_split(text, ' ')")
 
+#: shared l5i classifier fragments (one definition with the l5i/l5g
+#: oracles — the basic_gate_sql discipline)
+from big_data_programming_spark.operators.text import (  # noqa: E402
+    l5i_weights_sql as _l5i_weights_sql,
+    quality_logit_sql as _l5i_logit_sql,
+)
+
 
 @register(
     "st29_streaming_curation_monitor",
@@ -1561,5 +1568,71 @@ def st29_streaming_curation_monitor(spark: SparkSession, sf_dir: str) -> DataFra
             / F.count(F.lit(1)),
             8,
         ).alias("keep_rate"),
+    )
+    return drain(agg, "complete")
+
+
+@register(
+    "st30_streaming_classifier_gate",
+    oracle=f"""
+WITH w AS (SELECT {_l5i_weights_sql()} AS wv),
+g AS (
+  SELECT source,
+         {_l5i_logit_sql("string_split(text, ' ')", "wv")} AS logit
+  FROM documents CROSS JOIN w
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 8) AS keep_rate,
+       ROUND(CAST(CAST(SUM(CAST(logit AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 6) AS avg_logit
+FROM g
+GROUP BY source
+""",
+    tags=("ST2", "S8", "L5", "A1"),
+)
+def st30_streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st29's sibling with the l5i fastText-style classifier as the
+    gate: the documents stream scored in-row per arriving document
+    (hashed unigram+bigram features against the fixed model vector —
+    here a LITERAL column, the honest streaming topology: a streaming
+    job loads its model artifact once at query start and ships it in
+    the plan, where batch l5i demonstrates the 1-row broadcast
+    attach), with running per-source keep counts, keep rate, and mean
+    logit in complete mode. availableNow bounded replay makes the
+    final emission equal the batch aggregate, so the classifier
+    keeps its value-hash oracle even on the streaming surface.
+
+    Plan shape: stateless in-row scoring (the l5i fold — no shuffle
+    added by the gate), one running per-source aggregate (|sources|
+    rows of state). The mean logit uses the decimal canon (6dp
+    logits DECIMAL-summed, divided once) because micro-batch
+    boundaries would otherwise change double-summation order between
+    the streaming run and the DuckDB twin. The monitoring pair
+    st29+st30 is how a production pipeline watches a model-gate
+    rollout: heuristic gate and classifier gate side by side, per
+    source, per micro-batch."""
+    from big_data_programming_spark.operators.text import (
+        L5I_WEIGHTS,
+        quality_logit,
+        tokenize,
+    )
+
+    s = documents_stream(spark, sf_dir)
+    wv = F.array(*[F.lit(x) for x in L5I_WEIGHTS])
+    gated = s.select(
+        "source",
+        quality_logit(tokenize(F.col("text")), wv).alias("logit"),
+    )
+    keep = F.sum(F.when(F.col("logit") > 0, 1).otherwise(0))
+    agg = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        keep.cast("bigint").alias("n_keep"),
+        F.round(keep.cast("double") / F.count(F.lit(1)), 8).alias("keep_rate"),
+        F.round(
+            F.sum(F.col("logit").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logit"),
     )
     return drain(agg, "complete")

@@ -71,6 +71,10 @@ SAMPLE_QUERIES = [
     # round-7 additions
     "l5i_fasttext_quality_gate",
     "l5j_curation_pipeline",
+    "l5e5_trigram_backoff_logprob",
+    "lm8_incremental_minhash_dedup",
+    "dq9_contamination_drift",
+    "st30_streaming_classifier_gate",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",

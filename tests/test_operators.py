@@ -1097,3 +1097,71 @@ def test_curation_funnel_invariants(spark):
     )
     assert rows[-1]["docs_out"] <= l5g_keeps
     assert rows[-1]["docs_out"] >= 1  # the fixture releases something
+
+
+# ---------- Trigram stupid backoff / incremental MinHash / drift ----------
+
+
+def test_trigram_backoff_branch_accounting(spark):
+    """l5e5: branch counts partition the trigram stream per doc, only
+    eval-slice docs are scored, and the fixture actually exercises
+    both the trigram-hit and bigram-backoff branches (held-out
+    scoring's whole point — self-scoring never leaves branch 1)."""
+    from big_data_programming_spark.registry import queries
+
+    rows = queries()["l5e5_trigram_backoff_logprob"](spark, SMOKE_SF_DIR).collect()
+    assert rows
+    tot3 = tot2 = 0
+    for r in rows:
+        assert r["doc_id"] % 13 == 0
+        assert r["n_hit3"] + r["n_backoff2"] + r["n_backoff1"] == r["n_trigrams"], r
+        assert r["avg_nll"] > 0
+        tot3 += r["n_hit3"]
+        tot2 += r["n_backoff2"]
+    assert tot3 > 0 and tot2 > 0, (tot3, tot2)
+
+
+def test_incremental_minhash_screen(spark):
+    """lm8: every screened doc is from the new batch, every reported
+    match is historical, the match count clears the 12/24 acceptance,
+    and dup_of is a REAL >= 12-component signature agreement
+    (recomputed from the shared minhash_signatures operator)."""
+    from big_data_programming_spark.operators.dedup import minhash_signatures
+    from big_data_programming_spark.registry import queries
+
+    rows = queries()["lm8_incremental_minhash_dedup"](spark, SMOKE_SF_DIR).collect()
+    assert rows
+    sigs = {
+        r["doc"]: r["sig"]
+        for r in minhash_signatures(load(spark, SMOKE_SF_DIR, "documents")).collect()
+    }
+    for r in rows:
+        assert r["new_doc_id"] % 10 == 9
+        assert r["dup_of"] % 10 != 9
+        assert 12 <= r["best_matching"] <= 24
+        m = sum(
+            1
+            for a, b in zip(sigs[r["new_doc_id"]], sigs[r["dup_of"]])
+            if a == b
+        )
+        assert m == r["best_matching"], (r, m)
+
+
+def test_contamination_drift_days_partition_corpus(spark):
+    """dq9: the 7 day rows partition the train slice, rate deviations
+    sum to ~0 by construction, and the fixture is discriminating
+    (at least one drifted day and at least one quiet day)."""
+    from big_data_programming_spark.registry import queries
+
+    rows = queries()["dq9_contamination_drift"](spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == 7
+    n_train = (
+        load(spark, SMOKE_SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % 13 != 0)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_train
+    flags = {r["is_drifted"] for r in rows}
+    assert flags == {True, False}, rows
+    for r in rows:
+        assert r["is_drifted"] == (abs(r["rate_dev"]) > 0.05 - 1e-12), r

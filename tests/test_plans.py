@@ -223,6 +223,8 @@ def test_no_accidental_cartesian_in_catalog():
         "l5h_gate_ablation",  # same 1-row eval-array broadcast (aggregates over l5g)
         "l5i_fasttext_quality_gate",  # 1-row 256-double model-vector broadcast
         "l5j_curation_pipeline",  # 1-row model-vector + 1-row eval-array broadcasts
+        "l5e5_trigram_backoff_logprob",  # 1-row train-token-total broadcast (the l5e shape)
+        "dq9_contamination_drift",  # 1-row eval-array broadcast (the l4t shape)
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
