@@ -1496,17 +1496,14 @@ def st28_streaming_cm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from big_data_programming_spark.operators.text import basic_gate_sql
-
-#: the shared l5 basic-gate fragment (one definition with l4u's oracle)
-_gate_sql_fragment = basic_gate_sql("string_split(text, ' ')")
-
-#: shared l5i classifier fragments (one definition with the l5i/l5g
-#: oracles — the basic_gate_sql discipline)
-from big_data_programming_spark.operators.text import (  # noqa: E402
+from big_data_programming_spark.operators.text import (
+    basic_gate_sql,
     l5i_weights_sql as _l5i_weights_sql,
     quality_logit_sql as _l5i_logit_sql,
 )
+
+#: the shared l5 basic-gate fragment (one definition with l4u's oracle)
+_gate_sql_fragment = basic_gate_sql("string_split(text, ' ')")
 
 
 @register(

@@ -35,8 +35,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: CORRECTNESS ledger at rotation time; len(catalog())==297).
 #: ROUND 8 PLAN — the coverage-completion round: the 4 rollovers
 #: (s18_xml_roundtrip, s19_python_sink, s20_parameterized_sql,
-#: l4m2_bpe_proxy_packing) + every query added during round 7.
-#: After round 8 every registered query has a driver row.
+#: l4m2_bpe_proxy_packing) + every query added during round 7
+#: (l5i_fasttext_quality_gate, l5j_curation_pipeline,
+#: l5e5_trigram_backoff_logprob, lm8_incremental_minhash_dedup,
+#: dq9_contamination_drift, st30_streaming_classifier_gate — keep
+#: this list in sync with scripts/check_window.py's rollover output
+#: at round close). After round 8 every registered query has a
+#: driver row.
 #: STANDING INVARIANT from round 7 on: every NEW query enters the NEXT
 #: round's window — no exceptions; a query never ships un-driver-checked
 #: for more than one round.

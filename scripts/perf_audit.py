@@ -1,0 +1,70 @@
+"""Catalog-wide perf audit: time every registered query end-to-end
+(`.count()` on the tuned session) at one scale factor and flag
+outliers. This is the repeatable feedback loop behind SCALING.md's
+measured numbers — bench.py stays the frozen 16-query comparison
+protocol; this sweep exists to catch a *regression or pathological
+plan anywhere in the catalog* before a round closes.
+
+Usage:
+    python scripts/perf_audit.py [sf_dir] [out.json]
+
+Defaults: /root/testdata/sf0.01, stdout summary only. Caches are
+cleared between queries (session.release_caches) so materialize=True
+operators are measured cold and cannot pin memory across the sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import big_data_programming_spark.session as S  # noqa: E402
+from big_data_programming_spark.registry import catalog  # noqa: E402
+from big_data_programming_spark.session import release_caches  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = S.get_spark("perf-audit", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/scan warm-up so the first measured query isn't charged for it
+    cat = catalog()
+    next(iter(cat.values())).fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    for name, q in cat.items():
+        t0 = time.time()
+        try:
+            q.fn(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errs[name] = f"{type(exc).__name__}: {exc}"[:160]
+        release_caches(spark)
+
+    ranked = sorted(times.items(), key=lambda kv: -kv[1])
+    total = sum(times.values())
+    print(f"{len(times)} queries timed, {len(errs)} errors; "
+          f"total {total:.1f}s at {sf_dir}")
+    print("slowest 20:")
+    for name, t in ranked[:20]:
+        print(f"  {t:8.3f}s  {name}")
+    for name, e in errs.items():
+        print(f"ERR {name}: {e}")
+    if out_path:
+        json.dump(
+            {"sf_dir": sf_dir, "total_sec": round(total, 1), "times": times,
+             "errors": errs},
+            open(out_path, "w"), indent=1, sort_keys=True,
+        )
+        print(f"wrote {out_path}")
+    return 0 if not errs else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
