@@ -1011,20 +1011,20 @@ _L5J_STAGES = (
 )
 
 
-def _l5j_oracle() -> str:
+def l5j_verdict_ctes_sql() -> str:
+    """The l5j per-document verdict relation as a DuckDB WITH-fragment
+    ending in CTE ``v`` with columns (source, n_tokens, verdict) —
+    ONE definition shared by the l5j funnel oracle and lm9's curated
+    mixing weights, so the mixer provably weights exactly the corpus
+    the pipeline releases."""
     from big_data_programming_spark.operators.dedup import SIMHASH_ORACLE_SQL
     from big_data_programming_spark.operators.text import (
         canonicalize_url_sql,
         synthetic_url_sql,
     )
 
-    dim = " UNION ALL ".join(
-        f"SELECT {i + 1} AS ord, '{s}' AS stage"
-        for i, s in enumerate(_L5J_STAGES + ("keep",))
-    )
     first_fail = " ".join(f"WHEN {s} THEN '{s}'" for s in _L5J_STAGES)
-    return f"""
-WITH {_PIPE_CTES},
+    return f"""WITH {_PIPE_CTES},
 urls AS (
   SELECT doc_id,
          {canonicalize_url_sql(synthetic_url_sql())} AS cu
@@ -1038,7 +1038,7 @@ urls AS (
   FROM sig sg JOIN train t ON t.doc_id = sg.doc_id
   GROUP BY 1
 ), pflags AS (
-  SELECT tr.doc_id,
+  SELECT tr.doc_id, tr.source,
          CAST(LEN(tr.toks) AS BIGINT) AS n_tokens,
          tr.doc_id <> uk.ukeeper AS url_dup,
          tr.doc_id <> sk.skeeper AS near_dup_simhash,
@@ -1049,9 +1049,18 @@ urls AS (
   JOIN sig sg ON sg.doc_id = tr.doc_id
   JOIN sig_keep sk ON sk.simhash_bits = sg.simhash_bits
 ), v AS (
-  SELECT n_tokens, CASE {first_fail} ELSE 'keep' END AS verdict
+  SELECT source, n_tokens, CASE {first_fail} ELSE 'keep' END AS verdict
   FROM pflags
-), per_v AS (
+)"""
+
+
+def _l5j_oracle() -> str:
+    dim = " UNION ALL ".join(
+        f"SELECT {i + 1} AS ord, '{s}' AS stage"
+        for i, s in enumerate(_L5J_STAGES + ("keep",))
+    )
+    return f"""
+{l5j_verdict_ctes_sql()}, per_v AS (
   SELECT verdict, CAST(COUNT(*) AS BIGINT) AS rm,
          CAST(SUM(n_tokens) AS BIGINT) AS rmt
   FROM v GROUP BY 1
@@ -1080,43 +1089,23 @@ FROM fun WHERE stage <> 'keep'
 """
 
 
-@register(
-    "l5j_curation_pipeline",
-    oracle=_l5j_oracle(),
-    tags=("L5", "L1", "L2", "L4", "A1", "W2", "J8"),
-)
-def l5j_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone end-to-end curation run as ONE query: the ordered
-    Dolma/RedPajama stack — URL canonical dedup (l2j's key), exact
-    dedup (l5g's md5 keeper), heuristic gates (length + stopword),
-    fastText-style classifier gate (l5i), SimHash near-dup collapse
-    (l2b/lm5's 16-bit signature, min-doc survivor), 8-shingle
-    benchmark decontamination (l4i), semantic decontamination (l4t) —
-    emitting the per-stage FUNNEL: docs in/removed/out, surviving
-    token mass, and the stage removal fraction. Attribution is
-    first-fail in pipeline order over independently computed
-    attributes — exactly Dolma's architecture (attributes computed
-    per-doc in parallel, the mixer applies rules in order), which is
-    what makes the whole stack one pass per attribute instead of a
-    sequential re-scan per stage. Every rule is the shared fragment
-    of its standalone query (operators/text.py, _PIPE_CTES,
-    _GATE_FLAGS_SQL), so each stage provably equals its deep-dive
-    twin; l5g/l5h remain the per-document and per-gate views of the
-    same semantics.
+def l5j_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l5j per-document verdict relation ``(source, n_tokens,
+    verdict)`` — the Spark twin of :func:`l5j_verdict_ctes_sql`'s
+    ``v`` CTE, shared by the l5j funnel and lm9's curated mixing
+    weights. Per-doc attributes are computed INDEPENDENTLY (Dolma's
+    architecture: parallel attribute passes, ordered mixer) and
+    reduced to the first-failing stage in _L5J_STAGES order.
 
-    Plan shape: per-doc attributes are in-row where the standalone op
-    is in-row (URL canon, gates, classifier — the wv model rides one
+    Plan shape: attributes are in-row where the standalone op is
+    in-row (URL canon, gates, classifier — the wv model rides one
     broadcast row); the three dedup keepers are min-aggregates on
     hashed keys (16-60 byte shuffles, skew-free); decontamination
-    probes broadcast the benchmark-sized eval sets. The funnel itself
-    is ONE grouped aggregate to <= 9 first-fail rows, unpivoted
-    against a literal stage dimension with unpartitioned windows OVER
-    THOSE 9 ROWS ONLY (w8 discipline). Bounded corpus re-reads: each
-    keeper/probe side consumes its own scan (test_plans pins the
-    FileScan count) — at 100 TB production would persist the
-    attribute relation between stages (the Dolma attribute files);
-    the funnel never re-scans per stage, which is the property that
-    matters at scale."""
+    probes broadcast the benchmark-sized eval sets. Bounded corpus
+    re-reads: each keeper/probe side consumes its own scan
+    (test_plans pins the FileScan count) — at 100 TB production would
+    persist this relation between stages (the Dolma attribute
+    files)."""
     from big_data_programming_spark.operators.dedup import simhash
     from big_data_programming_spark.operators.similarity import (
         as_double_array,
@@ -1193,6 +1182,7 @@ def l5j_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sem, "doc_id", "left")
         .crossJoin(F.broadcast(wrow))
         .select(
+            "source",
             F.size("toks").cast("bigint").alias("n_tokens"),
             (F.col("doc_id") != F.col("ukeeper")).alias("url_dup"),
             (F.col("doc_id") != F.col("keeper")).alias("exact_dup"),
@@ -1211,7 +1201,40 @@ def l5j_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict = F.when(F.col(_L5J_STAGES[0]), _L5J_STAGES[0])
     for stage in _L5J_STAGES[1:]:
         verdict = verdict.when(F.col(stage), stage)
-    v = pflags.select("n_tokens", verdict.otherwise("keep").alias("verdict"))
+    return pflags.select(
+        "source", "n_tokens", verdict.otherwise("keep").alias("verdict")
+    )
+
+
+@register(
+    "l5j_curation_pipeline",
+    oracle=_l5j_oracle(),
+    tags=("L5", "L1", "L2", "L4", "A1", "W2", "J8"),
+)
+def l5j_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone end-to-end curation run as ONE query: the ordered
+    Dolma/RedPajama stack — URL canonical dedup (l2j's key), exact
+    dedup (l5g's md5 keeper), heuristic gates (length + stopword),
+    fastText-style classifier gate (l5i), SimHash near-dup collapse
+    (l2b/lm5's 16-bit signature, min-doc survivor), 8-shingle
+    benchmark decontamination (l4i), semantic decontamination (l4t) —
+    emitting the per-stage FUNNEL: docs in/removed/out, surviving
+    token mass, and the stage removal fraction. Every rule is the
+    shared fragment of its standalone query (operators/text.py,
+    _PIPE_CTES, _GATE_FLAGS_SQL, l5j_doc_verdicts), so each stage
+    provably equals its deep-dive twin; l5g/l5h remain the
+    per-document and per-gate views, lm9 the downstream mixer, of
+    the same semantics.
+
+    Plan shape: the per-doc work lives in l5j_doc_verdicts (see its
+    docstring for the bounded-scan argument); the funnel itself is
+    ONE grouped aggregate to <= 9 first-fail rows, unpivoted against
+    a literal stage dimension with unpartitioned windows OVER THOSE
+    9 ROWS ONLY (w8 discipline) — it never re-scans the corpus per
+    stage, which is the property that matters at scale."""
+    from pyspark.sql.window import Window
+
+    v = l5j_doc_verdicts(spark, sf_dir)
     per_v = v.groupBy("verdict").agg(
         F.count(F.lit(1)).cast("bigint").alias("rm"),
         F.sum("n_tokens").cast("bigint").alias("rmt"),

@@ -771,3 +771,97 @@ def lm8_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("dup_of"),
         )
     )
+
+
+def _lm9_oracle() -> str:
+    from big_data_programming_spark.queries.llm_curation import (
+        l5j_verdict_ctes_sql,
+    )
+
+    sqrt_kept = "SQRT(CAST(kept_tokens AS DOUBLE))"
+    return f"""
+{l5j_verdict_ctes_sql()}, surv AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+         CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+         CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_kept,
+         CAST(SUM(CASE WHEN verdict = 'keep' THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS kept_tokens
+  FROM v GROUP BY 1
+)
+SELECT source, n_docs_raw, n_docs_kept, raw_tokens, kept_tokens,
+       ROUND(CAST(kept_tokens AS DOUBLE) / raw_tokens, 8) AS survival_rate,
+       CAST(kept_tokens AS DOUBLE)
+         / CAST(SUM(kept_tokens) OVER () AS DOUBLE) AS natural_share,
+       {sqrt_kept} / {_ORACLE_WSUM.format(x=sqrt_kept)} AS mix_weight,
+       CASE WHEN kept_tokens = 0 THEN 0.0
+            ELSE ({sqrt_kept} / {_ORACLE_WSUM.format(x=sqrt_kept)})
+               / (CAST(kept_tokens AS DOUBLE)
+                  / CAST(SUM(kept_tokens) OVER () AS DOUBLE))
+       END AS boost
+FROM surv
+"""
+
+
+@register(
+    "lm9_curated_mix_weights",
+    oracle=_lm9_oracle(),
+    tags=("L4", "L5", "A1", "W4"),
+)
+def lm9_curated_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel feeds the mixer: lm1's temperature weighting
+    (alpha = 0.5) computed over the token mass that SURVIVES the l5j
+    curation pipeline, per source — the RedPajama/Dolma recipe step
+    where mixing proportions are fixed only after dedup + gates +
+    decontamination, because per-source survival rates differ (a
+    source that is 80% boilerplate should be weighted by its curated
+    fifth, not its raw bulk). Emits the raw-vs-kept accounting next
+    to the weights so the survival correction is auditable; composes
+    the SAME l5j_doc_verdicts relation the funnel aggregates, so the
+    mixer provably weights exactly the corpus the pipeline releases.
+
+    Plan shape: one grouped aggregate of the shared verdict relation
+    to |sources| rows, then the lm1 math over those rows —
+    SQRT numerator (IEEE-exact cross-engine), decimal window-sum
+    denominator, unpartitioned windows over post-aggregation rows
+    only (w8). A source whose curated mass is zero gets boost 0 by
+    explicit CASE (0/0 guard), exact both engines. Adds nothing to
+    l5j's bounded corpus-scan budget beyond the one extra grouped
+    aggregate."""
+    from big_data_programming_spark.queries.llm_curation import (
+        l5j_doc_verdicts,
+    )
+
+    v = l5j_doc_verdicts(spark, sf_dir)
+    surv = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_raw"),
+        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        F.sum(F.when(F.col("verdict") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        F.sum(F.when(F.col("verdict") == "keep", F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    w = Window.partitionBy()
+    sqrt_kept = F.sqrt(F.col("kept_tokens").cast("double"))
+    total_sqrt = F.sum(sqrt_kept.cast(DEC)).over(w).cast("double")
+    total_kept = F.sum("kept_tokens").over(w).cast("double")
+    mix_weight = sqrt_kept / total_sqrt
+    natural_share = F.col("kept_tokens").cast("double") / total_kept
+    return surv.select(
+        "source",
+        "n_docs_raw",
+        "n_docs_kept",
+        "raw_tokens",
+        "kept_tokens",
+        F.round(
+            F.col("kept_tokens").cast("double") / F.col("raw_tokens"), 8
+        ).alias("survival_rate"),
+        natural_share.alias("natural_share"),
+        mix_weight.alias("mix_weight"),
+        F.when(F.col("kept_tokens") == 0, F.lit(0.0))
+        .otherwise(mix_weight / natural_share)
+        .alias("boost"),
+    )

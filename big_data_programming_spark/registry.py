@@ -38,7 +38,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: l4m2_bpe_proxy_packing) + every query added during round 7
 #: (l5i_fasttext_quality_gate, l5j_curation_pipeline,
 #: l5e5_trigram_backoff_logprob, lm8_incremental_minhash_dedup,
-#: dq9_contamination_drift, st30_streaming_classifier_gate — keep
+#: dq9_contamination_drift, st30_streaming_classifier_gate,
+#: lm9_curated_mix_weights — keep
 #: this list in sync with scripts/check_window.py's rollover output
 #: at round close). After round 8 every registered query has a
 #: driver row.

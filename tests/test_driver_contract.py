@@ -75,6 +75,7 @@ SAMPLE_QUERIES = [
     "lm8_incremental_minhash_dedup",
     "dq9_contamination_drift",
     "st30_streaming_classifier_gate",
+    "lm9_curated_mix_weights",
     # round-4 additions (llm_mixing module)
     "lm5_incremental_simhash_dedup",
     "lm6_negative_pair_audit",

@@ -1165,3 +1165,22 @@ def test_contamination_drift_days_partition_corpus(spark):
     assert flags == {True, False}, rows
     for r in rows:
         assert r["is_drifted"] == (abs(r["rate_dev"]) > 0.05 - 1e-12), r
+
+
+def test_classifier_gate_consistent_across_queries(spark):
+    """Shared-fragment pin: l5g's low_quality flag must equal the
+    negation of l5i's keep_quality for every train-slice document —
+    the two queries compose the SAME quality_logit fragment, and this
+    test fails if they ever fork."""
+    from big_data_programming_spark.registry import queries
+
+    keep = {
+        r["doc_id"]: r["keep_quality"]
+        for r in queries()["l5i_fasttext_quality_gate"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    rows = queries()["l5g_pipeline_verdict"](spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low_quality"] == (not keep[r["doc_id"]]), r

@@ -225,6 +225,7 @@ def test_no_accidental_cartesian_in_catalog():
         "l5j_curation_pipeline",  # 1-row model-vector + 1-row eval-array broadcasts
         "l5e5_trigram_backoff_logprob",  # 1-row train-token-total broadcast (the l5e shape)
         "dq9_contamination_drift",  # 1-row eval-array broadcast (the l4t shape)
+        "lm9_curated_mix_weights",  # aggregates l5j_doc_verdicts (same two 1-row attaches)
     }
     offenders, nl_offenders = [], []
     for name, q in catalog().items():
