@@ -296,10 +296,10 @@ WITH base AS (
   GROUP BY 1
 )
 SELECT o_orderpriority, n_orders, total_price,
-       total_price
-         / CAST(CAST(SUM(CAST(total_price AS DECIMAL(38,10))) OVER () AS VARCHAR) AS DOUBLE)
-         AS revenue_share,
-       CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER () AS order_share
+       ROUND(total_price
+         / CAST(CAST(SUM(CAST(total_price AS DECIMAL(38,10))) OVER () AS VARCHAR) AS DOUBLE),
+         8) AS revenue_share,
+       ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 8) AS order_share
 FROM base
 """,
     tags=("W4", "A1"),
@@ -309,9 +309,14 @@ def w8_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-frame window over the AGGREGATED rows — the contribution
     column of every revenue report. The unpartitioned window is safe
     precisely because it runs post-aggregation (5 priority rows, not
-    1.5M orders); the denominators are decimal-canon sums re-divided
-    as doubles in identical order on both engines, so even the global
-    shares are hash-exact. Running the same window pre-aggregation
+    1.5M orders); the denominators are decimal-canon sums, and the
+    emitted shares are ROUNDED to 8dp (r7 sf0.1 finding: the per-row
+    double->DECIMAL(38,10) conversion differs between engines on rare
+    edge values — Spark converts via the double's shortest decimal
+    representation, DuckDB rounds the exact binary expansion — so at
+    large row counts the decimal totals can differ in the 10th
+    decimal and the unrounded share flips its last ulp; 8dp rounding
+    absorbs it, the st29 keep_rate precedent). Running the same window pre-aggregation
     would single-partition the fact table — the documented
     anti-pattern (compute shares AFTER the rollup, always)."""
     o = load(spark, sf_dir, "orders")
@@ -330,8 +335,10 @@ def w8_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         "total_price",
-        (F.col("total_price") / total_all).alias("revenue_share"),
-        (F.col("n_orders").cast("double") / F.sum("n_orders").over(w)).alias("order_share"),
+        F.round(F.col("total_price") / total_all, 8).alias("revenue_share"),
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(w), 8
+        ).alias("order_share"),
     )
 
 
