@@ -32,9 +32,14 @@ def main() -> int:
     )
 
     checked: set[str] = set()
+    last_round: dict[str, int] = {}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        checked |= set(json.load(open(f)))
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        names = set(json.load(open(f)))
+        checked |= names
+        for n in names:
+            last_round[n] = max(last_round.get(n, 0), rnd)
     fresh = [n for n in first if n not in checked]
     stale = [n for n in first if n in checked]
     never = [n for n in cat if n not in checked]
@@ -45,6 +50,25 @@ def main() -> int:
     rollover = [n for n in never if n not in _WINDOW_PROMOTE]
     print(f"never-checked outside window (next-round rollover): "
           f"{len(rollover)} {rollover}")
+
+    # Suggested NEXT-round window: every never-checked query first
+    # (minus the ones the current window will cover this round), then
+    # the stalest re-checks — ordered by (last checked round, catalog
+    # position) so coverage ages out evenly. Copy/paste aid for the
+    # next rotation; the human still owns the decision.
+    will_be_checked = checked | set(first)
+    next_fresh = [n for n in cat if n not in will_be_checked]
+    stale_pool = sorted(
+        (n for n in cat if n in will_be_checked),
+        key=lambda n: (last_round.get(n, 99), cat.index(n)),
+    )
+    suggestion = (next_fresh + [n for n in stale_pool if n not in next_fresh])[:50]
+    n_re = 50 - len(next_fresh[:50])
+    print(f"\nsuggested next window ({len(next_fresh)} fresh + {n_re} stalest "
+          f"re-checks, oldest first):")
+    for n in suggestion:
+        tag = f"last driver row: r{last_round[n]}" if n in last_round else "never"
+        print(f"  {n}  ({tag})")
     return 0
 
 
