@@ -165,10 +165,18 @@ def quality_logit_sql(toks_expr: str, w_expr: str) -> str:
         f"list_transform(generate_series(1, GREATEST(LEN({toks_expr}) - 1, 0)), "
         f"i -> {toks_expr}[i] || ' ' || {toks_expr}[i + 1]))"
     )
+    # Zero-init left fold (list_concat of a [0.0] accumulator seed)
+    # mirrors Spark's F.aggregate(..., lit(0.0), ...): a genuinely
+    # empty feature list folds to 0.0 then NULL after /LEN (DuckDB
+    # x/0 -> NULL, same as Spark) instead of list_reduce's hard
+    # "empty input list" error — the fragment is exported for
+    # arbitrary toks_expr, so the empty case must stay engine-
+    # symmetric even though string_split never produces it.
     return (
-        f"ROUND({L5I_BIAS} + list_reduce(list_transform({fs}, "
+        f"ROUND({L5I_BIAS} + list_reduce(list_concat([0.0::DOUBLE], "
+        f"list_transform({fs}, "
         f"f -> {w_expr}[(CAST(CONCAT('0x', SUBSTRING(md5(f), 1, 8)) AS BIGINT) "
-        f"% {L5I_BUCKETS}) + 1]), (a, b) -> a + b) / LEN({fs}), 6)"
+        f"% {L5I_BUCKETS}) + 1])), (a, b) -> a + b) / LEN({fs}), 6)"
     )
 
 
@@ -235,14 +243,16 @@ def canonicalize_url_sql(expr: str) -> str:
     """DuckDB spelling of :func:`canonicalize_url`, generated from the
     SAME URL_CANON_RULES chain — ONE definition so the l2j and l5j
     oracles cannot drift from the Spark canonicalizer (the
-    basic_gate_sql lesson). Java's global-by-default regexp_replace
-    maps to DuckDB's 'g' flag on the one rule that can match more
-    than once per URL; $N replacements map to \\N."""
+    basic_gate_sql lesson). Java's regexp_replace is global for EVERY
+    rule, so every rule gets DuckDB's 'g' flag — replace-all is
+    semantics-preserving for the anchored rules and a pattern-equality
+    special case would silently fork the engines the moment
+    URL_CANON_RULES gains another multi-match-capable pattern (r7
+    advisor catch); $N replacements map to \\N."""
     out = f"LOWER({expr})"
     for pat, repl in URL_CANON_RULES:
-        flag = ", 'g'" if pat == r"&utm_[^&]*" else ""
         sql_repl = repl.replace("$1", r"\1").replace("$3", r"\3")
-        out = f"regexp_replace({out}, '{pat}', '{sql_repl}'{flag})"
+        out = f"regexp_replace({out}, '{pat}', '{sql_repl}', 'g')"
     return out
 
 

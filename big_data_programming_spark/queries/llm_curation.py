@@ -1054,13 +1054,18 @@ urls AS (
 )"""
 
 
-def _l5j_oracle() -> str:
+def funnel_tail_sql(stages: tuple[str, ...]) -> str:
+    """DuckDB tail turning a CTE ``v(source, n_tokens, verdict)`` into
+    the per-stage funnel relation (stage_ord, stage, docs_in,
+    docs_removed, docs_out, tokens_out, removed_frac). ONE definition
+    shared by the l5j batch capstone and lm10's incremental-batch
+    twin, so the two funnels provably share their accounting
+    arithmetic (the basic_gate_sql discipline)."""
     dim = " UNION ALL ".join(
         f"SELECT {i + 1} AS ord, '{s}' AS stage"
-        for i, s in enumerate(_L5J_STAGES + ("keep",))
+        for i, s in enumerate(stages + ("keep",))
     )
-    return f"""
-{l5j_verdict_ctes_sql()}, per_v AS (
+    return f""", per_v AS (
   SELECT verdict, CAST(COUNT(*) AS BIGINT) AS rm,
          CAST(SUM(n_tokens) AS BIGINT) AS rmt
   FROM v GROUP BY 1
@@ -1087,6 +1092,11 @@ SELECT CAST(ord AS BIGINT) AS stage_ord, stage,
        ROUND(CAST(rm AS DOUBLE) / (n_total - cb), 6) AS removed_frac
 FROM fun WHERE stage <> 'keep'
 """
+
+
+def _l5j_oracle() -> str:
+    return f"""
+{l5j_verdict_ctes_sql()}{funnel_tail_sql(_L5J_STAGES)}"""
 
 
 def l5j_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,9 +1242,20 @@ def l5j_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal stage dimension with unpartitioned windows OVER THOSE
     9 ROWS ONLY (w8 discipline) — it never re-scans the corpus per
     stage, which is the property that matters at scale."""
+    return verdict_funnel(spark, l5j_doc_verdicts(spark, sf_dir), _L5J_STAGES)
+
+
+def verdict_funnel(
+    spark: SparkSession, v: DataFrame, stages: tuple[str, ...]
+) -> DataFrame:
+    """Spark twin of :func:`funnel_tail_sql`: reduce a per-document
+    verdict relation ``(source, n_tokens, verdict)`` to the per-stage
+    funnel. ONE grouped aggregate to <= len(stages)+1 first-fail rows,
+    then a literal stage dimension and unpartitioned windows over
+    those few rows only (the w8 discipline) — shared by l5j and
+    lm10's incremental batch so the accounting cannot drift."""
     from pyspark.sql.window import Window
 
-    v = l5j_doc_verdicts(spark, sf_dir)
     per_v = v.groupBy("verdict").agg(
         F.count(F.lit(1)).cast("bigint").alias("rm"),
         F.sum("n_tokens").cast("bigint").alias("rmt"),
@@ -1246,7 +1267,7 @@ def l5j_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(i + 1).alias("ord"), F.lit(s).alias("stage")
                     )
-                    for i, s in enumerate(_L5J_STAGES + ("keep",))
+                    for i, s in enumerate(stages + ("keep",))
                 ]
             )
         ).alias("s")

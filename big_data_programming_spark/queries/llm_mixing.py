@@ -287,7 +287,7 @@ def _simhash_int(docs: DataFrame, bits: int = 16) -> DataFrame:
 SELECT new_doc_id,
        COUNT(*) AS n_near_dups,
        MIN(hamming) AS best_hamming,
-       ARG_MIN(hist_doc_id, hamming * 1000000 + hist_doc_id) AS dup_of
+       (MIN(struct_pack(k := hamming, id := hist_doc_id))).id AS dup_of
 FROM cand
 WHERE hamming <= 3
 GROUP BY new_doc_id
@@ -356,10 +356,14 @@ def lm5_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).alias("n_near_dups"),
             F.min("hamming").alias("best_hamming"),
-            F.min_by(
-                "hist_doc_id",
-                F.col("hamming").cast("long") * 1_000_000 + F.col("hist_doc_id"),
-            ).alias("dup_of"),
+            F.min(
+                F.struct(
+                    F.col("hamming").alias("k"),
+                    F.col("hist_doc_id").alias("id"),
+                )
+            )
+            .getField("id")
+            .alias("dup_of"),
         )
     )
 
@@ -683,7 +687,7 @@ SELECT new_doc AS new_doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_near_dups,
        CAST(MAX(m) AS BIGINT) AS best_matching,
        ROUND(CAST(MAX(m) AS DOUBLE) / {_LM8_K}, 6) AS best_est_jaccard,
-       ARG_MIN(hist_doc, ({_LM8_K} - m) * 1000000 + hist_doc) AS dup_of
+       (MIN(struct_pack(k := {_LM8_K} - m, id := hist_doc))).id AS dup_of
 FROM scored
 WHERE m >= {_LM8_MIN_MATCH}
 GROUP BY 1
@@ -722,7 +726,11 @@ def lm8_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     by the arrival batch times its candidate fan-out, exactly why
     production web dedup persists signatures, not shingles.
     Determinism: integer match counts, ROUND only at the reported
-    estimate; ARG_MIN key is exact integer arithmetic."""
+    estimate; the (highest-match, lowest-id) tie-break is a structural
+    MIN over a (24-m, id) struct — lexicographic in both engines, so
+    it holds at ANY doc-id magnitude (an arithmetic key like
+    (24-m)*1e6+id would silently stop encoding the priority once ids
+    pass the multiplier — the 100 TB corpora this docstring targets)."""
     from big_data_programming_spark.operators.dedup import (
         minhash_bands,
         minhash_signatures,
@@ -764,11 +772,14 @@ def lm8_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.max("m").cast("double") / _LM8_K, 6).alias(
                 "best_est_jaccard"
             ),
-            F.min_by(
-                "hist_doc",
-                (F.lit(_LM8_K) - F.col("m")).cast("long") * 1_000_000
-                + F.col("hist_doc"),
-            ).alias("dup_of"),
+            F.min(
+                F.struct(
+                    (F.lit(_LM8_K) - F.col("m")).cast("long").alias("k"),
+                    F.col("hist_doc").alias("id"),
+                )
+            )
+            .getField("id")
+            .alias("dup_of"),
         )
     )
 
@@ -792,13 +803,14 @@ def _lm9_oracle() -> str:
 )
 SELECT source, n_docs_raw, n_docs_kept, raw_tokens, kept_tokens,
        ROUND(CAST(kept_tokens AS DOUBLE) / raw_tokens, 8) AS survival_rate,
-       CAST(kept_tokens AS DOUBLE)
-         / CAST(SUM(kept_tokens) OVER () AS DOUBLE) AS natural_share,
-       {sqrt_kept} / {_ORACLE_WSUM.format(x=sqrt_kept)} AS mix_weight,
+       ROUND(CAST(kept_tokens AS DOUBLE)
+         / CAST(SUM(kept_tokens) OVER () AS DOUBLE), 8) AS natural_share,
+       ROUND({sqrt_kept} / {_ORACLE_WSUM.format(x=sqrt_kept)}, 8)
+         AS mix_weight,
        CASE WHEN kept_tokens = 0 THEN 0.0
-            ELSE ({sqrt_kept} / {_ORACLE_WSUM.format(x=sqrt_kept)})
+            ELSE ROUND(({sqrt_kept} / {_ORACLE_WSUM.format(x=sqrt_kept)})
                / (CAST(kept_tokens AS DOUBLE)
-                  / CAST(SUM(kept_tokens) OVER () AS DOUBLE))
+                  / CAST(SUM(kept_tokens) OVER () AS DOUBLE)), 8)
        END AS boost
 FROM surv
 """
@@ -825,7 +837,10 @@ def lm9_curated_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     to |sources| rows, then the lm1 math over those rows —
     SQRT numerator (IEEE-exact cross-engine), decimal window-sum
     denominator, unpartitioned windows over post-aggregation rows
-    only (w8). A source whose curated mass is zero gets boost 0 by
+    only, and every emitted ratio ROUNDed to 8dp on BOTH engines —
+    the w8 canon: double→DECIMAL window-sum ratios can drift in the
+    last ulp across engines at larger scale factors (w8/st29
+    precedent), so the unrounded double never leaves the plan (w8). A source whose curated mass is zero gets boost 0 by
     explicit CASE (0/0 guard), exact both engines. Adds nothing to
     l5j's bounded corpus-scan budget beyond the one extra grouped
     aggregate."""
@@ -859,9 +874,9 @@ def lm9_curated_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("kept_tokens").cast("double") / F.col("raw_tokens"), 8
         ).alias("survival_rate"),
-        natural_share.alias("natural_share"),
-        mix_weight.alias("mix_weight"),
+        F.round(natural_share, 8).alias("natural_share"),
+        F.round(mix_weight, 8).alias("mix_weight"),
         F.when(F.col("kept_tokens") == 0, F.lit(0.0))
-        .otherwise(mix_weight / natural_share)
+        .otherwise(F.round(mix_weight / natural_share, 8))
         .alias("boost"),
     )

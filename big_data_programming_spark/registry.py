@@ -21,32 +21,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: Order matters operationally: the driver's correctness pass checks the
 #: FIRST 50 catalog entries only, so the window is rotated each round to
-#: give never-verified operators a driver row. ROUND 7 window (current):
-#: the 50 names in ``_WINDOW_PROMOTE`` below — 50 of the 54 queries that
-#: had never received a driver row through r6 (the r6 verdict corrected
-#: the original r7 plan, which wasted 15 slots re-checking the tpch
-#: remainder: all 22 tpch queries are double-green from r01/r02 and
-#: tpch.py is unchanged since round 2). Composition: the 35 planned
-#: never-checked (llm_mixing 8, pipeline_ops 7, e16-e19, a4b, the five
-#: round-5 depth queries l5f/l4s/l2m/l4t/l5g, the ten round-6 additions
-#: l5e2/l5e3/l5e4/l2k2/l2k3/l2n/l3m/l3o/l5h/l4u) + 15 of the remaining
-#: genuinely unchecked (j10/j6b/j12/j13, dq8, l2o, st29,
-#: s10-s13/s15-s17, o9) = 50 exactly (verified against the r1-r6
-#: CORRECTNESS ledger at rotation time; len(catalog())==297).
-#: ROUND 8 PLAN — the coverage-completion round: the 4 rollovers
-#: (s18_xml_roundtrip, s19_python_sink, s20_parameterized_sql,
-#: l4m2_bpe_proxy_packing) + every query added during round 7
-#: (l5i_fasttext_quality_gate, l5j_curation_pipeline,
-#: l5e5_trigram_backoff_logprob, lm8_incremental_minhash_dedup,
-#: dq9_contamination_drift, st30_streaming_classifier_gate,
-#: lm9_curated_mix_weights — keep
-#: this list in sync with scripts/check_window.py's rollover output
-#: at round close). After round 8 every registered query has a
-#: driver row.
+#: give never-verified operators a driver row. ROUND 8 window (current):
+#: the coverage-completion round — the 11 never-driver-checked queries
+#: (the 4 r7 rollovers s18/s19/s20/l4m2 + the 7 round-7 additions
+#: l5i/l5j/l5e5/lm8/lm9/dq9/st30) + the 39 stalest re-checks, all last
+#: driver-checked in r2 (the full tpch 22, the r2-era sources_queries
+#: s2/s2b/s3/s4/s5/s6/o3-o7, and projection p1/p2/p3/p5/p5b/p5c) —
+#: exactly scripts/check_window.py's suggested rotation at r7 close.
+#: After round 8 every registered query has a driver row (never-checked
+#: count hits 0 for the first time); from round 9 on every window is
+#: pure re-checks of the stalest rows plus any round-8 additions.
 #: STANDING INVARIANT from round 7 on: every NEW query enters the NEXT
 #: round's window — no exceptions; a query never ships un-driver-checked
 #: for more than one round.
-#: History: r6 window = 11 stale-red PROMOTE pins + st14-st28 +
+#: History: r7 window = 35 planned never-checked + 15 reclaimed stale
+#: slots (50/50 green, CORRECTNESS_r07; len(catalog())==304 at close).
+#: r6 window = 11 stale-red PROMOTE pins + st14-st28 +
 #: modern_sql + relational_extras (50/50 green, CORRECTNESS_r06).
 #: r5 = llm_similarity remainder + multimodal + graph + data_quality +
 #: udfs + skew + st1-st11/st13. r4 = scalar_functions + llm_text +
@@ -91,7 +81,7 @@ _QUERY_MODULES = (
 PROMOTE = -1
 DEFER = 10_000
 
-#: ROUND 7 driver window — the central rotation list. Names here sort
+#: ROUND 8 driver window — the central rotation list. Names here sort
 #: before every module (rank PROMOTE), overriding any per-query
 #: ``window_rank``; within the set, order is (module rank, seq), so the
 #: window composition is still a pure function of the source tree.
@@ -99,44 +89,39 @@ DEFER = 10_000
 #: correctness-window size. Names must be copied exactly from
 #: ``list(catalog())`` — scripts/check_window.py asserts membership.
 _WINDOW_PROMOTE: frozenset[str] = frozenset({
+    # --- the 11 never-driver-checked (round-7 additions + rollovers) ---
     # streaming_queries
-    "st29_streaming_curation_monitor",
-    # llm_similarity
-    "l3m_hybrid_rrf_fusion", "l3o_ivf_recall_audit",
+    "st30_streaming_classifier_gate",
     # data_quality
-    "dq8_k_anonymity",
+    "dq9_contamination_drift",
     # llm_text
-    "l5e2_unigram_logprob_headtail", "l5e3_ccnet_ppl_buckets",
-    "l5e4_bigram_interp_logprob", "l5f_boilerplate_chunk_strip",
-    "l4s_zipf_fit",
+    "l5e5_trigram_backoff_logprob", "l4m2_bpe_proxy_packing",
+    "l5i_fasttext_quality_gate",
     # llm_curation
-    "l4t_semantic_decontamination", "l5g_pipeline_verdict",
-    "l5h_gate_ablation", "l4u_corpus_datasheet",
-    # llm_dedup
-    "l2n_banding_recall_audit", "l2k2_duplicate_span_extents",
-    "l2k3_exactsubstr_strip", "l2m_semdedup", "l2o_similarity_histogram",
-    # events
-    "e16_conversion_attribution", "e17_wow_kpi", "e18_peak_concurrency",
-    "e19_cohort_ltv",
-    # aggregations
-    "a4b_approx_distinct_audit",
+    "l5j_curation_pipeline",
     # sources_queries
-    "s10_orc_roundtrip", "s11_text_source", "s12_binaryfile_source",
-    "s13_schema_evolution", "s15_compaction", "s16_python_datasource",
-    "s17_python_source_pushdown", "o9_file_size_targeting",
-    # joins
-    "j10_null_safe_join", "j6b_binned_range_join",
-    "j12_dynamic_partition_pruning", "j13_lateral_join",
+    "s18_xml_roundtrip", "s19_python_sink", "s20_parameterized_sql",
     # llm_mixing
-    "lm1_temperature_mix", "lm2_mix_epoch_plan", "lm3_reservoir_per_source",
-    "lm4_curriculum_bins", "lm5_incremental_simhash_dedup",
-    "lm6_negative_pair_audit", "lm4b_broadcast_quantile_bins",
-    "lm7_dsir_importance",
-    # pipeline_ops
-    "po1_bloom_prefilter", "po2_observed_quality_gate",
-    "po3_incremental_kpi_rollup", "po4_stratified_hash_sample",
-    "po5_incremental_join_maintenance", "po6_countmin_heavy_hitters",
-    "po7_hll_cardinality",
+    "lm8_incremental_minhash_dedup", "lm9_curated_mix_weights",
+    # --- the 39 stalest re-checks (all last driver-checked in r2) ---
+    # tpch (all 22)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_items", "q11_important_part_value", "q12_ship_delay_buckets",
+    "q13_customer_order_distribution", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    # sources_queries (r2-era)
+    "s2_csv_roundtrip", "s2b_corrupt_records", "s3_json_roundtrip",
+    "s4_in_memory_source", "s5_sql_over_views", "s6_partitioned_roundtrip",
+    "o3_sort_within_partitions", "o4_repartition_coalesce",
+    "o5_bucketed_join", "o6_range_layout", "o7_zorder_layout",
+    # projection (r2-era)
+    "p1_project_compute", "p2_filter_predicates", "p3_case_when",
+    "p5_sample", "p5b_hash_sample", "p5c_stratified_hash_sample",
 })
 
 

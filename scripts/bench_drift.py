@@ -1,0 +1,176 @@
+"""Bench-drift monitor (dq10 tooling): formalize the quiet-triple
+protocol as a recorded artifact instead of prose.
+
+Rounds 5-7 each spent verdict space adjudicating a divergence between
+the driver's single BENCH_r{N}.json snapshot and the repo's
+quiet-machine medians (r7: driver 36.9 s vs quiet 26.7 s, same code,
+same day). This script makes that adjudication mechanical:
+
+  python scripts/bench_drift.py --round 8 [--runs 3] [--gap 60]
+      [--driver BENCH_r7.json] [--out BENCH_QUIET_r8.json]
+
+- runs the FROZEN bench.py (timing protocol untouched) ``--runs``
+  times with a ``--gap``-second settle between runs, recording
+  1-minute load average before each run (the "quiet" evidence);
+- reports the per-query MEDIAN next to the round-1 per-query baseline
+  (BASELINE.md table, frozen 2026-08-13) and flags >1.5x / >2.0x;
+- if ``--driver`` points at a BENCH_r{N}.json, classifies each
+  query's driver-vs-quiet ratio so "environment vs plan regression"
+  is a recorded number, not an argument;
+- writes ONE json artifact with verdicts:
+    total_verdict: ok (<=1.1x baseline) | watch (<=2.0x) | breach
+    per-query flags: over_1_5x, over_2x vs its round-1 baseline.
+
+The timed code path stays bench.py verbatim (subprocess) — this
+wrapper only schedules runs and aggregates, so the numbers remain
+comparable with every prior round's series.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Round-1 per-query baseline seconds (BASELINE.md, measured
+#: 2026-08-13, median of 3 at sf0.1 on local[32]) — the denominators
+#: of the 2x acceptance envelope. Frozen; do not re-derive.
+BASELINE_TOTAL = 26.2
+BASELINE_PER_QUERY = {
+    "q1_pricing_summary": 2.08,
+    "q3_shipping_priority": 2.02,
+    "q5_local_supplier_volume": 1.77,
+    "q6_forecast_revenue": 0.57,
+    "q10_returned_items": 1.25,
+    "w4_running_sum": 1.47,
+    "e1_hourly_event_stats": 1.18,
+    "e3_sessionization": 1.18,
+    "l1_exact_dedup": 1.83,
+    "l2b_simhash": 1.59,
+    "l3_cosine_topk": 0.82,
+    "l3b_bucketed_near_pairs": 1.01,
+    "l4_text_stats": 0.39,
+    "l4c_tfidf_top_terms": 1.57,
+    "st1_watermark_tumbling": 4.74,
+    "ud2_pandas_scalar": 2.28,
+}
+
+
+def run_bench() -> dict:
+    """One full bench.py subprocess; returns the parsed JSON line."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=False,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"bench.py produced no JSON line (rc={proc.returncode}):\n"
+        + proc.stderr[-2000:]
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--gap", type=int, default=60)
+    ap.add_argument("--driver", help="driver BENCH_r{N}.json to classify")
+    ap.add_argument("--out", help="artifact path (default BENCH_QUIET_r{N}.json)")
+    args = ap.parse_args()
+
+    runs: list[dict] = []
+    for i in range(args.runs):
+        if i:
+            time.sleep(args.gap)
+        load1 = os.getloadavg()[0]
+        t0 = time.time()
+        res = run_bench()
+        runs.append(
+            {
+                "load1_before": round(load1, 2),
+                "wall": round(time.time() - t0, 1),
+                "total": res["value"],
+                "queries": res["queries"],
+                "errors": res.get("errors", {}),
+            }
+        )
+        print(
+            f"run {i + 1}/{args.runs}: total {res['value']} s "
+            f"(load1 {load1:.2f})",
+            file=sys.stderr,
+        )
+
+    med_total = round(statistics.median(r["total"] for r in runs), 3)
+    names = sorted({n for r in runs for n in r["queries"]})
+    med_q = {
+        n: round(statistics.median(r["queries"][n] for r in runs if n in r["queries"]), 3)
+        for n in names
+    }
+
+    per_query = {}
+    for n in names:
+        base = BASELINE_PER_QUERY.get(n)
+        ratio = round(med_q[n] / base, 3) if base else None
+        per_query[n] = {
+            "quiet_median": med_q[n],
+            "baseline": base,
+            "vs_baseline": ratio,
+            "over_1_5x": bool(ratio and ratio > 1.5),
+            "over_2x": bool(ratio and ratio > 2.0),
+        }
+
+    total_ratio = round(med_total / BASELINE_TOTAL, 3)
+    verdict = (
+        "ok" if total_ratio <= 1.1 else "watch" if total_ratio <= 2.0 else "breach"
+    )
+
+    out = {
+        "round": args.round,
+        "protocol": "median of %d bench.py subprocess runs, %ds settle gap"
+        % (args.runs, args.gap),
+        "quiet_total_median": med_total,
+        "baseline_total": BASELINE_TOTAL,
+        "vs_baseline": total_ratio,
+        "total_verdict": verdict,
+        "runs": runs,
+        "per_query": per_query,
+    }
+
+    if args.driver:
+        with open(args.driver) as f:
+            drv = json.load(f)
+        dq = (drv.get("parsed") or drv).get("queries", {})
+        dt = (drv.get("parsed") or drv).get("value")
+        out["driver_vs_quiet"] = {
+            "driver_total": dt,
+            "ratio_total": round(dt / med_total, 3) if dt else None,
+            "per_query": {
+                n: round(dq[n] / med_q[n], 3)
+                for n in names
+                if n in dq and med_q[n] > 0
+            },
+        }
+
+    path = args.out or os.path.join(REPO, f"BENCH_QUIET_r{args.round}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps({k: out[k] for k in
+                      ("quiet_total_median", "vs_baseline", "total_verdict")}))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
