@@ -840,7 +840,8 @@ def lm9_curated_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, and every emitted ratio ROUNDed to 8dp on BOTH engines —
     the w8 canon: double→DECIMAL window-sum ratios can drift in the
     last ulp across engines at larger scale factors (w8/st29
-    precedent), so the unrounded double never leaves the plan (w8). A source whose curated mass is zero gets boost 0 by
+    precedent), so the unrounded double never leaves the plan.
+    A source whose curated mass is zero gets boost 0 by
     explicit CASE (0/0 guard), exact both engines. Adds nothing to
     l5j's bounded corpus-scan budget beyond the one extra grouped
     aggregate."""
@@ -879,4 +880,338 @@ def lm9_curated_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("kept_tokens") == 0, F.lit(0.0))
         .otherwise(F.round(mix_weight / natural_share, 8))
         .alias("boost"),
+    )
+
+
+#: lm10 incremental-curation stage order: cheap exact-hash screen
+#: against history first (l1c's tier), then the in-row gates in l5j's
+#: relative order (length -> stopword -> classifier), then the
+#: join-bearing fuzzy screen against history last (lm8's tier) — the
+#: same cheap-before-expensive ordering l5j uses for the batch stack.
+_LM10_STAGES = (
+    "exact_dup_hist",
+    "bad_length",
+    "low_stopword",
+    "low_quality",
+    "near_dup_minhash_hist",
+)
+
+
+def _lm10_oracle() -> str:
+    from big_data_programming_spark.operators.dedup import (
+        minhash_band_key_sql,
+        minhash_signatures_sql,
+    )
+    from big_data_programming_spark.operators.text import (
+        STOPWORDS,
+        l5i_weights_sql,
+        quality_logit_sql,
+    )
+    from big_data_programming_spark.queries.llm_curation import funnel_tail_sql
+
+    n_bands = _LM8_K // _LM8_R
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    first_fail = " ".join(f"WHEN {s} THEN '{s}'" for s in _LM10_STAGES)
+    return f"""
+WITH {minhash_signatures_sql(_LM8_K)},
+w AS (SELECT {l5i_weights_sql()} AS wv),
+hist_h AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+), new AS (
+  SELECT doc_id, source, md5(text) AS h, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 10 = 9
+), hb AS (
+  SELECT doc, g.j AS band, {minhash_band_key_sql(_LM8_R)} AS key
+  FROM (SELECT * FROM sigs WHERE doc % 10 <> 9) sig_h,
+       (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), nb AS (
+  SELECT doc, g.j AS band, {minhash_band_key_sql(_LM8_R)} AS key
+  FROM (SELECT * FROM sigs WHERE doc % 10 = 9) sig_n,
+       (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), cand AS (
+  SELECT DISTINCT nb.doc AS new_doc, hb.doc AS hist_doc
+  FROM nb JOIN hb ON nb.band = hb.band AND nb.key = hb.key
+), nd AS (
+  SELECT DISTINCT c.new_doc AS doc_id
+  FROM cand c
+  JOIN sigs ns ON ns.doc = c.new_doc
+  JOIN sigs hs ON hs.doc = c.hist_doc
+  WHERE list_sum(list_transform(generate_series(1, {_LM8_K}),
+          i -> CASE WHEN ns.sig[i] = hs.sig[i] THEN 1 ELSE 0 END))
+        >= {_LM8_MIN_MATCH}
+), flags AS (
+  SELECT n.source, CAST(LEN(n.toks) AS BIGINT) AS n_tokens,
+         hh.h IS NOT NULL AS exact_dup_hist,
+         LEN(n.toks) NOT BETWEEN 20 AND 2000 AS bad_length,
+         LEN(list_filter(n.toks, x -> x IN ({stop}))) < 2 AS low_stopword,
+         {quality_logit_sql('n.toks', 'wv')} <= 0 AS low_quality,
+         nd.doc_id IS NOT NULL AS near_dup_minhash_hist
+  FROM new n
+  CROSS JOIN w
+  LEFT JOIN hist_h hh ON hh.h = n.h
+  LEFT JOIN nd ON nd.doc_id = n.doc_id
+), v AS (
+  SELECT source, n_tokens, CASE {first_fail} ELSE 'keep' END AS verdict
+  FROM flags
+){funnel_tail_sql(_LM10_STAGES)}"""
+
+
+@register(
+    "lm10_incremental_curation_funnel",
+    oracle=_lm10_oracle(),
+    tags=("L5", "L1", "L2", "J4", "A1"),
+)
+def lm10_incremental_curation_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DAILY-INGEST twin of the l5j batch capstone: a new arrival
+    batch (doc_id % 10 = 9, the lm5/lm8 geometry) is curated against
+    the accumulated HISTORY using only the state an incremental
+    pipeline actually persists — the md5 content-hash set (l1c's
+    tier) and the 24-long MinHash signature table (lm8's tier), never
+    historical raw text — plus the in-row gates that need no history
+    at all (l5j's length / stopword / l5i classifier rules). Emits
+    the same per-stage funnel relation as l5j (docs in/removed/out,
+    surviving token mass, removal fraction), produced by the SHARED
+    verdict_funnel / funnel_tail_sql fragments so the daily funnel's
+    accounting provably equals the batch funnel's.
+
+    Plan shape: the exact screen is a hash-keyed left join of the
+    arrival batch against the persisted hash set (16-byte keys, no
+    text); the gates ride the arrival scan in-row (the wv model is
+    one broadcast row); the fuzzy screen is lm8's banded equi-join of
+    arrival band keys against history band keys with the in-row
+    24-slot signature compare — every history-sized structure is
+    keyed state, every shuffle moves hashes. At 100 TB the per-day
+    cost is O(batch + matched candidates), independent of corpus age;
+    the funnel reduction itself is one grouped aggregate to
+    |stages|+1 rows and windows over those rows only (w8
+    discipline)."""
+    from big_data_programming_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+    from big_data_programming_spark.operators.text import (
+        L5I_WEIGHTS,
+        STOPWORDS,
+        quality_logit,
+        tokenize,
+    )
+    from big_data_programming_spark.queries.llm_curation import verdict_funnel
+
+    d = load(spark, sf_dir, "documents")
+    hist_h = (
+        d.filter(F.col("doc_id") % 10 != 9)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .select("h", F.lit(True).alias("_ex"))
+    )
+    new = d.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        tokenize(F.col("text")).alias("toks"),
+    )
+    sig = minhash_signatures(d, num_hashes=_LM8_K)
+    hist_sig = sig.filter(F.col("doc") % 10 != 9)
+    new_sig = sig.filter(F.col("doc") % 10 == 9)
+    hb = minhash_bands(hist_sig, num_hashes=_LM8_K, rows_per_band=_LM8_R).select(
+        F.col("doc").alias("hist_doc"), "band", "key"
+    )
+    nb = minhash_bands(new_sig, num_hashes=_LM8_K, rows_per_band=_LM8_R).select(
+        F.col("doc").alias("new_doc"), "band", "key"
+    )
+    cand = nb.join(hb, ["band", "key"]).select("new_doc", "hist_doc").distinct()
+    m = F.aggregate(
+        F.zip_with(
+            F.col("sig_n"),
+            F.col("sig_h"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    nd = (
+        cand.join(
+            new_sig.select(F.col("doc").alias("new_doc"), F.col("sig").alias("sig_n")),
+            "new_doc",
+        )
+        .join(
+            hist_sig.select(
+                F.col("doc").alias("hist_doc"), F.col("sig").alias("sig_h")
+            ),
+            "hist_doc",
+        )
+        .filter(m >= _LM8_MIN_MATCH)
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("_nd"))
+    )
+    wrow = spark.range(1).select(
+        F.array(*[F.lit(x) for x in L5I_WEIGHTS]).alias("wv")
+    )
+    flags = (
+        new.join(hist_h, "h", "left")
+        .join(nd, "doc_id", "left")
+        .crossJoin(F.broadcast(wrow))
+        .select(
+            "source",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("_ex"), F.lit(False)).alias("exact_dup_hist"),
+            (~F.size("toks").between(20, 2000)).alias("bad_length"),
+            (
+                F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))) < 2
+            ).alias("low_stopword"),
+            (quality_logit(F.col("toks"), F.col("wv")) <= 0).alias("low_quality"),
+            F.coalesce(F.col("_nd"), F.lit(False)).alias("near_dup_minhash_hist"),
+        )
+    )
+    verdict = F.when(F.col(_LM10_STAGES[0]), _LM10_STAGES[0])
+    for stage in _LM10_STAGES[1:]:
+        verdict = verdict.when(F.col(stage), stage)
+    v = flags.select(
+        "source", "n_tokens", verdict.otherwise("keep").alias("verdict")
+    )
+    return verdict_funnel(spark, v, _LM10_STAGES)
+
+
+#: lm8b hot-bucket ceiling: a history (band, key) bucket larger than
+#: this is skipped during candidate generation. Measured on the
+#: sf0.01 fixture (SCALING.md density note, now enforced behavior):
+#: history bucket sizes avg 20.8 / p90 43 / max 300; cap 50 cuts
+#: candidate pairs 21,102 -> 4,177 (-80%) and signature compares
+#: 16,466 -> 3,096 while still flagging 43 of the 49 uncapped
+#: near-dup arrivals — the 6 lost are reachable ONLY through >50-doc
+#: boilerplate buckets, exactly the class production LSH skips.
+_LM8B_CAP = 50
+
+
+def _lm8b_oracle() -> str:
+    from big_data_programming_spark.operators.dedup import (
+        minhash_band_key_sql,
+        minhash_signatures_sql,
+    )
+
+    n_bands = _LM8_K // _LM8_R
+    return f"""
+WITH {minhash_signatures_sql(_LM8_K)},
+hist AS (SELECT * FROM sigs WHERE doc % 10 <> 9),
+new AS (SELECT * FROM sigs WHERE doc % 10 = 9),
+hb AS (
+  SELECT doc, g.j AS band, {minhash_band_key_sql(_LM8_R)} AS key
+  FROM hist, (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), nb AS (
+  SELECT doc, g.j AS band, {minhash_band_key_sql(_LM8_R)} AS key
+  FROM new, (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), sz AS (
+  SELECT band, key FROM hb GROUP BY 1, 2 HAVING COUNT(*) <= {_LM8B_CAP}
+), cand AS (
+  SELECT DISTINCT nb.doc AS new_doc, hb.doc AS hist_doc
+  FROM nb
+  JOIN sz ON nb.band = sz.band AND nb.key = sz.key
+  JOIN hb ON nb.band = hb.band AND nb.key = hb.key
+), scored AS (
+  SELECT c.new_doc, c.hist_doc,
+         list_sum(list_transform(generate_series(1, {_LM8_K}),
+           i -> CASE WHEN ns.sig[i] = hs.sig[i] THEN 1 ELSE 0 END)) AS m
+  FROM cand c
+  JOIN new ns ON ns.doc = c.new_doc
+  JOIN hist hs ON hs.doc = c.hist_doc
+)
+SELECT new_doc AS new_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+       CAST(MAX(m) AS BIGINT) AS best_matching,
+       ROUND(CAST(MAX(m) AS DOUBLE) / {_LM8_K}, 6) AS best_est_jaccard,
+       (MIN(struct_pack(k := {_LM8_K} - m, id := hist_doc))).id AS dup_of
+FROM scored
+WHERE m >= {_LM8_MIN_MATCH}
+GROUP BY 1
+"""
+
+
+@register(
+    "lm8b_capped_minhash_dedup",
+    oracle=_lm8b_oracle(),
+    tags=("L2", "L1", "J1", "F10"),
+)
+def lm8b_capped_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm8's incremental MinHash screen with the FAN-OUT CAP a
+    production LSH pipeline enforces: history (band, key) buckets
+    holding more than _LM8B_CAP docs are skipped during candidate
+    generation. Rationale: a B-doc bucket contributes B candidate
+    compares per colliding arrival, so near-constant bands (template
+    boilerplate, empty-ish docs) turn the incremental cost from
+    O(batch) into O(batch x hottest-bucket) — the exact blowup the
+    sf0.01 fixture exhibits (see _LM8B_CAP: -80% candidate pairs,
+    43/49 arrivals still flagged; the misses are boilerplate-only
+    paths). Same output relation as lm8, so the two are directly
+    diffable; lm8 stays the exhaustive-banding reference.
+
+    Plan shape: the bucket-size relation is ONE grouped aggregate of
+    the history band table (key-sized rows — at 100 TB this is
+    maintainable incrementally as a count per key), the cap is a
+    HAVING on that aggregate, and candidates join arrivals against
+    surviving buckets only, so the cap bounds BOTH the shuffle volume
+    and the per-arrival compare count BEFORE the expensive signature
+    join. Everything else is lm8 verbatim (shared signature/banding
+    fragments, structural (rank, id) tie-break)."""
+    from big_data_programming_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=_LM8_K)
+    hist = sig.filter(F.col("doc") % 10 != 9)
+    new = sig.filter(F.col("doc") % 10 == 9)
+    hb = minhash_bands(hist, num_hashes=_LM8_K, rows_per_band=_LM8_R).select(
+        F.col("doc").alias("hist_doc"), "band", "key"
+    )
+    nb = minhash_bands(new, num_hashes=_LM8_K, rows_per_band=_LM8_R).select(
+        F.col("doc").alias("new_doc"), "band", "key"
+    )
+    cool = (
+        hb.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= _LM8B_CAP)
+        .select("band", "key")
+    )
+    cand = (
+        nb.join(cool, ["band", "key"])
+        .join(hb, ["band", "key"])
+        .select("new_doc", "hist_doc")
+        .distinct()
+    )
+    ns = new.select(F.col("doc").alias("new_doc"), F.col("sig").alias("sig_n"))
+    hs = hist.select(F.col("doc").alias("hist_doc"), F.col("sig").alias("sig_h"))
+    m = F.aggregate(
+        F.zip_with(
+            F.col("sig_n"),
+            F.col("sig_h"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(ns, "new_doc")
+        .join(hs, "hist_doc")
+        .withColumn("m", m)
+        .filter(F.col("m") >= _LM8_MIN_MATCH)
+        .groupBy(F.col("new_doc").alias("new_doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
+            F.max("m").cast("bigint").alias("best_matching"),
+            F.round(F.max("m").cast("double") / _LM8_K, 6).alias(
+                "best_est_jaccard"
+            ),
+            F.min(
+                F.struct(
+                    (F.lit(_LM8_K) - F.col("m")).cast("long").alias("k"),
+                    F.col("hist_doc").alias("id"),
+                )
+            )
+            .getField("id")
+            .alias("dup_of"),
+        )
     )

@@ -1184,3 +1184,61 @@ def test_classifier_gate_consistent_across_queries(spark):
     assert rows
     for r in rows:
         assert r["low_quality"] == (not keep[r["doc_id"]]), r
+
+
+def test_capped_minhash_fanout(spark):
+    """lm8b: the hot-bucket ceiling only ever REMOVES candidates —
+    flagged docs are a subset of lm8's, per-doc match/dup counts
+    never exceed lm8's — and on the pathologically dense fixture the
+    cap actually bites (strictly fewer qualifying pairs), turning
+    SCALING.md's lm8 density note into enforced behavior."""
+    from big_data_programming_spark.registry import queries
+
+    q = queries()
+    full = {
+        r["new_doc_id"]: r
+        for r in q["lm8_incremental_minhash_dedup"](spark, SMOKE_SF_DIR).collect()
+    }
+    capped = {
+        r["new_doc_id"]: r
+        for r in q["lm8b_capped_minhash_dedup"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert capped and set(capped) <= set(full)
+    for d, r in capped.items():
+        assert r["n_near_dups"] <= full[d]["n_near_dups"], d
+        assert r["best_matching"] <= full[d]["best_matching"], d
+    assert sum(r["n_near_dups"] for r in capped.values()) < sum(
+        r["n_near_dups"] for r in full.values()
+    )
+
+
+def test_incremental_curation_funnel_accounting(spark):
+    """lm10: the funnel's chaining conserves documents (docs_out of
+    stage i == docs_in of stage i+1, removed + out == in), stage 1
+    sees the entire arrival batch, token mass never increases down
+    the funnel, and the fixture is discriminating (the in-row gates
+    and the history near-dup screen each remove something)."""
+    from big_data_programming_spark.queries.llm_mixing import _LM10_STAGES
+    from big_data_programming_spark.registry import queries
+
+    rows = sorted(
+        queries()["lm10_incremental_curation_funnel"](
+            spark, SMOKE_SF_DIR
+        ).collect(),
+        key=lambda r: r["stage_ord"],
+    )
+    assert [r["stage"] for r in rows] == list(_LM10_STAGES)
+    arrivals = (
+        load(spark, SMOKE_SF_DIR, "documents")
+        .filter(F.col("doc_id") % 10 == 9)
+        .count()
+    )
+    assert rows[0]["docs_in"] == arrivals
+    for a, b in zip(rows, rows[1:]):
+        assert a["docs_in"] - a["docs_removed"] == a["docs_out"], a
+        assert a["docs_out"] == b["docs_in"], (a, b)
+        assert a["tokens_out"] >= b["tokens_out"], (a, b)
+    by = {r["stage"]: r for r in rows}
+    assert by["near_dup_minhash_hist"]["docs_removed"] > 0
+    assert sum(by[s]["docs_removed"] for s in
+               ("bad_length", "low_stopword", "low_quality")) > 0
