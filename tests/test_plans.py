@@ -893,3 +893,44 @@ def test_winnow_fingerprints_materialized_once():
     spark = S.get_spark("plan-tests", cpus=8)
     plan = plan_of(catalog()["l2k2_duplicate_span_extents"].fn(spark, SF_DIR))
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_lm8b_cap_applied_before_candidate_join():
+    """lm8b (round 8): the hot-bucket ceiling is enforced IN THE PLAN —
+    the bucket-size aggregate's `count <= 50` filter exists (so the
+    cap bounds shuffle volume before the signature join, not after),
+    no cartesian product appears, and the extra bucket-count pass
+    costs exactly one more documents scan than lm8's four (the
+    signature lineage is recomputed per consumer at fixture scale; a
+    real incremental pipeline reads persisted signatures instead —
+    the docstring's persistence argument)."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(catalog()["lm8b_capped_minhash_dedup"].fn(spark, SF_DIR))
+    assert "<= 50" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    docs = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert docs <= 5, (docs, plan)
+
+
+def test_lm10_incremental_funnel_bounded_scans():
+    """lm10 (round 8 capstone twin): the arrival batch's curation
+    against history stays scan-bounded — <= 6 documents scans for the
+    whole three-tier screen (hash set, gates, MinHash banding), the
+    classifier model attaches as exactly ONE broadcast 1-row join,
+    and no cartesian product anywhere; the funnel reduction adds no
+    corpus pass (unpartitioned windows over the stage dimension only,
+    same as l5j)."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    plan = plan_of(
+        catalog()["lm10_incremental_curation_funnel"].fn(spark, SF_DIR)
+    )
+    docs = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+    assert docs <= 6, (docs, plan)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
