@@ -21,6 +21,7 @@ from big_data_programming_spark.operators.text import (
     quality_logit_sql,
     shingle_fingerprint,
     tokenize,
+    unigram_bigram_features,
 )
 from big_data_programming_spark.operators.dedup import (
     SIMHASH_ORACLE_SQL,
@@ -1667,3 +1668,235 @@ def l5e5_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_nll"),
         F.round(F.exp(avg), 4).alias("ppl_proxy"),
     )
+
+
+#: l5k training hyperparameters — deterministic by construction:
+#: zero-init weights (so step-1 probabilities are exactly 0.5 in both
+#: engines), full-batch gradients (no sampling), fixed learning rate,
+#: exactly two unrolled steps, decimal-canon gradient sums, 8dp
+#: rounding at every step boundary so no raw libm double (EXP in the
+#: step-2 sigmoid) ever crosses a step unrounded.
+_L5K_LR = 4.0
+_L5K_B = 256
+
+
+def _l5k_oracle() -> str:
+    def ds(expr: str) -> str:
+        # decimal-canon SUM as a bare expression (oracle_dsum with the
+        # trailing alias stripped — these sums sit inside ROUND(...))
+        return (
+            f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10)))"
+            f" AS VARCHAR) AS DOUBLE)"
+        )
+
+    bucket = (
+        "(CAST(CONCAT('0x', SUBSTRING(md5(f), 1, 8)) AS BIGINT) % 256)"
+    )
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list_concat(toks,
+           list_transform(generate_series(1, GREATEST(LEN(toks) - 1, 0)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS fs
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+), ex AS (
+  SELECT doc_id, y, LEN(fs) AS nf, UNNEST(fs) AS f FROM fx
+), xdb AS (
+  SELECT doc_id, y, {bucket} AS bucket,
+         CAST(COUNT(*) AS DOUBLE) / nf AS x
+  FROM ex GROUP BY doc_id, y, nf, {bucket}
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+b1 AS (
+  SELECT ROUND(-{_L5K_LR} * ({ds("0.5 - y")}) / ANY_VALUE(nn), 8)
+         AS b1
+  FROM fx, n
+), g1 AS (
+  SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         {ds("(0.5 - y) * x")} AS s1
+  FROM xdb GROUP BY 1
+), w1 AS (
+  SELECT bucket, n_docs, ROUND(-{_L5K_LR} * s1 / nn, 8) AS w1
+  FROM g1, n
+), z AS (
+  SELECT x.doc_id, ANY_VALUE(x.y) AS y,
+         ROUND(({ds("w1.w1 * x.x")}) + ANY_VALUE(b1.b1), 8) AS z
+  FROM xdb x JOIN w1 USING (bucket) CROSS JOIN b1
+  GROUP BY x.doc_id
+), p AS (
+  SELECT doc_id, y, ROUND(1.0 / (1.0 + EXP(-z)), 8) AS p FROM z
+), b2 AS (
+  SELECT ROUND(ANY_VALUE(b1.b1)
+           - {_L5K_LR} * ({ds("p.p - p.y")}) / ANY_VALUE(nn), 8)
+         AS b2
+  FROM p, b1, n
+), g2 AS (
+  SELECT x.bucket, {ds("(p.p - p.y) * x.x")} AS s2
+  FROM xdb x JOIN p ON p.doc_id = x.doc_id
+  GROUP BY 1
+), w2 AS (
+  SELECT w1.bucket, w1.n_docs, w1.w1,
+         ROUND(w1.w1 - {_L5K_LR} * g2.s2 / nn, 8) AS w2
+  FROM w1 JOIN g2 USING (bucket), n
+), dim AS (SELECT UNNEST(generate_series(0, {_L5K_B - 1})) AS bucket)
+SELECT CAST(d.bucket AS BIGINT) AS bucket,
+       COALESCE(w2.n_docs, 0) AS n_docs,
+       COALESCE(w2.w1, 0.0) AS weight_step1,
+       COALESCE(w2.w2, 0.0) AS weight_final
+FROM dim d LEFT JOIN w2 ON w2.bucket = d.bucket
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS bucket,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       b1.b1 AS weight_step1, b2.b2 AS weight_final
+FROM b1, b2
+"""
+
+
+@register(
+    "l5k_train_quality_weights",
+    oracle=_l5k_oracle(),
+    tags=("L5", "A1", "J8", "F7"),
+)
+def l5k_train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the l5i-style classifier in-engine — closing the r7
+    verdict's "trained-weights swap point": instead of the md5-derived
+    stand-in, this runs the CCNet recipe (Wenzek et al. 2020) for
+    real: weak labels from a trusted-class signal (lang = 'en', the
+    same target convention lm7's DSIR uses), hashed unigram+bigram
+    bag-of-features (l5i's exact 256-bucket md5 hash), and TWO
+    unrolled full-batch gradient-descent steps of logistic regression
+    — emitted as the (bucket, weight) model artifact plus the
+    intercept as bucket -1, ready to broadcast into l5i's gate shape.
+
+    Distributed-training shape (the reason fastText-style gates are
+    trainable at 100 TB): the gradient is a SUM over documents of
+    per-bucket terms, so each step is one map-side-partial groupBy
+    over the exploded (doc, bucket, x) relation — 256 keys, partial
+    aggregation collapses every task's contribution to <= 256 rows
+    before the shuffle — plus one broadcast of the current 256-double
+    weight vector for the per-document logits. No parameter server,
+    no driver-side math: the model stays a relation end to end.
+
+    Cross-engine determinism (what makes a TRAINING LOOP hashable at
+    all): zero init makes step-1 probabilities exactly 0.5; feature
+    ratios x = count/n_features are exact IEEE divisions; every
+    gradient reduction uses the decimal-sum canon; and every step
+    boundary (w1, b1, per-doc logit z, sigmoid p, w2, b2) is rounded
+    to 8dp on BOTH engines so the one libm call (EXP) never
+    propagates a raw last-ulp across a step (w8/l5i precedent). The
+    exploded feature relation feeds all three reductions (g1, z, g2),
+    so it is persisted once (the l5e4/l2k2 materialization lesson);
+    session.release_caches() is the documented release point."""
+    d = load(spark, sf_dir, "documents")
+    fx = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        unigram_bigram_features(tokenize(F.col("text"))).alias("fs"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % _L5K_B
+    )
+    xdb = (
+        fx.select(
+            "doc_id", "y", F.size("fs").alias("nf"), F.explode("fs").alias("f")
+        )
+        .groupBy("doc_id", "y", "nf", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            "y",
+            "bucket",
+            (F.col("cnt").cast("double") / F.col("nf")).alias("x"),
+        )
+        .persist()
+    )
+    nrow = d.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    b1row = (
+        fx.agg(F.sum((F.lit(0.5) - F.col("y")).cast(DEC)).cast("double").alias("s"))
+        .crossJoin(F.broadcast(nrow))
+        .select(F.round(-_L5K_LR * F.col("s") / F.col("nn"), 8).alias("b1"))
+    )
+    g1 = (
+        xdb.groupBy("bucket")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+            F.sum(((F.lit(0.5) - F.col("y")) * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("s1"),
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "bucket",
+            "n_docs",
+            F.round(-_L5K_LR * F.col("s1") / F.col("nn"), 8).alias("w1"),
+        )
+    )
+    z = (
+        xdb.join(F.broadcast(g1.select("bucket", "w1")), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum((F.col("w1") * F.col("x")).cast(DEC)).cast("double").alias("zs")
+        )
+        .crossJoin(F.broadcast(b1row))
+        .select(
+            "doc_id",
+            "y",
+            F.round(F.col("zs") + F.col("b1"), 8).alias("z"),
+        )
+    )
+    p = z.select(
+        "doc_id",
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 8).alias("p"),
+    )
+    b2row = (
+        p.agg(F.sum((F.col("p") - F.col("y")).cast(DEC)).cast("double").alias("s"))
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(b1row))
+        .select(
+            F.col("b1").alias("weight_step1"),
+            F.round(
+                F.col("b1") - _L5K_LR * F.col("s") / F.col("nn"), 8
+            ).alias("weight_final"),
+        )
+    )
+    g2 = (
+        xdb.join(p.select("doc_id", "p"), "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(((F.col("p") - F.col("y")) * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("s2")
+        )
+    )
+    w2 = (
+        g1.join(g2, "bucket")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "bucket",
+            "n_docs",
+            "w1",
+            F.round(F.col("w1") - _L5K_LR * F.col("s2") / F.col("nn"), 8).alias(
+                "w2"
+            ),
+        )
+    )
+    dim = spark.range(_L5K_B).select(F.col("id").cast("bigint").alias("bucket"))
+    buckets = dim.join(w2, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("w1"), F.lit(0.0)).alias("weight_step1"),
+        F.coalesce(F.col("w2"), F.lit(0.0)).alias("weight_final"),
+    )
+    bias = (
+        b2row.crossJoin(F.broadcast(nrow))
+        .select(
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.col("nn").cast("bigint").alias("n_docs"),
+            "weight_step1",
+            "weight_final",
+        )
+    )
+    return buckets.unionByName(bias)

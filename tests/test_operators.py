@@ -1242,3 +1242,58 @@ def test_incremental_curation_funnel_accounting(spark):
     assert by["near_dup_minhash_hist"]["docs_removed"] > 0
     assert sum(by[s]["docs_removed"] for s in
                ("bad_length", "low_stopword", "low_quality")) > 0
+
+
+def test_trained_quality_weights_learn(spark):
+    """l5k: the in-engine training loop actually LEARNS — the model
+    artifact has the full 256-bucket dimension plus the bucket=-1
+    intercept, step 2 moved the weights (w_final != w_step1 for most
+    populated buckets), and scoring the training corpus with the
+    FINAL weights separates the weak-label classes in the right
+    direction (mean logit of lang='en' docs above the rest — the
+    CCNet train-fit property; the synthetic corpus's lang/token
+    signal is weak, so only direction is asserted, not margin)."""
+    from big_data_programming_spark.operators.text import (
+        unigram_bigram_features,
+        tokenize,
+    )
+    from big_data_programming_spark.registry import queries
+
+    rows = queries()["l5k_train_quality_weights"](spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == 257
+    by = {r["bucket"]: r for r in rows}
+    assert -1 in by and by[-1]["n_docs"] > 0
+    pop = [r for r in rows if r["bucket"] >= 0 and r["n_docs"] > 0]
+    moved = sum(1 for r in pop if r["weight_final"] != r["weight_step1"])
+    assert moved > len(pop) * 0.9, (moved, len(pop))
+
+    w = {r["bucket"]: r["weight_final"] for r in pop}
+    bias = by[-1]["weight_final"]
+    d = load(spark, SMOKE_SF_DIR, "documents")
+    fx = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        unigram_bigram_features(tokenize(F.col("text"))).alias("fs"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 256
+    )
+    wmap = F.create_map(
+        *[F.lit(v) for kv in w.items() for v in kv]
+    )
+    z = (
+        fx.select(
+            "doc_id", "is_en", F.size("fs").alias("nf"), F.explode("fs").alias("f")
+        )
+        .select("doc_id", "is_en", "nf", bucket.alias("b"))
+        .withColumn("wb", F.coalesce(wmap[F.col("b")], F.lit(0.0)))
+        .groupBy("doc_id", "is_en")
+        .agg((F.sum("wb") / F.first("nf") + F.lit(bias)).alias("z"))
+    )
+    means = {
+        r["is_en"]: r["mz"]
+        for r in z.groupBy("is_en").agg(F.avg("z").alias("mz")).collect()
+    }
+    assert means[True] > means[False], means
