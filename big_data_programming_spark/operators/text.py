@@ -283,3 +283,103 @@ def synthetic_url_sql(doc_id: str = "doc_id", source: str = "source") -> str:
            WHEN 2 THEN 'https://' || {source} || '.example.com:443/page/' || {page}
            ELSE 'https://' || {source} || '.example.com/page/' || {page} || '#section-2'
          END"""
+
+
+#: End-of-word marker for BPE training (Sennrich et al. 2016 §3.2):
+#: appended as its own symbol so merges can learn word-final units
+#: and decoding stays reversible.
+BPE_EOW = "</w>"
+
+
+def bpe_symbolize(word_col: str) -> Column:
+    """A word as its initial BPE symbol string: space-joined characters
+    plus the end-of-word marker ('the' -> 't h e </w>'). Twin of
+    :func:`bpe_symbolize_sql` — ONE construction per engine pair so
+    the l4m3 training rounds start from provably identical state.
+    Takes the column NAME (the char walk uses SQL substring, whose
+    position argument must be an expression)."""
+    return F.expr(
+        f"concat(array_join(transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, i, 1)), ' '), ' {BPE_EOW}')"
+    )
+
+
+def bpe_symbolize_sql(word_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_symbolize`."""
+    return (
+        f"array_to_string(list_transform(generate_series(1, LEN({word_expr})), "
+        f"i -> SUBSTRING({word_expr}, i, 1)), ' ') || ' {BPE_EOW}'"
+    )
+
+
+def bpe_pairs(sym: Column) -> Column:
+    """All adjacent symbol pairs of a symbol string, each as 'a b'.
+    Twin of :func:`bpe_pairs_sql`."""
+    p = F.split(sym, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(p) - 1),
+        lambda i: F.concat(
+            F.element_at(p, i), F.lit(" "), F.element_at(p, i + 1)
+        ),
+    )
+
+
+def bpe_pairs_sql(sym_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_pairs`."""
+    return (
+        f"list_transform(generate_series(1, LEN(string_split({sym_expr}, ' ')) - 1), "
+        f"i -> string_split({sym_expr}, ' ')[i] || ' ' || "
+        f"string_split({sym_expr}, ' ')[i + 1])"
+    )
+
+
+def bpe_apply_merge(sym: Column, a: Column, b: Column) -> Column:
+    """Apply ONE merge rule (a, b) -> a||b to a symbol string,
+    left-to-right non-overlapping (standard BPE apply): a left fold
+    whose accumulator is the partially rebuilt string — after a merge
+    the new tail symbol is a||b, which no longer equals ``a``, so
+    overlapping occurrences are skipped exactly as the reference
+    algorithm does ('a a a' + (a,a) -> 'aa a'). Twin of
+    :func:`bpe_apply_merge_sql`; the two were probe-verified to agree
+    on overlap, repeat, and single-symbol edge cases."""
+
+    def parts(c: Column) -> Column:
+        return F.split(c, " ")
+
+    return F.aggregate(
+        F.split(sym, " "),
+        F.lit(""),
+        lambda acc, t: F.when(acc == F.lit(""), t).otherwise(
+            F.when(
+                (F.element_at(parts(acc), -1) == a) & (t == b),
+                F.when(F.size(parts(acc)) == 1, F.concat(a, b)).otherwise(
+                    F.concat(
+                        F.array_join(
+                            F.slice(parts(acc), 1, F.size(parts(acc)) - 1),
+                            " ",
+                        ),
+                        F.lit(" "),
+                        a,
+                        b,
+                    )
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), t))
+        ),
+    )
+
+
+def bpe_apply_merge_sql(sym_expr: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_apply_merge`. DuckDB's list_reduce
+    seeds with the FIRST element, which is exactly Spark's
+    empty-string-seeded fold after its ``acc == ''`` first-step
+    branch — equivalent for the never-empty symbol lists BPE sees
+    (every word carries at least one char plus the </w> marker)."""
+    p = "string_split(acc, ' ')"
+    return (
+        f"list_reduce(string_split({sym_expr}, ' '), (acc, t) -> "
+        f"CASE WHEN list_extract({p}, LEN({p})) = {a_expr} AND t = {b_expr} "
+        f"THEN CASE WHEN LEN({p}) = 1 THEN {a_expr} || {b_expr} "
+        f"ELSE array_to_string(list_slice({p}, 1, LEN({p}) - 1), ' ') "
+        f"|| ' ' || {a_expr} || {b_expr} END "
+        f"ELSE acc || ' ' || t END)"
+    )

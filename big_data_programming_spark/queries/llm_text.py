@@ -1900,3 +1900,147 @@ def l5k_train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return buckets.unionByName(bias)
+
+
+#: Number of unrolled BPE merge rounds learned by l4m3. Eight is
+#: enough to exercise repeat/overlap/cross-round dependencies on the
+#: 31-word fixture vocabulary while keeping the unrolled oracle CTE
+#: chain readable; the round count is a constant of the ARTIFACT
+#: (like a real tokenizer's vocab size), not of the corpus.
+_L4M3_MERGES = 8
+
+
+def _l4m3_oracle() -> str:
+    from big_data_programming_spark.operators.text import (
+        bpe_apply_merge_sql,
+        bpe_pairs_sql,
+        bpe_symbolize_sql,
+    )
+
+    ctes = [
+        """wc AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+)""",
+        f"s0 AS (SELECT word, cnt, {bpe_symbolize_sql('word')} AS sym FROM wc)",
+    ]
+    outs = []
+    for k in range(1, _L4M3_MERGES + 1):
+        ctes.append(f"""p{k} AS (
+  SELECT u.pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM s{k - 1}, UNNEST({bpe_pairs_sql("sym")}) AS u(pair)
+  GROUP BY 1
+)""")
+        ctes.append(f"""m{k} AS (
+  SELECT pair, REPLACE(pair, ' ', '') AS merged, pair_count
+  FROM p{k} ORDER BY pair_count DESC, pair LIMIT 1
+)""")
+        apply = bpe_apply_merge_sql(
+            "sym",
+            f"string_split(m{k}.pair, ' ')[1]",
+            f"string_split(m{k}.pair, ' ')[2]",
+        )
+        ctes.append(
+            f"s{k} AS (SELECT word, cnt, {apply} AS sym"
+            f" FROM s{k - 1} CROSS JOIN m{k})"
+        )
+        outs.append(
+            f"SELECT CAST({k} AS BIGINT) AS merge_ord, pair, merged,"
+            f" pair_count FROM m{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@register(
+    "l4m3_bpe_merge_learning",
+    oracle=_l4m3_oracle(),
+    tags=("L4", "A1", "O1", "F4"),
+)
+def l4m3_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN the BPE merge table in-engine — closing the l4m2/l4q
+    "a real tokenizer (BPE) swaps into the same shape" seam with the
+    real algorithm (Sennrich et al. 2016, "Neural Machine Translation
+    of Rare Words with Subword Units"): characters + an end-of-word
+    marker as initial symbols, then per round (a) count adjacent
+    symbol pairs weighted by word frequency, (b) take the most
+    frequent pair (count DESC, pair ASC — the deterministic
+    tie-break), (c) merge its occurrences left-to-right
+    non-overlapping. Emits the merge TABLE (ord, pair, merged,
+    count) — exactly a tokenizer's merges.txt, ready to drive l4m2's
+    packing or l4q's encode.
+
+    Distributed-training shape (why BPE trains at 100 TB): the corpus
+    touches the plan ONCE — the word-frequency aggregate (the only
+    corpus-sized shuffle, hash-keyed, map-side partial). Every merge
+    round then runs over the VOCABULARY-sized (word, cnt, sym)
+    relation — KB-MB even for web-scale corpora — exactly how
+    production BPE trainers work (count first, train on counts). The
+    per-round argmax is a 1-row TakeOrdered broadcast-joined back;
+    the apply step is an in-row fold (operators/text.py:
+    bpe_apply_merge, probe-verified identical to the DuckDB twin on
+    overlap/repeat edge cases). Rounds chain lineage
+    MULTIPLICATIVELY — each round's symbol expression substitutes the
+    previous round's several times (pair extraction alone references
+    split(sym) three times), and 8 un-truncated rounds push the
+    logical plan past Spark's 2 GiB plan-string cap (measured, not
+    theoretical) — so the vocab relation and each round's 1-row
+    argmax are localCheckpoint()ed: lineage truncates at every round
+    boundary, the exact bounded-state-per-step shape a production
+    iterative trainer uses. Determinism end to end: integer counts,
+    binary string ordering, no floats anywhere."""
+    from big_data_programming_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_pairs,
+        bpe_symbolize,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cur = wc.select(
+        "word", "cnt", bpe_symbolize("word").alias("sym")
+    ).localCheckpoint()
+    merges = []
+    for k in range(1, _L4M3_MERGES + 1):
+        pc = (
+            cur.select("cnt", F.explode(bpe_pairs(F.col("sym"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        )
+        best = (
+            pc.orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+            .select(
+                "pair",
+                F.regexp_replace("pair", " ", "").alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(
+                F.lit(k).cast("bigint").alias("merge_ord"),
+                "pair",
+                "merged",
+                "pair_count",
+            )
+        )
+        a = F.element_at(F.split(F.col("pair"), " "), 1)
+        b = F.element_at(F.split(F.col("pair"), " "), 2)
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                "word",
+                "cnt",
+                bpe_apply_merge(F.col("sym"), a, b).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -35,9 +35,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: round's window — no exceptions; a query never ships un-driver-checked
 #: for more than one round. Round-8 additions pre-committed to the r9
 #: window: lm10_incremental_curation_funnel, lm8b_capped_minhash_dedup,
-#: l5k_train_quality_weights (all replay-verified green at
-#: registration; check_window.py already lists them first in the
-#: suggested r9 rotation).
+#: l5k_train_quality_weights, l4m3_bpe_merge_learning (all
+#: replay-verified green at registration; check_window.py already
+#: lists them first in the suggested r9 rotation).
 #: History: r7 window = 35 planned never-checked + 15 reclaimed stale
 #: slots (50/50 green, CORRECTNESS_r07; len(catalog())==304 at close).
 #: r6 window = 11 stale-red PROMOTE pins + st14-st28 +

@@ -1297,3 +1297,56 @@ def test_trained_quality_weights_learn(spark):
         for r in z.groupBy("is_en").agg(F.avg("z").alias("mz")).collect()
     }
     assert means[True] > means[False], means
+
+
+def test_bpe_merge_learning_matches_reference(spark):
+    """l4m3: the in-engine BPE trainer reproduces a from-scratch pure
+    Python reference implementation of Sennrich et al. 2016 EXACTLY —
+    all 8 rounds: same pair picked (count DESC, pair ASC tie-break),
+    same merged symbol, same weighted count. This validates the whole
+    distributed machinery (word-frequency weighting, adjacent-pair
+    extraction, argmax, the left-to-right non-overlapping fold apply)
+    against an independent restatement of the algorithm, not against
+    the oracle that shares its fragments."""
+    from big_data_programming_spark.registry import queries
+
+    rows = sorted(
+        queries()["l4m3_bpe_merge_learning"](spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r["merge_ord"],
+    )
+    assert [r["merge_ord"] for r in rows] == list(range(1, 9))
+
+    wc = {}
+    for r in (
+        load(spark, SMOKE_SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    ):
+        wc[r["w"]] = r["count"]
+    syms = {w: tuple(list(w) + ["</w>"]) for w in wc}
+    expected = []
+    for _ in range(8):
+        pc = {}
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pair = (s[i], s[i + 1])
+                pc[pair] = pc.get(pair, 0) + c
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        expected.append((a + " " + b, a + b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    got = [(r["pair"], r["merged"], r["pair_count"]) for r in rows]
+    assert got == expected, (got, expected)
