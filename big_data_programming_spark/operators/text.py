@@ -297,30 +297,56 @@ def bpe_symbolize(word_col: str) -> Column:
     :func:`bpe_symbolize_sql` — ONE construction per engine pair so
     the l4m3 training rounds start from provably identical state.
     Takes the column NAME (the char walk uses SQL substring, whose
-    position argument must be an expression)."""
+    position argument must be an expression).
+
+    The sequence upper bound is ``greatest(length, 1)``: Spark's
+    ``sequence(1, 0)`` steps DOWN to ``[1, 0]`` (default step -1 when
+    start > stop) while DuckDB's ``generate_series(1, 0)`` is empty,
+    so an unguarded walk over an EMPTY word produced '  </w>' on Spark
+    vs ' </w>' on DuckDB (r8 advice finding). With the bound, both
+    engines emit ' </w>' for the empty word: Spark walks the single
+    position of an empty string (substring -> ''), DuckDB walks none —
+    same joined result either way."""
     return F.expr(
-        f"concat(array_join(transform(sequence(1, length({word_col})), "
+        f"concat(array_join(transform("
+        f"sequence(1, greatest(length({word_col}), 1)), "
         f"i -> substring({word_col}, i, 1)), ' '), ' {BPE_EOW}')"
     )
 
 
 def bpe_symbolize_sql(word_expr: str) -> str:
-    """DuckDB twin of :func:`bpe_symbolize`."""
+    """DuckDB twin of :func:`bpe_symbolize`. The GREATEST(len, 1)
+    bound mirrors the Spark side for a different reason: DuckDB's
+    ``array_to_string([])`` is NULL (probe-verified on 1.0.0), so an
+    unguarded walk over the empty word emitted NULL || ' </w>' = NULL
+    vs Spark's ' </w>'. Bounded, both engines walk exactly one (empty)
+    substring and emit ' </w>'."""
     return (
-        f"array_to_string(list_transform(generate_series(1, LEN({word_expr})), "
+        f"array_to_string(list_transform("
+        f"generate_series(1, GREATEST(LEN({word_expr}), 1)), "
         f"i -> SUBSTRING({word_expr}, i, 1)), ' ') || ' {BPE_EOW}'"
     )
 
 
 def bpe_pairs(sym: Column) -> Column:
     """All adjacent symbol pairs of a symbol string, each as 'a b'.
-    Twin of :func:`bpe_pairs_sql`."""
+    Twin of :func:`bpe_pairs_sql`.
+
+    Built with the zip_with(slice, slice) idiom (the same guarded
+    construction unigram_bigram_features uses), NOT sequence(1, n-1) +
+    element_at: for a SINGLE-symbol string ``sequence(1, 0)`` yields
+    ``[1, 0]`` on Spark (step defaults to -1 when start > stop) and
+    ``element_at(p, 0)`` then throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT,
+    whereas the DuckDB twin returns [] — a data-dependent crash any
+    time a word fully merges within l4m3's rounds (r8 advice finding,
+    reproduced on 'the</w>'). Here both slices are empty when n == 1,
+    so zip_with returns [] on both engines."""
     p = F.split(sym, " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(p) - 1),
-        lambda i: F.concat(
-            F.element_at(p, i), F.lit(" "), F.element_at(p, i + 1)
-        ),
+    w = F.greatest(F.size(p) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(p, 1, w),
+        F.slice(p, 2, w),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
 
 
@@ -346,10 +372,15 @@ def bpe_apply_merge(sym: Column, a: Column, b: Column) -> Column:
     def parts(c: Column) -> Column:
         return F.split(c, " ")
 
+    # NULL (not '') is the fold's "no symbols yet" sentinel: an EMPTY
+    # string is a legal symbol (the empty word symbolizes to ' </w>' =
+    # ['', '</w>']), and the old acc == '' test silently dropped it
+    # ('</w>' on Spark vs ' </w>' on DuckDB, r9 probe). NULL can never
+    # be a symbol, so the sentinel is unambiguous.
     return F.aggregate(
         F.split(sym, " "),
-        F.lit(""),
-        lambda acc, t: F.when(acc == F.lit(""), t).otherwise(
+        F.lit(None).cast("string"),
+        lambda acc, t: F.when(acc.isNull(), t).otherwise(
             F.when(
                 (F.element_at(parts(acc), -1) == a) & (t == b),
                 F.when(F.size(parts(acc)) == 1, F.concat(a, b)).otherwise(

@@ -1783,7 +1783,15 @@ def l5k_train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient reduction uses the decimal-sum canon; and every step
     boundary (w1, b1, per-doc logit z, sigmoid p, w2, b2) is rounded
     to 8dp on BOTH engines so the one libm call (EXP) never
-    propagates a raw last-ulp across a step (w8/l5i precedent). The
+    propagates a raw last-ulp across a step (w8/l5i precedent).
+    RESIDUAL RISK (r8 advice, documented by design): ROUND's input in
+    the sigmoid step is each engine's own libm EXP, so a last-ulp
+    difference can in principle flip the 8dp rounding when
+    1/(1+exp(-z)) lands exactly on a .xxxxxxxx5 boundary — the
+    hash-match is overwhelmingly probable, not proven, exactly like
+    the w8/l5i precedent. If a future drive reds THIS query alone,
+    check for a sigmoid boundary doc (|round8(p)*1e8 - p*1e8| ~ 0.5)
+    before suspecting the plan. The
     exploded feature relation feeds all three reductions (g1, z, g2),
     so it is persisted once (the l5e4/l2k2 materialization lesson);
     session.release_caches() is the documented release point."""

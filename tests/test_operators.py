@@ -1350,3 +1350,65 @@ def test_bpe_merge_learning_matches_reference(spark):
             syms[w] = tuple(out)
     got = [(r["pair"], r["merged"], r["pair_count"]) for r in rows]
     assert got == expected, (got, expected)
+
+
+def test_bpe_twins_agree_on_degenerate_words(spark):
+    """The bpe_* Spark/DuckDB twin pairs agree on the degenerate words
+    the fixtures never produce (r8 advice findings): the EMPTY word
+    (whose symbol string ' </w>' contains a legal empty symbol), a
+    single-char word, and fully-merged SINGLE-SYMBOL strings — where
+    the old sequence(1, 0)-based pair walk crashed Spark-side
+    (INVALID_ARRAY_INDEX_IN_ELEMENT_AT; Spark's sequence steps DOWN
+    when start > stop) while the DuckDB twin returned []. Also pins
+    the apply-fold's NULL sentinel: an empty first symbol must survive
+    the fold, not be swallowed by an acc == '' "first element" test."""
+    import duckdb
+
+    from big_data_programming_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_apply_merge_sql,
+        bpe_pairs,
+        bpe_pairs_sql,
+        bpe_symbolize,
+        bpe_symbolize_sql,
+    )
+
+    words = ["", "a", "the", "aa", "aaa", "abab"]
+    merges = [("a", "a"), ("the", "</w>"), ("", "</w>"), ("a", "b")]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    cols = [
+        "word",
+        bpe_symbolize("word").alias("sym"),
+        bpe_pairs(bpe_symbolize("word")).alias("pairs"),
+    ]
+    for i, (a, b) in enumerate(merges):
+        cols.append(
+            bpe_apply_merge(bpe_symbolize("word"), F.lit(a), F.lit(b)).alias(
+                f"m{i}"
+            )
+        )
+    got = {r["word"]: r.asDict() for r in df.select(*cols).collect()}
+
+    def q(s: str) -> str:
+        return "'" + s + "'"
+
+    con = duckdb.connect()
+    for w in words:
+        (sym_d,) = con.execute(f"SELECT {bpe_symbolize_sql(q(w))}").fetchone()
+        (pairs_d,) = con.execute(f"SELECT {bpe_pairs_sql(q(sym_d))}").fetchone()
+        s = got[w]
+        assert s["sym"] == sym_d, (w, s["sym"], sym_d)
+        assert list(s["pairs"]) == list(pairs_d), (w, s["pairs"], pairs_d)
+        for i, (a, b) in enumerate(merges):
+            (m_d,) = con.execute(
+                f"SELECT {bpe_apply_merge_sql(q(sym_d), q(a), q(b))}"
+            ).fetchone()
+            assert s[f"m{i}"] == m_d, (w, (a, b), s[f"m{i}"], m_d)
+
+    # the exact r8-advice crash case: a fully merged single-symbol string
+    one = (
+        spark.createDataFrame([("the</w>",)], ["sym"])
+        .select(bpe_pairs(F.col("sym")).alias("p"))
+        .collect()
+    )
+    assert list(one[0]["p"]) == []
