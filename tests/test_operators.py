@@ -1244,6 +1244,40 @@ def test_incremental_curation_funnel_accounting(spark):
                ("bad_length", "low_stopword", "low_quality")) > 0
 
 
+def test_incremental_funnel_cap_only_relaxes_near_dup_stage(spark):
+    """lm10 + lm8b composition (round 9): threading the hot-bucket
+    ceiling into the incremental funnel's fuzzy screen changes ONLY
+    the final near-dup stage, and only downward — every earlier stage
+    (exact-hash, length, stopword, classifier) is identical to the
+    uncapped funnel, the capped stage removes no more docs than the
+    uncapped one, and on the pathologically dense fixture it still
+    removes > 0 (the cap bounds fan-out, it does not disable the
+    screen)."""
+    from big_data_programming_spark.queries.llm_mixing import (
+        _LM10_STAGES,
+        _LM8B_CAP,
+        _lm10_funnel,
+    )
+
+    capped = {
+        r["stage"]: r
+        for r in _lm10_funnel(spark, SMOKE_SF_DIR, cap=_LM8B_CAP).collect()
+    }
+    full = {
+        r["stage"]: r
+        for r in _lm10_funnel(spark, SMOKE_SF_DIR, cap=None).collect()
+    }
+    for s in _LM10_STAGES[:-1]:
+        assert capped[s] == full[s], (s, capped[s], full[s])
+    nd_c, nd_f = (
+        capped["near_dup_minhash_hist"],
+        full["near_dup_minhash_hist"],
+    )
+    assert 0 < nd_c["docs_removed"] <= nd_f["docs_removed"], (nd_c, nd_f)
+    assert nd_c["docs_out"] >= nd_f["docs_out"], (nd_c, nd_f)
+    assert nd_c["tokens_out"] >= nd_f["tokens_out"], (nd_c, nd_f)
+
+
 def test_trained_quality_weights_learn(spark):
     """l5k: the in-engine training loop actually LEARNS — the model
     artifact has the full 256-bucket dimension plus the bucket=-1

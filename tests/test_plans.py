@@ -918,13 +918,17 @@ def test_lm8b_cap_applied_before_candidate_join():
 
 
 def test_lm10_incremental_funnel_bounded_scans():
-    """lm10 (round 8 capstone twin): the arrival batch's curation
-    against history stays scan-bounded — <= 6 documents scans for the
-    whole three-tier screen (hash set, gates, MinHash banding), the
-    classifier model attaches as exactly ONE broadcast 1-row join,
-    and no cartesian product anywhere; the funnel reduction adds no
-    corpus pass (unpartitioned windows over the stage dimension only,
-    same as l5j)."""
+    """lm10 (round 8 capstone twin, capped round 9): the arrival
+    batch's curation against history stays scan-bounded — <= 7
+    documents scans for the whole three-tier screen (hash set, gates,
+    MinHash banding + the round-9 bucket-size gate, which recomputes
+    the signature lineage once more at fixture scale; a real
+    incremental pipeline reads persisted signatures/counts instead),
+    the lm8b hot-bucket ceiling is enforced IN THE PLAN before the
+    signature join, the classifier model attaches as exactly ONE
+    broadcast 1-row join, and no cartesian product anywhere; the
+    funnel reduction adds no corpus pass (unpartitioned windows over
+    the stage dimension only, same as l5j)."""
     import big_data_programming_spark.session as S
     from big_data_programming_spark.registry import catalog
 
@@ -933,6 +937,7 @@ def test_lm10_incremental_funnel_bounded_scans():
         catalog()["lm10_incremental_curation_funnel"].fn(spark, SF_DIR)
     )
     docs = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
-    assert docs <= 6, (docs, plan)
+    assert docs <= 7, (docs, plan)
+    assert "<= 50" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
