@@ -134,12 +134,17 @@ def unigram_bigram_features(toks: Column) -> Column:
     return F.concat(toks, bigrams)
 
 
-def quality_logit(toks: Column, weights: Column) -> Column:
+def quality_logit(
+    toks: Column, weights: Column, bias: Column | None = None
+) -> Column:
     """l5i logit: mean hashed-feature weight + bias, rounded 6dp.
     Pure in-row pipeline — transform maps each feature to its bucket
     weight (md5 -> first 8 hex -> % {B}), aggregate folds LEFT in
     array order (the l4t fixed-order-fold canon, so Spark and DuckDB
-    produce the identical IEEE double), then /n + bias + round."""
+    produce the identical IEEE double), then /n + bias + round.
+    ``bias`` defaults to the fixed L5I_BIAS calibration; l5k2 passes
+    the TRAINED intercept column instead — the gate shape is the swap
+    point, so the bias must be swappable along with the weights."""
     fs = unigram_bigram_features(toks)
     contrib = lambda f: F.element_at(  # noqa: E731
         weights,
@@ -152,14 +157,19 @@ def quality_logit(toks: Column, weights: Column) -> Column:
     s = F.aggregate(
         F.transform(fs, contrib), F.lit(0.0), lambda a, b: a + b
     )
-    return F.round(F.lit(L5I_BIAS) + s / F.size(fs), 6)
+    b = F.lit(L5I_BIAS) if bias is None else bias
+    return F.round(b + s / F.size(fs), 6)
 
 
-def quality_logit_sql(toks_expr: str, w_expr: str) -> str:
+def quality_logit_sql(
+    toks_expr: str, w_expr: str, bias_expr: str | None = None
+) -> str:
     """DuckDB spelling of :func:`quality_logit` — ONE definition so the
     l5i / l5g / l5h oracles cannot drift from each other (the
     basic_gate_sql lesson). ``w_expr`` must reference a DOUBLE[]
-    column holding L5I_WEIGHTS in bucket order."""
+    column holding the weights in bucket order; ``bias_expr`` defaults
+    to the fixed L5I_BIAS literal (l5k2 passes the trained intercept
+    column, mirroring :func:`quality_logit`)."""
     fs = (
         f"list_concat({toks_expr}, "
         f"list_transform(generate_series(1, GREATEST(LEN({toks_expr}) - 1, 0)), "
@@ -172,8 +182,9 @@ def quality_logit_sql(toks_expr: str, w_expr: str) -> str:
     # "empty input list" error — the fragment is exported for
     # arbitrary toks_expr, so the empty case must stay engine-
     # symmetric even though string_split never produces it.
+    b = str(L5I_BIAS) if bias_expr is None else bias_expr
     return (
-        f"ROUND({L5I_BIAS} + list_reduce(list_concat([0.0::DOUBLE], "
+        f"ROUND({b} + list_reduce(list_concat([0.0::DOUBLE], "
         f"list_transform({fs}, "
         f"f -> {w_expr}[(CAST(CONCAT('0x', SUBSTRING(md5(f), 1, 8)) AS BIGINT) "
         f"% {L5I_BUCKETS}) + 1])), (a, b) -> a + b) / LEN({fs}), 6)"

@@ -1680,7 +1680,12 @@ _L5K_LR = 4.0
 _L5K_B = 256
 
 
-def _l5k_oracle() -> str:
+def _l5k_ctes() -> str:
+    """The l5k training computation as a CTE chain (no leading WITH,
+    no final SELECT) — shared verbatim by the l5k model-artifact
+    oracle and the l5k2 trained-gate oracle, so the gate provably
+    scores with the exact weights the trainer emits."""
+
     def ds(expr: str) -> str:
         # decimal-canon SUM as a bare expression (oracle_dsum with the
         # trailing alias stripped — these sums sit inside ROUND(...))
@@ -1692,8 +1697,7 @@ def _l5k_oracle() -> str:
     bucket = (
         "(CAST(CONCAT('0x', SUBSTRING(md5(f), 1, 8)) AS BIGINT) % 256)"
     )
-    return f"""
-WITH fx AS (
+    return f"""fx AS (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
          list_concat(toks,
@@ -1738,7 +1742,12 @@ b1 AS (
   SELECT w1.bucket, w1.n_docs, w1.w1,
          ROUND(w1.w1 - {_L5K_LR} * g2.s2 / nn, 8) AS w2
   FROM w1 JOIN g2 USING (bucket), n
-), dim AS (SELECT UNNEST(generate_series(0, {_L5K_B - 1})) AS bucket)
+), dim AS (SELECT UNNEST(generate_series(0, {_L5K_B - 1})) AS bucket)"""
+
+
+def _l5k_oracle() -> str:
+    return f"""
+WITH {_l5k_ctes()}
 SELECT CAST(d.bucket AS BIGINT) AS bucket,
        COALESCE(w2.n_docs, 0) AS n_docs,
        COALESCE(w2.w1, 0.0) AS weight_step1,
@@ -1918,7 +1927,11 @@ def l5k_train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L4M3_MERGES = 8
 
 
-def _l4m3_oracle() -> str:
+def _l4m3_ctes() -> list[str]:
+    """The unrolled BPE training rounds as a CTE list (wc, s0,
+    p1..m1..s1, ..., s{_L4M3_MERGES}) — shared by the l4m3 merge-table
+    oracle and the l4m4 encode oracle, so the encoder provably applies
+    the exact merges the trainer learned."""
     from big_data_programming_spark.operators.text import (
         bpe_apply_merge_sql,
         bpe_pairs_sql,
@@ -1933,7 +1946,6 @@ def _l4m3_oracle() -> str:
 )""",
         f"s0 AS (SELECT word, cnt, {bpe_symbolize_sql('word')} AS sym FROM wc)",
     ]
-    outs = []
     for k in range(1, _L4M3_MERGES + 1):
         ctes.append(f"""p{k} AS (
   SELECT u.pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
@@ -1953,11 +1965,18 @@ def _l4m3_oracle() -> str:
             f"s{k} AS (SELECT word, cnt, {apply} AS sym"
             f" FROM s{k - 1} CROSS JOIN m{k})"
         )
-        outs.append(
-            f"SELECT CAST({k} AS BIGINT) AS merge_ord, pair, merged,"
-            f" pair_count FROM m{k}"
-        )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+    return ctes
+
+
+def _l4m3_oracle() -> str:
+    outs = [
+        f"SELECT CAST({k} AS BIGINT) AS merge_ord, pair, merged,"
+        f" pair_count FROM m{k}"
+        for k in range(1, _L4M3_MERGES + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(_l4m3_ctes()) + "\n" + "\nUNION ALL\n".join(outs)
+    )
 
 
 @register(
@@ -1997,6 +2016,20 @@ def l4m3_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, the exact bounded-state-per-step shape a production
     iterative trainer uses. Determinism end to end: integer counts,
     binary string ordering, no floats anywhere."""
+    merges, _ = _l4m3_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _l4m3_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """The l4m3 BPE training loop; returns (per-round merge rows, the
+    final (word, cnt, sym) vocabulary after all merges). Shared by
+    l4m3 (emits the merge table) and l4m4 (encodes the corpus with the
+    final vocabulary) — ONE loop so train and apply cannot drift."""
     from big_data_programming_spark.operators.text import (
         bpe_apply_merge,
         bpe_pairs,
@@ -2048,7 +2081,175 @@ def l4m3_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, cur
+
+
+def _l5k2_oracle() -> str:
+    mean = (
+        "ROUND(CAST(CAST(SUM(CAST(trained_logit AS DECIMAL(38,10)))"
+        " AS VARCHAR) AS DOUBLE) / COUNT(*), 8)"
+    )
+    return f"""
+WITH {_l5k_ctes()},
+mdl AS (
+  SELECT list(COALESCE(w2.w2, 0.0) ORDER BY d.bucket) AS wv
+  FROM dim d LEFT JOIN w2 ON w2.bucket = d.bucket
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         {quality_logit_sql("toks", "wv", bias_expr="b2.b2")} AS trained_logit
+  FROM t CROSS JOIN mdl CROSS JOIN b2
+),
+mu AS (SELECT {mean} AS mu FROM scored)
+SELECT doc_id, n_tokens, trained_logit,
+       trained_logit > 0 AS keep_quality,
+       trained_logit > mu AS above_corpus_mean
+FROM scored CROSS JOIN mu
+"""
+
+
+@register(
+    "l5k2_trained_quality_gate",
+    oracle=_l5k2_oracle(),
+    tags=("L5", "L4", "J8", "F4"),
+)
+def l5k2_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN -> APPLY closed end-to-end (r8 verdict next-step #6):
+    score every document through l5i's exact gate shape — broadcast
+    1-row weight array, in-row hashed unigram+bigram features, the
+    fixed-order quality_logit fold — but with the weights AND
+    intercept the l5k in-engine trainer just learned (weight_final /
+    bucket -1), not the md5 stand-in. This is the production CCNet
+    loop as one composed query: train on weak labels, gate the same
+    corpus with the trained artifact.
+
+    Plan shape: l5k's bounded-state training plan runs first (gradient
+    shuffles collapse map-side to <= 256 rows); the 257-row model
+    relation then folds to ONE broadcast row — array_sort(collect_list
+    (bucket, w)) keeps the bucket order deterministic without a window
+    — and the gate itself is l5i's pure map over document partitions:
+    at 100 TB the apply side runs at scan speed, and in production the
+    train side amortizes across days while the gate reads the
+    persisted artifact. Determinism: the trained weights are 8dp
+    rounds by l5k's step canon, the gate fold is the l4t fixed-order
+    canon shared with the oracle via quality_logit_sql, and the logit
+    is rounded 6dp before the keep comparison (fixture-audited off the
+    0 boundary: min |logit| = 0.256 at sf0.01, the l5i discipline).
+
+    Two flags on purpose: ``keep_quality`` is the classifier's honest
+    absolute verdict (logit > 0) — which keeps ZERO fixture docs,
+    because two GD steps from zero init leave the intercept dominant
+    (b2 < 0 when the trusted class is a minority) — and
+    ``above_corpus_mean`` is the relative tier production pipelines
+    actually cut on (CCNet keeps the best PERCENTILES of its
+    perplexity score, not an absolute threshold); the corpus-mean cut
+    is deterministic cross-engine (decimal-canon sum of identical 6dp
+    logits, rounded 8dp) and non-degenerate on the fixture, which is
+    what lets the driver row certify the trained artifact separates
+    documents at all."""
+    model = l5k_train_quality_weights(spark, sf_dir)
+    wrow = (
+        model.filter(F.col("bucket") >= 0)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "weight_final"))
+            ).alias("s")
+        )
+        .select(
+            F.transform(F.col("s"), lambda x: x["weight_final"]).alias("wv")
+        )
+    )
+    brow = model.filter(F.col("bucket") == -1).select(
+        F.col("weight_final").alias("b0")
+    )
+    d = load(spark, sf_dir, "documents")
+    logit = quality_logit(F.col("toks"), F.col("wv"), bias=F.col("b0"))
+    scored = (
+        d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .crossJoin(F.broadcast(wrow))
+        .crossJoin(F.broadcast(brow))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            logit.alias("trained_logit"),
+        )
+    )
+    mu = scored.agg(
+        F.round(
+            F.sum(F.col("trained_logit").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("mu")
+    )
+    return scored.crossJoin(F.broadcast(mu)).select(
+        "doc_id",
+        "n_tokens",
+        "trained_logit",
+        (F.col("trained_logit") > 0).alias("keep_quality"),
+        (F.col("trained_logit") > F.col("mu")).alias("above_corpus_mean"),
+    )
+
+
+def _l4m4_oracle() -> str:
+    last = f"s{_L4M3_MERGES}"
+    chain = ",\n".join(_l4m3_ctes())
+    return f"""
+WITH {chain},
+enc AS (SELECT word, LEN(string_split(sym, ' ')) AS n_sym FROM {last}),
+dw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(e.n_sym) AS DOUBLE) / COUNT(*), 8) AS symbols_per_word
+FROM dw JOIN enc e ON e.word = dw.word
+GROUP BY 1
+"""
+
+
+@register(
+    "l4m4_learned_bpe_encode",
+    oracle=_l4m4_oracle(),
+    tags=("L4", "A1", "J8", "F4"),
+)
+def l4m4_learned_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN -> APPLY for the tokenizer seam (r8 verdict next-step #6):
+    encode the corpus with the merge table l4m3 just LEARNED — per
+    document, the whitespace word count, the learned-BPE symbol count
+    after all 8 merges, and the symbols-per-word compression ratio
+    (the number a tokenizer team actually tracks when growing a merge
+    list; l4m2/l4q's whitespace-proxy packing and encode swap this in
+    unchanged).
+
+    Plan shape: the training loop's FINAL vocabulary (word, cnt, sym)
+    — vocabulary-sized, localCheckpoint-bounded — maps each word to
+    its symbol count; the corpus explodes once and joins that
+    broadcast-tiny relation (the l4q encode topology: vocab broadcast,
+    corpus side one map pass + one per-doc aggregate). At 100 TB the
+    encode is scan-speed with a KB-MB side table, exactly how
+    production tokenizers apply merges.txt. Determinism: integer
+    counts throughout; the one emitted ratio is a single exact IEEE
+    division rounded 8dp on both engines."""
+    _, vocab = _l4m3_train(spark, sf_dir)
+    enc = vocab.select(
+        "word", F.size(F.split("sym", " ")).alias("n_sym")
+    )
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 8
+            ).alias("symbols_per_word"),
+        )
+    )

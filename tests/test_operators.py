@@ -1446,3 +1446,72 @@ def test_bpe_twins_agree_on_degenerate_words(spark):
         .collect()
     )
     assert list(one[0]["p"]) == []
+
+
+def test_trained_gate_composes_train_and_apply(spark):
+    """l5k2 (round 9): the trained gate is the l5k artifact APPLIED —
+    the weak-label classes separate through the composed query (mean
+    trained logit of lang='en' docs above the rest, the same CCNet
+    train-fit direction the l5k model test pins), the absolute verdict
+    is exactly logit > 0, and the relative corpus-mean tier splits the
+    fixture non-trivially both ways (the production percentile-style
+    cut is non-degenerate even where the 2-step absolute gate keeps
+    nothing)."""
+    from big_data_programming_spark.registry import queries
+
+    out = queries()["l5k2_trained_quality_gate"](spark, SMOKE_SF_DIR)
+    lang = load(spark, SMOKE_SF_DIR, "documents").select("doc_id", "lang")
+    j = out.join(lang, "doc_id")
+    rows = j.collect()
+    assert rows
+    for r in rows:
+        assert r["keep_quality"] == (r["trained_logit"] > 0), r
+    above = sum(1 for r in rows if r["above_corpus_mean"])
+    assert 0 < above < len(rows), above
+    en = [r["trained_logit"] for r in rows if r["lang"] == "en"]
+    rest = [r["trained_logit"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_learned_bpe_encode_conserves_tokens(spark):
+    """l4m4 (round 9): doc-level and vocabulary-level accounting of
+    the learned-BPE encode agree exactly — sum over docs of
+    n_bpe_tokens == sum over the trained vocabulary of cnt * n_sym,
+    sum of n_words == the corpus token count, and every doc satisfies
+    n_words <= n_bpe_tokens (>= 1 symbol per word) with
+    symbols_per_word strictly below chars-per-word + 1 (the 8 merges
+    actually compressed something somewhere)."""
+    from big_data_programming_spark.queries.llm_text import _l4m3_train
+    from big_data_programming_spark.registry import queries
+
+    rows = queries()["l4m4_learned_bpe_encode"](spark, SMOKE_SF_DIR).collect()
+    assert rows
+    total_words = sum(r["n_words"] for r in rows)
+    total_bpe = sum(r["n_bpe_tokens"] for r in rows)
+    corpus_tokens = (
+        load(spark, SMOKE_SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .count()
+    )
+    assert total_words == corpus_tokens
+    _, vocab = _l4m3_train(spark, SMOKE_SF_DIR)
+    vocab_total = (
+        vocab.select(
+            (F.col("cnt") * F.size(F.split("sym", " "))).alias("t")
+        )
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert total_bpe == vocab_total, (total_bpe, vocab_total)
+    for r in rows:
+        assert r["n_words"] <= r["n_bpe_tokens"], r
+    # chars+1 symbols per word is the 0-merge ceiling; 8 merges must
+    # have compressed the corpus strictly below it in aggregate.
+    ceiling = (
+        load(spark, SMOKE_SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.sum(F.length("w") + 1))
+        .collect()[0][0]
+    )
+    assert total_bpe < ceiling, (total_bpe, ceiling)

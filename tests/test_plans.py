@@ -211,6 +211,7 @@ def test_no_accidental_cartesian_in_catalog():
         "lm6_negative_pair_audit",  # 1-row corpus-size broadcast (LCG partner modulo)
         "po3_incremental_kpi_rollup",  # 1-row max(day) broadcast (newest-day split)
         "l5k_train_quality_weights",  # 1-row N / bias / weight-vector attaches (GD steps)
+        "l5k2_trained_quality_gate",  # 1-row trained wv + 1-row trained bias attaches (l5i gate shape; audited r9)
         "lm10_incremental_curation_funnel",  # 1-row wv model attach (l5i gate shape)
         "po7_hll_cardinality",  # 1-row exact x 1-row sketch-denominator attach
         "lm7_dsir_importance",  # 1-row feature-total broadcast (Laplace denominators)
