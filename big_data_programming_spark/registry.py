@@ -21,24 +21,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: Order matters operationally: the driver's correctness pass checks the
 #: FIRST 50 catalog entries only, so the window is rotated each round to
-#: give never-verified operators a driver row. ROUND 8 window (current):
-#: the coverage-completion round — the 11 never-driver-checked queries
-#: (the 4 r7 rollovers s18/s19/s20/l4m2 + the 7 round-7 additions
-#: l5i/l5j/l5e5/lm8/lm9/dq9/st30) + the 39 stalest re-checks, all last
-#: driver-checked in r2 (the full tpch 22, the r2-era sources_queries
-#: s2/s2b/s3/s4/s5/s6/o3-o7, and projection p1/p2/p3/p5/p5b/p5c) —
-#: exactly scripts/check_window.py's suggested rotation at r7 close.
-#: After round 8 every registered query has a driver row (never-checked
-#: count hits 0 for the first time); from round 9 on every window is
-#: pure re-checks of the stalest rows plus any round-8 additions.
+#: give never-verified operators a driver row. ROUND 9 window (current):
+#: the 4 round-8 additions (lm10/lm8b/l5k/l4m3, pre-committed at r8
+#: close per the standing invariant) + the 2 round-9 train->apply
+#: additions (l5k2/l4m4 — driver row in the SAME round they land) +
+#: the 44 stalest re-checks (r2-era joins j1-j9, r3-era events e1-e10,
+#: aggregations a2-a23, windows w1-w6) — exactly check_window.py's
+#: suggested rotation at r8 close.
 #: STANDING INVARIANT from round 7 on: every NEW query enters the NEXT
-#: round's window — no exceptions; a query never ships un-driver-checked
-#: for more than one round. Round-8 additions pre-committed to the r9
-#: window: lm10_incremental_curation_funnel, lm8b_capped_minhash_dedup,
-#: l5k_train_quality_weights, l4m3_bpe_merge_learning (all
-#: replay-verified green at registration; check_window.py already
-#: lists them first in the suggested r9 rotation).
-#: History: r7 window = 35 planned never-checked + 15 reclaimed stale
+#: round's window at the latest — no exceptions; a query never ships
+#: un-driver-checked for more than one round (round-9 additions made
+#: it into round 9's own window since slots were free).
+#: History: r8 window = 11 never-checked (r7 rollovers + r7 additions)
+#: + 39 stalest (tpch 22, r2-era sources, projection) — 50/50 green,
+#: CORRECTNESS_r08; never-checked hit 0 for the first time at r8 close.
+#: r7 window = 35 planned never-checked + 15 reclaimed stale
 #: slots (50/50 green, CORRECTNESS_r07; len(catalog())==304 at close).
 #: r6 window = 11 stale-red PROMOTE pins + st14-st28 +
 #: modern_sql + relational_extras (50/50 green, CORRECTNESS_r06).
@@ -85,47 +82,45 @@ _QUERY_MODULES = (
 PROMOTE = -1
 DEFER = 10_000
 
-#: ROUND 8 driver window — the central rotation list. Names here sort
+#: ROUND 9 driver window — the central rotation list. Names here sort
 #: before every module (rank PROMOTE), overriding any per-query
 #: ``window_rank``; within the set, order is (module rank, seq), so the
 #: window composition is still a pure function of the source tree.
 #: Edit THIS set (only) when rotating; keep len == 50 == the driver's
 #: correctness-window size. Names must be copied exactly from
 #: ``list(catalog())`` — scripts/check_window.py asserts membership.
+#: Composition = check_window.py's suggested r9 rotation at r8 close:
+#: the 4 round-8 additions (pre-committed per the standing invariant)
+#: + the 2 round-9 train->apply additions (l5k2/l4m4, driver row in
+#: the SAME round they land) + the 44 stalest re-checks (r2-era joins,
+#: r3-era events/aggregations/windows).
 _WINDOW_PROMOTE: frozenset[str] = frozenset({
-    # --- the 11 never-driver-checked (round-7 additions + rollovers) ---
-    # streaming_queries
-    "st30_streaming_classifier_gate",
-    # data_quality
-    "dq9_contamination_drift",
+    # --- the 6 never-driver-checked (round-8 + round-9 additions) ---
     # llm_text
-    "l5e5_trigram_backoff_logprob", "l4m2_bpe_proxy_packing",
-    "l5i_fasttext_quality_gate",
-    # llm_curation
-    "l5j_curation_pipeline",
-    # sources_queries
-    "s18_xml_roundtrip", "s19_python_sink", "s20_parameterized_sql",
+    "l5k_train_quality_weights", "l4m3_bpe_merge_learning",
+    "l5k2_trained_quality_gate", "l4m4_learned_bpe_encode",
     # llm_mixing
-    "lm8_incremental_minhash_dedup", "lm9_curated_mix_weights",
-    # --- the 39 stalest re-checks (all last driver-checked in r2) ---
-    # tpch (all 22)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "q10_returned_items", "q11_important_part_value", "q12_ship_delay_buckets",
-    "q13_customer_order_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_orders",
-    "q19_disjunctive_revenue", "q20_dominant_suppliers",
-    "q21_waiting_suppliers", "q22_idle_rich_customers",
-    # sources_queries (r2-era)
-    "s2_csv_roundtrip", "s2b_corrupt_records", "s3_json_roundtrip",
-    "s4_in_memory_source", "s5_sql_over_views", "s6_partitioned_roundtrip",
-    "o3_sort_within_partitions", "o4_repartition_coalesce",
-    "o5_bucketed_join", "o6_range_layout", "o7_zorder_layout",
-    # projection (r2-era)
-    "p1_project_compute", "p2_filter_predicates", "p3_case_when",
-    "p5_sample", "p5b_hash_sample", "p5c_stratified_hash_sample",
+    "lm10_incremental_curation_funnel", "lm8b_capped_minhash_dedup",
+    # --- the 44 stalest re-checks ---
+    # joins (r2-era)
+    "j1_inner_join", "j2_left_outer_join", "j2b_full_outer_join",
+    "j3_semi_join", "j4_anti_join", "j5_cross_join",
+    "j8_broadcast_join", "j9_self_join",
+    # events (r3-era)
+    "e1_hourly_event_stats", "e2_sliding_windows", "e4_transition_counts",
+    "e5_daily_users", "e6_funnel", "e7_retention_cohorts", "e8_gap_fill",
+    "e9_anomaly_zscore", "e10_rolling_7d_users",
+    # aggregations (r3-era)
+    "a2_global_agg", "a3_distinct_agg", "a4_approx_count_distinct",
+    "a5_stats_agg", "a6_percentiles", "a8_max_by", "a9_rollup",
+    "a9b_cube", "a9c_grouping_sets", "a10_pivot", "a11_unpivot",
+    "a12_having", "a13_table_profile", "a14_histogram",
+    "a15_hll_sketch_rollup", "a16_regression",
+    "a17_bitmap_distinct_rollup", "a20_theta_retention",
+    "a21_kll_rank_profile", "a22_listagg", "a23_filtered_aggregates",
+    # windows (r3-era)
+    "w1_ranking", "w2_lag_lead", "w3_value_functions", "w4_running_sum",
+    "w5_range_frame", "w6_topk_per_group",
 })
 
 
