@@ -41,7 +41,44 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: Round-1 per-query baseline seconds (BASELINE.md, measured
 #: 2026-08-13, median of 3 at sf0.1 on local[32]) — the denominators
 #: of the 2x acceptance envelope. Frozen; do not re-derive.
+#: MEASURED UNDER THE OLD PROTOCOL (flagship-only warm-up): every
+#: query except q1 carries its first-run JVM tax in these numbers, so
+#: ratios of new-protocol measurements against them UNDERSTATE cost —
+#: see NEW_PROTOCOL_BASELINE_* below for the like-for-like series.
 BASELINE_TOTAL = 26.2
+
+#: Round-9 re-measure of the SAME round-1 engine code (git worktree at
+#: the round-1 close commit 4f78951) under the round-8 FULL-SUITE
+#: warm-up protocol: median of 3 runs, 45 s gaps, quiet machine,
+#: totals 12.763 / 13.449 / 14.820. Two documented deviations from
+#: pure round-1: (a) the events loader reads ns-parquet natively (the
+#: round-2 fix, cherry-picked — round-1 bench.py cannot run AT ALL on
+#: the fixture without it: the nanosAsLong conf it relied on is a
+#: no-op and e1/e3/st1 crash), (b) the warm-up covers the whole suite
+#: (the protocol under re-measure). These are the denominators for
+#: like-for-like ratios from round 9 on; the old 26.2 s series stays
+#: above for history (ADVICE r8: cross-protocol totals overstated
+#: improvement by the removed ~25-30% warm-up tax).
+NEW_PROTOCOL_BASELINE_TOTAL = 13.449
+NEW_PROTOCOL_BASELINE_PER_QUERY = {
+    "q1_pricing_summary": 1.662,
+    "q3_shipping_priority": 0.875,
+    "q5_local_supplier_volume": 1.254,
+    "q6_forecast_revenue": 0.335,
+    "q10_returned_items": 0.960,
+    "w4_running_sum": 0.762,
+    "e1_hourly_event_stats": 0.660,
+    "e3_sessionization": 0.716,
+    "l1_exact_dedup": 0.342,
+    "l2b_simhash": 0.889,
+    "l3_cosine_topk": 0.432,
+    "l3b_bucketed_near_pairs": 0.674,
+    "l4_text_stats": 0.351,
+    "l4c_tfidf_top_terms": 1.141,
+    "st1_watermark_tumbling": 1.417,
+    "ud2_pandas_scalar": 0.525,
+}
+
 BASELINE_PER_QUERY = {
     "q1_pricing_summary": 2.08,
     "q3_shipping_priority": 2.02,
@@ -123,17 +160,28 @@ def main() -> None:
     for n in names:
         base = BASELINE_PER_QUERY.get(n)
         ratio = round(med_q[n] / base, 3) if base else None
+        np_base = NEW_PROTOCOL_BASELINE_PER_QUERY.get(n)
+        np_ratio = round(med_q[n] / np_base, 3) if np_base else None
+        # the acceptance flags gate on the LIKE-FOR-LIKE (new-protocol)
+        # baseline from round 9 on (ADVICE r8); the old-protocol ratio
+        # is kept for series history.
+        gate = np_ratio if np_ratio is not None else ratio
         per_query[n] = {
             "quiet_median": med_q[n],
             "baseline": base,
             "vs_baseline": ratio,
-            "over_1_5x": bool(ratio and ratio > 1.5),
-            "over_2x": bool(ratio and ratio > 2.0),
+            "np_baseline": np_base,
+            "vs_np_baseline": np_ratio,
+            "over_1_5x": bool(gate and gate > 1.5),
+            "over_2x": bool(gate and gate > 2.0),
         }
 
     total_ratio = round(med_total / BASELINE_TOTAL, 3)
+    np_total_ratio = round(med_total / NEW_PROTOCOL_BASELINE_TOTAL, 3)
     verdict = (
-        "ok" if total_ratio <= 1.1 else "watch" if total_ratio <= 2.0 else "breach"
+        "ok" if np_total_ratio <= 1.1
+        else "watch" if np_total_ratio <= 2.0
+        else "breach"
     )
 
     out = {
@@ -143,6 +191,8 @@ def main() -> None:
         "quiet_total_median": med_total,
         "baseline_total": BASELINE_TOTAL,
         "vs_baseline": total_ratio,
+        "np_baseline_total": NEW_PROTOCOL_BASELINE_TOTAL,
+        "vs_np_baseline": np_total_ratio,
         "total_verdict": verdict,
         "runs": runs,
         "per_query": per_query,
@@ -168,7 +218,8 @@ def main() -> None:
         json.dump(out, f, indent=2)
         f.write("\n")
     print(json.dumps({k: out[k] for k in
-                      ("quiet_total_median", "vs_baseline", "total_verdict")}))
+                      ("quiet_total_median", "vs_baseline",
+                       "vs_np_baseline", "total_verdict")}))
     print(f"wrote {path}", file=sys.stderr)
 
 

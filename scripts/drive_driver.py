@@ -76,12 +76,51 @@ def canon_frame(df):
     return list(df.columns), rows
 
 
+#: The sf0.1 QUADRATIC tier (round 9, VERDICT r8 next-step #4): these
+#: queries' DuckDB oracles recompute exact all-pairs / all-shingle
+#: ground truth single-threadedly — O(n²) in corpus size BY DESIGN
+#: (they are the audit twins that certify the banded/bucketed
+#: production paths' recall) — and dominate a full sf0.1 sweep's
+#: wall-clock (multi-hour). The routine per-round sf0.1 sweep runs
+#: with ``--tier sf01`` (everything EXCEPT this list); the tier
+#: itself stays verified at sf0.01 where exact truth is cheap, plus
+#: any member can be spot-run at sf0.1 with --only. Membership is
+#: MEASURED (r9 timing sweep, recorded in BASELINE.md), not guessed.
+SF01_QUADRATIC_TIER = {
+    "l2_jaccard_near_dup",       # all-pairs token-set Jaccard oracle
+    "l2c_minhash_lsh",           # Spark-ML comparison twin (slow Spark side too)
+    "l2d_dedup_clusters",        # clusters from the all-pairs relation
+    "l2d2_cc_two_phase",         # same pair relation, two-phase CC
+    "l2e_embedding_dedup",       # all-pairs cosine oracle
+    "l2f_blocked_fuzzy_pairs",   # per-block all-pairs edit-ish compare
+    "l2g_ngram_jaccard",         # all-pairs n-gram Jaccard oracle
+    "l2n_banding_recall_audit",  # exact all-pairs truth side of the recall audit
+    "lm6_negative_pair_audit",   # pairwise partner audit over the corpus
+}
+
+
 def main() -> int:
     # --only name1,name2 restricts the drive to the given queries — the
     # r6 advisor's process fix: run the cross-engine comparison for NEW
     # queries in the same commit that lands their oracles, instead of
     # deferring to the next driver window.
+    # --skip name1,name2 excludes queries; --tier sf01 is shorthand for
+    # skipping SF01_QUADRATIC_TIER (the routine sf0.1 sweep).
+    # --timing prints per-query wall seconds (Spark+oracle+compare).
     only: set[str] | None = None
+    skip: set[str] = set()
+    timing = "--timing" in sys.argv
+    if timing:
+        sys.argv.remove("--timing")
+    if "--tier" in sys.argv:
+        i = sys.argv.index("--tier")
+        assert sys.argv[i + 1] == "sf01", "only --tier sf01 exists"
+        skip |= SF01_QUADRATIC_TIER
+        del sys.argv[i:i + 2]
+    if "--skip" in sys.argv:
+        i = sys.argv.index("--skip")
+        skip |= set(sys.argv[i + 1].split(","))
+        del sys.argv[i:i + 2]
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
         only = set(sys.argv[2].split(","))
 
@@ -108,9 +147,14 @@ def main() -> int:
         missing = only - set(qs)
         assert not missing, f"--only names not in catalog: {sorted(missing)}"
         qs = {n: f for n, f in qs.items() if n in only}
+    if skip:
+        qs = {n: f for n, f in qs.items() if n not in skip}
     match = mismatch = err = 0
     rows_only = []
+    import time as _time
+
     for name, fn in qs.items():
+        t0 = _time.monotonic()
         try:
             sdf = fn(spark, SF)
             if name not in oracles:
@@ -145,11 +189,15 @@ def main() -> int:
                 print(f"MISMATCH {name}: {problems}")
             else:
                 match += 1
+                if timing:
+                    print(f"OK {name} {_time.monotonic() - t0:.1f}s",
+                          flush=True)
         except Exception as ex:  # noqa: BLE001
             err += 1
             print(f"ERR {name}: {str(ex).splitlines()[0][:200]}")
+    skipped = f"; skipped: {len(skip)}" if skip else ""
     print(f"{match} match, {mismatch} mismatch, {err} err; "
-          f"rows-only: {rows_only}")
+          f"rows-only: {rows_only}{skipped}")
     return 0 if (mismatch == 0 and err == 0) else 1
 
 
