@@ -213,7 +213,7 @@ def main() -> None:
             },
         }
 
-    path = args.out or os.path.join(REPO, f"BENCH_QUIET_r{args.round}.json")
+    path = args.out or os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")

@@ -93,3 +93,34 @@ def test_hll_sketch_rollup_bounds_and_mergeability(spark):
         assert abs(merged[t] - ex) <= 0.1 * ex, (t, merged[t], ex)
         # merge path and single-pass path must agree to float precision
         assert abs(merged[t] - single[t]) <= 1e-6 * max(single[t], 1.0), t
+
+
+def test_l5k_sigmoid_boundary_margin():
+    """The l5k docstring's residual risk (r8 advice), pinned with a
+    measured margin instead of hope: the one libm call in the training
+    loop is EXP inside p = round(1/(1+exp(-z)), 8); a cross-engine
+    hash mismatch requires some document's RAW sigmoid to sit within
+    ~1 ulp of a .xxxxxxxx5 rounding boundary. Recompute the raw
+    sigmoids the way the oracle does (DuckDB, from the shared l5k CTE
+    chain, WITHOUT the final 8dp round) at both fixture SFs and assert
+    every document is at least 1e-4 eighth-decimal units away from
+    the boundary — ~1e12 ulps of margin, so the fixture hash-match is
+    deterministic in practice, not probabilistic."""
+    import duckdb
+
+    from big_data_programming_spark.queries.llm_text import _l5k_ctes
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        # distance of p*1e8's fractional part from the .5 rounding cut
+        (margin,) = con.execute(
+            f"""WITH {_l5k_ctes()}
+            SELECT MIN(ABS((1.0 / (1.0 + EXP(-z))) * 1e8
+                           - FLOOR((1.0 / (1.0 + EXP(-z))) * 1e8) - 0.5))
+            FROM z"""
+        ).fetchone()
+        assert margin > 1e-4, (sf, margin)
