@@ -529,8 +529,17 @@ def s26_zstd_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
     )
     li.write.mode("overwrite").option("compression", "zstd").parquet(out)
-    part = next(f for f in sorted(os.listdir(out)) if f.endswith(".parquet"))
-    codec = pq.ParquetFile(os.path.join(out, part)).metadata.row_group(0).column(0).compression
+    # Codec metadata lives in ROW GROUPS, and a task whose partition
+    # filtered to zero rows still writes a (row-group-less) part file
+    # — at sf0.1 such an empty part sorts first and row_group(0) is
+    # out of bounds (r9 sweep finding). Read the first part that
+    # actually holds data.
+    codec = next(
+        md.row_group(0).column(0).compression
+        for f in sorted(os.listdir(out))
+        if f.endswith(".parquet")
+        and (md := pq.ParquetFile(os.path.join(out, f)).metadata).num_row_groups
+    )
     back = spark.read.parquet(out)
     return back.agg(
         F.lit(codec).alias("codec"),
