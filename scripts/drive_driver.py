@@ -96,6 +96,16 @@ SF01_QUADRATIC_TIER = {
     "l2g_ngram_jaccard",         # all-pairs n-gram Jaccard oracle
     "l2n_banding_recall_audit",  # exact all-pairs truth side of the recall audit
     "lm6_negative_pair_audit",   # pairwise partner audit over the corpus
+    # the near-dup GRAPH family builds its edge list from the same
+    # all-pairs jaccard operator (measured r9: g1's Spark side alone
+    # ran >20 min at sf0.1 — one skew-tail task on the dense fixture
+    # graph; the DuckDB twin recomputes the identical all-pairs edges
+    # single-threaded before even starting the graph part):
+    "g1_triangle_counts",
+    "g2_pagerank",
+    "g3_recursive_bfs",
+    "g4_kcore",
+    "g5_label_propagation",
 }
 
 
