@@ -7,9 +7,15 @@ a query before a cluster run) can assert those properties.
 """
 
 from big_data_programming_spark.plans.explain import (
+    executed_parquet_scan_count,
     executed_plan,
     formatted_plan,
     scan_read_columns,
 )
 
-__all__ = ["executed_plan", "formatted_plan", "scan_read_columns"]
+__all__ = [
+    "executed_parquet_scan_count",
+    "executed_plan",
+    "formatted_plan",
+    "scan_read_columns",
+]

@@ -942,3 +942,42 @@ def test_lm10_incremental_funnel_bounded_scans():
     assert "<= 50" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_l5k_family_runtime_scan_reuse():
+    """Round-9 audit: the RUNTIME corpus-scan counts of the in-engine
+    trainers, pinned through the SQL status store (plans/
+    executed_parquet_scan_count) because the plan STRING overcounts —
+    InMemoryTableScan re-prints its cached build subtree per
+    occurrence and the 1-row-aggregate broadcast attaches print fully
+    even though AQE stage reuse runs them once (l5k's string shows 12
+    scan nodes; 2 execute). Pins:
+
+    * l5k trains with exactly TWO corpus reads — one full-text
+      featurize (persisted as xdb; its 6 downstream consumers are
+      InMemoryTableScans) and one skinny label/count pass; every
+      other nrow/b1row reference is a reused exchange. At 100 TB
+      that is one text-weight pass + one metadata-weight pass.
+    * l5k2 (train -> apply) adds the gate's own scoring pass on top
+      of the trainer: <= 4 executed scans total.
+
+    If Spark's reuse behavior ever regresses (these counts grow), the
+    trainers silently become multi-pass at cluster scale — exactly
+    the failure this test exists to catch."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.plans import executed_parquet_scan_count
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    try:
+        n_train = executed_parquet_scan_count(
+            catalog()["l5k_train_quality_weights"].fn(spark, SF_DIR)
+        )
+        assert n_train == 2, n_train
+        S.release_caches(spark)
+        n_gate = executed_parquet_scan_count(
+            catalog()["l5k2_trained_quality_gate"].fn(spark, SF_DIR)
+        )
+        assert n_gate <= 4, n_gate
+    finally:
+        S.release_caches(spark)
