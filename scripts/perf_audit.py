@@ -27,6 +27,16 @@ from big_data_programming_spark.session import release_caches  # noqa: E402
 
 
 def main() -> int:
+    # --scans: additionally record each query's EXECUTED parquet-scan
+    # count (post runtime exchange/cache reuse, via the SQL status
+    # store — see plans.executed_parquet_scan_count). This is the
+    # catalog-wide corpus-pass economics audit: at 100 TB the number
+    # of *executed* scans per query IS the dominant cost term, and the
+    # plan string overcounts it (round-9 finding: l5k prints 12 scan
+    # nodes, executes 2).
+    scans_mode = "--scans" in sys.argv
+    if scans_mode:
+        sys.argv.remove("--scans")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     spark = S.get_spark("perf-audit", cpus=16)
@@ -37,11 +47,20 @@ def main() -> int:
     next(iter(cat.values())).fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    scans: dict[str, int] = {}
     errs: dict[str, str] = {}
     for name, q in cat.items():
         t0 = time.time()
         try:
-            q.fn(spark, sf_dir).count()
+            df = q.fn(spark, sf_dir)
+            if scans_mode:
+                from big_data_programming_spark.plans import (
+                    executed_parquet_scan_count,
+                )
+
+                scans[name] = executed_parquet_scan_count(df)
+            else:
+                df.count()
             times[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             errs[name] = f"{type(exc).__name__}: {exc}"[:160]
@@ -54,12 +73,21 @@ def main() -> int:
     print("slowest 20:")
     for name, t in ranked[:20]:
         print(f"  {t:8.3f}s  {name}")
+    if scans_mode:
+        from collections import Counter
+
+        dist = Counter(scans.values())
+        print("executed-scan distribution:",
+              {k: dist[k] for k in sorted(dist)})
+        print("most scans:")
+        for name, n in sorted(scans.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"  {n:3d} scans  {name}")
     for name, e in errs.items():
         print(f"ERR {name}: {e}")
     if out_path:
         json.dump(
             {"sf_dir": sf_dir, "total_sec": round(total, 1), "times": times,
-             "errors": errs},
+             "errors": errs, **({"executed_scans": scans} if scans_mode else {})},
             open(out_path, "w"), indent=1, sort_keys=True,
         )
         print(f"wrote {out_path}")
