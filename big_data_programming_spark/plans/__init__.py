@@ -7,14 +7,18 @@ a query before a cluster run) can assert those properties.
 """
 
 from big_data_programming_spark.plans.explain import (
+    evaluate_fully,
     executed_parquet_scan_count,
+    executed_parquet_scan_count_during,
     executed_plan,
     formatted_plan,
     scan_read_columns,
 )
 
 __all__ = [
+    "evaluate_fully",
     "executed_parquet_scan_count",
+    "executed_parquet_scan_count_during",
     "executed_plan",
     "formatted_plan",
     "scan_read_columns",

@@ -36,24 +36,72 @@ def scan_read_columns(df: DataFrame) -> list[str]:
     return [c.split(":")[0] for c in m.group(1).split(",") if c]
 
 
+def evaluate_fully(df: DataFrame) -> None:
+    """Evaluate EVERY column of ``df`` with zero driver collection —
+    the ``noop`` sink. The obvious probe, ``df.count()``, is a lie for
+    economics measurement: Catalyst prunes every column the count
+    doesn't need, so a query whose output row count is derivable from
+    a tiny dimension (l5j's 8-row funnel, l5k's 257-bucket model)
+    counts WITHOUT running its corpus passes at all (measured round 9:
+    l5j under count = 0 executed scans, under noop = 11)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def executed_parquet_scan_count(df: DataFrame) -> int:
     """How many parquet scans a query EXECUTES, post runtime reuse —
-    executes ``df.count()`` and reads the SQL status store (available
-    with the UI disabled) for that execution's final plan graph.
+    fully evaluates ``df`` (noop sink, see :func:`evaluate_fully`) and
+    reads the SQL status store (available with the UI disabled) for
+    that execution's final plan graph.
 
     Why this exists (round-9 audit): the plan STRING massively
     overcounts scans — ``InMemoryTableScan`` nodes re-print their
     cached build subtree per occurrence, and identical broadcast
     subtrees (the house 1-row-aggregate attach idiom) print fully even
     though AQE stage reuse executes them once. l5k's string shows 12
-    ``Scan parquet`` nodes; the status store shows TWO scans actually
-    ran (the cached featurize + one skinny label pass). Runtime truth
-    is the 100 TB number that matters, so the scan-bound tests pin
-    this alongside the static upper bounds."""
-    df.count()
+    ``Scan parquet`` nodes; the status store shows THREE scans
+    actually run (the cached featurize + two skinny label/count
+    passes). Runtime truth is the 100 TB number that matters, so the
+    scan-bound tests pin this alongside the static upper bounds."""
     store = df.sparkSession._jsparkSession.sharedState().statusStore()
+    before = store.executionsList()
+    watermark = (
+        before.apply(before.size() - 1).executionId() if before.size() else -1
+    )
+    evaluate_fully(df)
+    total = 0
     execs = store.executionsList()
-    eid = execs.apply(execs.size() - 1).executionId()
+    for i in range(execs.size()):
+        eid = execs.apply(i).executionId()
+        if eid > watermark:
+            total += _executed_scans_of(store, eid)
+    return total
+
+
+def executed_parquet_scan_count_during(spark, thunk) -> int:
+    """Like :func:`executed_parquet_scan_count`, but sums over EVERY
+    SQL execution ``thunk()`` triggers — queries that materialize a
+    persist or cut lineage with ``localCheckpoint`` during
+    CONSTRUCTION run those scans in separate executions, which the
+    last-execution helper misses (round-9 audit: l5j read 0 under it
+    because its verdict lineage materialized before the final count's
+    execution). Watermarks on executionId, not list position, because
+    the status store prunes retained executions from the head."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    watermark = (
+        execs.apply(execs.size() - 1).executionId() if execs.size() else -1
+    )
+    thunk()
+    total = 0
+    execs = store.executionsList()
+    for i in range(execs.size()):
+        eid = execs.apply(i).executionId()
+        if eid > watermark:
+            total += _executed_scans_of(store, eid)
+    return total
+
+
+def _executed_scans_of(store, eid: int) -> int:
     metric_values = store.executionMetrics(eid)
     executed = 0
     nodes = store.planGraph(eid).allNodes().iterator()

@@ -52,15 +52,24 @@ def main() -> int:
     for name, q in cat.items():
         t0 = time.time()
         try:
-            df = q.fn(spark, sf_dir)
             if scans_mode:
                 from big_data_programming_spark.plans import (
-                    executed_parquet_scan_count,
+                    evaluate_fully,
+                    executed_parquet_scan_count_during,
                 )
 
-                scans[name] = executed_parquet_scan_count(df)
+                # wrap CONSTRUCTION too (persist/localCheckpoint
+                # materializations run in their own SQL executions)
+                # and evaluate through the noop sink, not count —
+                # count prunes columns, and with them entire corpus
+                # passes (l5j counts without scanning anything).
+                # scans-mode times are therefore FULL-EVALUATION
+                # times, systematically >= the count-based series.
+                scans[name] = executed_parquet_scan_count_during(
+                    spark, lambda: evaluate_fully(q.fn(spark, sf_dir))
+                )
             else:
-                df.count()
+                q.fn(spark, sf_dir).count()
             times[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             errs[name] = f"{type(exc).__name__}: {exc}"[:160]
