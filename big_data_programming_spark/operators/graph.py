@@ -255,10 +255,18 @@ def label_propagation(
 
     Scale: each round is one (node-keyed) join + two hash aggregates
     over the edge list; labels are localCheckpointed per round to cut
-    lineage (the l2d/kcore discipline). Returns (node, label)."""
+    lineage (the l2d/kcore discipline). The undirected edge relation
+    is eagerly localCheckpointed ONCE up front — the same idiom as
+    triangle_counts/pagerank/kcore_peel, applied here in round 9
+    after the executed-scan audit caught this operator re-deriving
+    its edge input per round (g5 feeds it jaccard_pairs: 12 corpus
+    scans executed, the all-pairs candidate join recomputed in every
+    round's consumer instead of once). Returns (node, label)."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.filter(F.col("a") != F.col("b")).distinct()
+    und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(
+        eager=True
+    )
     labels = (
         und.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))

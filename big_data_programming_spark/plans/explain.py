@@ -68,13 +68,13 @@ def executed_parquet_scan_count(df: DataFrame) -> int:
         before.apply(before.size() - 1).executionId() if before.size() else -1
     )
     evaluate_fully(df)
-    total = 0
+    scans: set[int] = set()
     execs = store.executionsList()
     for i in range(execs.size()):
         eid = execs.apply(i).executionId()
         if eid > watermark:
-            total += _executed_scans_of(store, eid)
-    return total
+            scans |= _executed_scans_of(store, eid)
+    return len(scans)
 
 
 def executed_parquet_scan_count_during(spark, thunk) -> int:
@@ -92,18 +92,26 @@ def executed_parquet_scan_count_during(spark, thunk) -> int:
         execs.apply(execs.size() - 1).executionId() if execs.size() else -1
     )
     thunk()
-    total = 0
+    scans: set[int] = set()
     execs = store.executionsList()
     for i in range(execs.size()):
         eid = execs.apply(i).executionId()
         if eid > watermark:
-            total += _executed_scans_of(store, eid)
-    return total
+            scans |= _executed_scans_of(store, eid)
+    return len(scans)
 
 
-def _executed_scans_of(store, eid: int) -> int:
+def _executed_scans_of(store, eid: int) -> set[int]:
+    """Accumulator ids of the 'number of files read' metric for every
+    parquet scan that read > 0 files in execution ``eid``. Returned
+    as a SET keyed by accumulator id, not a count: the plan graph
+    re-prints a cached relation's build subtree under every
+    InMemoryTableScan occurrence, and those clones SHARE the physical
+    node's accumulators (measured round 9: l5j's graph shows the
+    persisted train scan 7 times, all accumulator 165 — one physical
+    read). Deduplicating on accumulator id counts physical scans."""
     metric_values = store.executionMetrics(eid)
-    executed = 0
+    executed: set[int] = set()
     nodes = store.planGraph(eid).allNodes().iterator()
     while nodes.hasNext():
         node = nodes.next()
@@ -119,5 +127,5 @@ def _executed_scans_of(store, eid: int) -> int:
                 # displayed values look like "1" or "3 (1, 1, 1)"
                 first = str(opt.get()).strip().split(" ")[0].replace(",", "")
                 if first.isdigit() and int(first) > 0:
-                    executed += 1
+                    executed.add(m.accumulatorId())
     return executed

@@ -1111,11 +1111,19 @@ def l5j_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row (URL canon, gates, classifier — the wv model rides one
     broadcast row); the three dedup keepers are min-aggregates on
     hashed keys (16-60 byte shuffles, skew-free); decontamination
-    probes broadcast the benchmark-sized eval sets. Bounded corpus
-    re-reads: each keeper/probe side consumes its own scan
-    (test_plans pins the FileScan count) — at 100 TB production would
-    persist this relation between stages (the Dolma attribute
-    files)."""
+    probes broadcast the benchmark-sized eval sets. The tokenized
+    train relation feeds FIVE attribute passes (URL canon, md5
+    hashes, SimHash keeper join, shingle explode, the pflags
+    assembly), so it is persisted once (MEMORY_AND_DISK — the
+    l5e4/l2k2 materialization lesson, applied here in round 9 after
+    the executed-scan audit measured 11 corpus scans): tokenize runs
+    once and the keeper/probe sides read cached rows instead of five
+    scan+tokenize lineages. This IS the Dolma attribute-file
+    economics in-engine; at 100 TB the cache spills to local disk,
+    which is still 5x cheaper than five remote corpus reads plus
+    five tokenize passes. session.release_caches() is the documented
+    release point. test_plans pins both the static FileScan bound
+    and the runtime executed-scan count."""
     from big_data_programming_spark.operators.dedup import simhash
     from big_data_programming_spark.operators.similarity import (
         as_double_array,
@@ -1130,9 +1138,22 @@ def l5j_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
-    train = d.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
-        "doc_id", "text", "source", tokenize(F.col("text")).alias("toks")
+    # ONE corpus pass computes every per-row derivation (tokens, md5
+    # hash) so the cached relation carries tokens + 32-char hash, NOT
+    # the raw text — the cache is what five attribute passes re-read,
+    # so it holds only what they need.
+    train = (
+        d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select(
+            "doc_id",
+            "source",
+            tokenize(F.col("text")).alias("toks"),
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     urls = train.select(
         "doc_id",
@@ -1141,7 +1162,7 @@ def l5j_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cu"),
     )
     url_keep = urls.groupBy("cu").agg(F.min("doc_id").alias("ukeeper"))
-    hashes = train.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    hashes = train.select("doc_id", "h")
     firsts = hashes.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     sig = simhash(d, bits=16)
     sig_keep = (
@@ -1184,7 +1205,6 @@ def l5j_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pflags = (
         train.join(urls, "doc_id")
         .join(url_keep, "cu")
-        .join(hashes, "doc_id")
         .join(firsts, "h")
         .join(sig, "doc_id")
         .join(sig_keep, "simhash_bits")

@@ -863,25 +863,43 @@ def test_l5i_model_broadcast_in_row():
 
 
 def test_l5j_pipeline_bounded_scans():
-    """l5j (round 7 capstone): per-stage attributes are computed
-    independently (Dolma architecture), so corpus re-reads are BOUNDED
-    — one scan per keeper/probe side, never compounding per stage
-    (<= 10 documents scans for 8 stages, 2 embeddings scans), and the
-    funnel assembly adds no corpus pass at all: its unpartitioned
-    windows run over the 9-row stage dimension only. No cartesian
-    products; the only BNLJs are the two 1-row attaches (model vector,
-    eval embedding array)."""
+    """l5j (round 7 capstone; tightened round 9): per-stage attributes
+    are computed independently (Dolma architecture), so corpus
+    re-reads are BOUNDED — and since round 9 the tokenized train
+    relation is PERSISTED (one corpus pass computes tokens + md5;
+    the five attribute consumers read the cache), so the RUNTIME
+    executed-scan count is exactly 5: train materialization, the
+    SimHash signature pass, the eval-split shingle pass, and two
+    embeddings reads. Measured A/B at sf0.1: same wall as the
+    unpersisted shape locally, 11 -> 5 corpus-scan economics at
+    cluster scale (SCALING.md round-9 section). The static string
+    bound stays as the regression ceiling (builder re-prints inflate
+    it); the funnel assembly adds no corpus pass at all: its
+    unpartitioned windows run over the 9-row stage dimension only.
+    No cartesian products; the only BNLJs are the two 1-row attaches
+    (model vector, eval embedding array)."""
     import big_data_programming_spark.session as S
+    from big_data_programming_spark.plans import executed_parquet_scan_count
     from big_data_programming_spark.registry import catalog
 
     spark = S.get_spark("plan-tests", cpus=8)
-    plan = plan_of(catalog()["l5j_curation_pipeline"].fn(spark, SF_DIR))
-    docs = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
-    embs = len(re.findall(r"FileScan parquet[^\n]*embeddings", plan))
-    assert docs <= 10, (docs, plan)
-    assert embs <= 2, (embs, plan)
-    assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    # start from a clean cache: a live persist left by an earlier test
+    # can absorb one of l5j's scans into an InMemoryTableScan and make
+    # the runtime pin order-dependent (full-suite run measured 4).
+    S.release_caches(spark)
+    try:
+        df = catalog()["l5j_curation_pipeline"].fn(spark, SF_DIR)
+        plan = plan_of(df)
+        docs = len(re.findall(r"FileScan parquet[^\n]*documents", plan))
+        embs = len(re.findall(r"FileScan parquet[^\n]*embeddings", plan))
+        assert docs <= 10, (docs, plan)
+        assert embs <= 2, (embs, plan)
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+        assert plan.count("InMemoryTableScan") >= 4, plan
+        assert executed_parquet_scan_count(df) == 5
+    finally:
+        S.release_caches(spark)
 
 
 def test_winnow_fingerprints_materialized_once():
@@ -974,6 +992,7 @@ def test_l5k_family_runtime_scan_reuse():
     from big_data_programming_spark.registry import catalog
 
     spark = S.get_spark("plan-tests", cpus=8)
+    S.release_caches(spark)  # same order-independence guard as the l5j pin
     try:
         n_train = executed_parquet_scan_count(
             catalog()["l5k_train_quality_weights"].fn(spark, SF_DIR)
