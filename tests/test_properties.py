@@ -383,3 +383,106 @@ def test_semdedup_matches_reference(spark, rows):
         assert got[vid][0] == want[vid][0], (vid, got[vid], want[vid])
         assert abs(got[vid][1] - want[vid][1]) < 1e-12, (vid, got, want)
         assert got[vid][2] == want[vid][2], (vid, got[vid], want[vid])
+
+
+# ---------- BPE fold / symbolize twins vs Python reference ----------
+# The round-8 advice findings were exactly this operator family's edge
+# cases (single-symbol pair walk, empty-word symbolize, empty-symbol
+# fold sentinel). Fixed-case probes exist in test_operators; these
+# generative checks drive the THREE implementations — the Spark
+# aggregate-fold, the DuckDB list_reduce twin, and a plain-Python
+# greedy reference — over random symbol strings including empty
+# tokens, repeats, and chainable merges.
+
+_BPE_TOKS = ["a", "b", "ab", "aa", "</w>"]
+
+
+@st.composite
+def bpe_symbol_strings(draw):
+    toks = draw(
+        st.lists(st.sampled_from(_BPE_TOKS + [""]), min_size=1, max_size=6)
+    )
+    return " ".join(toks)
+
+
+def _bpe_merge_ref(sym: str, a: str, b: str) -> str:
+    """Greedy left-to-right non-overlapping merge (Sennrich apply):
+    after a merge the new tail symbol is a||b, which participates as
+    the next pair's LEFT side only if a||b == a — the same chaining
+    all three engine implementations exhibit by construction."""
+    out: list[str] = []
+    for t in sym.split(" "):
+        if out and out[-1] == a and t == b:
+            out[-1] = a + b
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
+@given(
+    sym=bpe_symbol_strings(),
+    rule=st.tuples(st.sampled_from(_BPE_TOKS), st.sampled_from(_BPE_TOKS)),
+)
+@settings(**SETTINGS)
+def test_bpe_apply_merge_three_way(spark, sym, rule):
+    import duckdb
+
+    from big_data_programming_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_apply_merge_sql,
+    )
+
+    a, b = rule
+    ref = _bpe_merge_ref(sym, a, b)
+    got_spark = (
+        spark.createDataFrame([(sym,)], "sym string")
+        .select(bpe_apply_merge(F.col("sym"), F.lit(a), F.lit(b)).alias("m"))
+        .collect()[0]["m"]
+    )
+    sql = bpe_apply_merge_sql("sym", f"'{a}'", f"'{b}'")
+    got_duck = (
+        duckdb.connect()
+        .execute(f"SELECT {sql} FROM (SELECT '{sym}' AS sym)")
+        .fetchone()[0]
+    )
+    assert got_spark == ref, (sym, rule, got_spark, ref)
+    assert got_duck == ref, (sym, rule, got_duck, ref)
+
+
+@given(word=st.text(alphabet="ab", max_size=5))
+@settings(**SETTINGS)
+def test_bpe_symbolize_and_pairs_cross_engine(spark, word):
+    import duckdb
+
+    from big_data_programming_spark.operators.text import (
+        BPE_EOW,
+        bpe_pairs,
+        bpe_pairs_sql,
+        bpe_symbolize,
+        bpe_symbolize_sql,
+    )
+
+    symbols = (list(word) if word else [""]) + [BPE_EOW]
+    ref_sym = " ".join(symbols)
+    ref_pairs = [
+        f"{x} {y}" for x, y in zip(symbols, symbols[1:])
+    ]
+    row = (
+        spark.createDataFrame([(word,)], "w string")
+        .select(
+            bpe_symbolize("w").alias("sym"),
+            bpe_pairs(bpe_symbolize("w")).alias("pairs"),
+        )
+        .collect()[0]
+    )
+    assert row["sym"] == ref_sym, (word, row["sym"], ref_sym)
+    assert list(row["pairs"]) == ref_pairs, (word, row["pairs"], ref_pairs)
+    con = duckdb.connect()
+    word_lit = "'" + word + "'"
+    sym_sql = bpe_symbolize_sql(word_lit)
+    pairs_sql = bpe_pairs_sql("(" + sym_sql + ")")
+    d_sym, d_pairs = con.execute(
+        f"SELECT {sym_sql}, {pairs_sql}"
+    ).fetchone()
+    assert d_sym == ref_sym, (word, d_sym, ref_sym)
+    assert list(d_pairs) == ref_pairs, (word, d_pairs, ref_pairs)
