@@ -87,22 +87,41 @@ def canon_frame(df):
 #: any member can be spot-run at sf0.1 with --only. Membership is
 #: MEASURED (r9 timing sweep, recorded in BASELINE.md), not guessed.
 SF01_QUADRATIC_TIER = {
-    "l2_jaccard_near_dup",       # all-pairs token-set Jaccard oracle
+    # l2_jaccard_near_dup was REMOVED from this tier (round-9
+    # spot-run: 315.3 s total at sf0.1, match — the df-capped
+    # inverted-index truth join, like l2n's, is near-linear; the
+    # multi-hour members are the ones that CLUSTER or edit-compare
+    # the pair relation, not the pair relation itself).
     "l2c_minhash_lsh",           # Spark-ML comparison twin (slow Spark side too)
     "l2d_dedup_clusters",        # clusters from the all-pairs relation
     "l2d2_cc_two_phase",         # same pair relation, two-phase CC
-    "l2e_embedding_dedup",       # all-pairs cosine oracle
-    "l2f_blocked_fuzzy_pairs",   # per-block all-pairs edit-ish compare
-    "l2g_ngram_jaccard",         # all-pairs n-gram Jaccard oracle
-    "l2n_banding_recall_audit",  # exact all-pairs truth side of the recall audit
-    "lm6_negative_pair_audit",   # pairwise partner audit over the corpus
+    # l2e_embedding_dedup (6.7 s) and l2f_blocked_fuzzy_pairs (6.6 s)
+    # were REMOVED from this tier after round-9 sf0.1 spot-runs, both
+    # match: l2e's cosine oracle pairs only same-bucket vectors and
+    # l2f compares only within its blocking key, so neither is
+    # corpus-quadratic in practice.
+    # l2g_ngram_jaccard was REMOVED from this tier (round-9 spot-run:
+    # 282.6 s at sf0.1, match — same inverted-index shape as l2/l2n).
+    # l2n_banding_recall_audit was REMOVED from this tier (round-9
+    # spot-run: 158.7 s total at sf0.1, match): its truth side is
+    # JACCARD_ORACLE_SQL's hot-token-capped inverted-index join (pairs
+    # only share-a-token docs, MAX_TOKEN_DF bounds the fan-out), not a
+    # brute all-pairs loop — so the routine sweep now re-certifies
+    # banding recall at sf0.1 every round for ~2.6 min.
+    # lm6_negative_pair_audit was REMOVED from this tier (round-9
+    # spot-run: 5.8 s at sf0.1, match — its LCG partner sampling is
+    # O(n) pairs, never all-pairs; original tier placement was a
+    # misread of its name, not a measurement).
     # the near-dup GRAPH family builds its edge list from the same
-    # all-pairs jaccard operator (measured r9: g1's Spark side alone
-    # ran >20 min at sf0.1 — one skew-tail task on the dense fixture
-    # graph; the DuckDB twin recomputes the identical all-pairs edges
-    # single-threaded before even starting the graph part):
+    # jaccard pair operator (measured r9: g1's Spark side alone ran
+    # >20 min at sf0.1 — one skew-tail task on the dense fixture
+    # graph; g5's DuckDB twin timed out a 13-min spot-run box even
+    # after the round-9 edge-checkpoint fix — 4 unrolled LPA mode
+    # votes over the pair CTE, single-threaded). g2_pagerank was
+    # REMOVED (round-9 spot-run: 20.9 s at sf0.1, match — its oracle
+    # iterates over the DEDUPED edge list with simple sum aggregates,
+    # no per-round pair recomputation):
     "g1_triangle_counts",
-    "g2_pagerank",
     "g3_recursive_bfs",
     "g4_kcore",
     "g5_label_propagation",
