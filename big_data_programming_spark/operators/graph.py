@@ -35,29 +35,77 @@ def canonical_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -
     )
 
 
+def degree_oriented(e: DataFrame) -> DataFrame:
+    """Orient each canonical undirected (u, v) edge toward the HIGHER
+    (degree, id) endpoint — the standard triangle-enumeration
+    orientation (Chiba–Nishizeki / Schank–Wagner "forward" algorithm;
+    also cf. Suri & Vassilvitskii, WWW'11, for the MapReduce variant).
+    (degree, id) is a total order, so every edge gets exactly one
+    direction and each node's OUT-degree is bounded by ~sqrt(2m):
+    a node can only point at neighbors of equal-or-higher degree, so
+    a degree-d hub's d edges almost all point INTO it. Wedge fan-out
+    per node is C(outdeg, 2) — O(m^1.5) total under any degree
+    distribution, vs O(d_max^2) for id-ordering on a power-law graph
+    (the measured r9 failure: one >20-min straggler task at sf0.1 on
+    the dense near-dup graph, the hottest doc's id happening to sort
+    low). Returns (u, v, dv) where dv is v's degree — carried so the
+    wedge join can compare upper-endpoint ranks without re-joining
+    the degree table."""
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = e.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dv"),
+    )
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle participation counts.
 
-    Classic two-join formulation over id-ordered edges: a triangle
-    a<b<c appears exactly once as edges (a,b),(a,c),(b,c) — the wedge
-    join (shared lower endpoint, ordered upper endpoints) plus one
+    Classic two-join formulation over DEGREE-ordered oriented edges:
+    with nodes ranked by (degree, id), a triangle a<b<c (rank order)
+    appears exactly once as oriented edges (a,b),(a,c),(b,c) — the
+    wedge join (shared source, rank-ordered targets) plus one
     closing-edge equi-join. Every join is an equi-join on node ids;
-    nothing driver-side. At 100 TB-graph scale the standard refinement
-    is DEGREE-ordered orientation (orient each edge toward the
-    higher-degree endpoint) which bounds wedge fan-out by O(m^1.5)
-    under power-law skew; triangle sets are orientation-invariant, so
-    that is a drop-in swap of the ordering key — id order keeps the
-    oracle twin trivially identical here.
+    nothing driver-side. The orientation is the scale lever
+    (:func:`degree_oriented`): wedge fan-out is C(outdeg, 2) with
+    outdeg bounded ~sqrt(2m), so total wedge work is O(m^1.5) under
+    power-law skew — id-ordering put the r9 sf0.1 spot-run into a
+    single >20-minute straggler task on the dense near-dup graph's
+    hottest node; triangle SETS are orientation-invariant, so the
+    id-ordered oracle twin (TRIANGLES_ORACLE_SQL) is unchanged.
     """
-    # Materialize the canonical edge list once: the three join aliases
+    # Materialize the oriented edge list once: the three join aliases
     # below would otherwise each re-execute the full upstream pipeline
     # that produced the edges (pair generation is far more expensive
     # than the edge list is large). On a cluster this is a cached /
     # checkpointed table; locally localCheckpoint serves the same cut.
-    e = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    # NOTE: eager=True means CONSTRUCTING this DataFrame executes the
+    # upstream pipeline (same caveat as label_propagation below).
+    e = degree_oriented(canonical_undirected(edges, src, dst)).localCheckpoint(
+        eager=True
+    )
     ab, ac, bc = e.alias("ab"), e.alias("ac"), e.alias("bc")
+    # Wedge targets ordered by the SAME (degree, id) rank used to
+    # orient — (dv, v) lexicographic — so each triangle's wedge is
+    # picked once; the closing edge b->c is oriented b<c by rank, so
+    # plain id-equality closes it.
+    rank_lt = (F.col("ab.dv") < F.col("ac.dv")) | (
+        (F.col("ab.dv") == F.col("ac.dv")) & (F.col("ab.v") < F.col("ac.v"))
+    )
     tri = (
-        ab.join(ac, (F.col("ab.u") == F.col("ac.u")) & (F.col("ab.v") < F.col("ac.v")))
+        ab.join(ac, (F.col("ab.u") == F.col("ac.u")) & rank_lt)
         .join(bc, (F.col("bc.u") == F.col("ab.v")) & (F.col("bc.v") == F.col("ac.v")))
         .select(
             F.col("ab.u").alias("a"), F.col("ab.v").alias("b"), F.col("ac.v").alias("c")

@@ -47,6 +47,23 @@ def evaluate_fully(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _drain_listener_bus(spark) -> None:
+    """Block until the async listener bus has delivered every queued
+    event to the SQL status store (r9 advice): the store is fed by an
+    async listener queue, so reading it immediately after an action
+    returns can (a) undercount the just-finished execution's scans —
+    the AQE final-plan-graph and metric events may still be in flight
+    — and (b) leak a PRIOR still-queued execution above the watermark
+    into the current query's count. Both helpers below drain before
+    reading the watermark AND after running the workload. The timeout
+    overload is preferred (bounded wait); Spark 4.1.2 exposes both."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty(10000)
+    except Exception:  # signature drift across Spark versions
+        bus.waitUntilEmpty()
+
+
 def executed_parquet_scan_count(df: DataFrame) -> int:
     """How many parquet scans a query EXECUTES, post runtime reuse —
     fully evaluates ``df`` (noop sink, see :func:`evaluate_fully`) and
@@ -63,11 +80,13 @@ def executed_parquet_scan_count(df: DataFrame) -> int:
     passes). Runtime truth is the 100 TB number that matters, so the
     scan-bound tests pin this alongside the static upper bounds."""
     store = df.sparkSession._jsparkSession.sharedState().statusStore()
+    _drain_listener_bus(df.sparkSession)
     before = store.executionsList()
     watermark = (
         before.apply(before.size() - 1).executionId() if before.size() else -1
     )
     evaluate_fully(df)
+    _drain_listener_bus(df.sparkSession)
     scans: set[int] = set()
     execs = store.executionsList()
     for i in range(execs.size()):
@@ -87,11 +106,13 @@ def executed_parquet_scan_count_during(spark, thunk) -> int:
     execution). Watermarks on executionId, not list position, because
     the status store prunes retained executions from the head."""
     store = spark._jsparkSession.sharedState().statusStore()
+    _drain_listener_bus(spark)
     execs = store.executionsList()
     watermark = (
         execs.apply(execs.size() - 1).executionId() if execs.size() else -1
     )
     thunk()
+    _drain_listener_bus(spark)
     scans: set[int] = set()
     execs = store.executionsList()
     for i in range(execs.size()):

@@ -49,9 +49,12 @@ def g1_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the J≥0.8 near-dup graph — local
     density: a doc in many triangles sits in a tight duplicate clique
     (transcoded boilerplate), one in few is a chain artifact. Two
-    equi-joins + one aggregate (operators/graph.py:triangle_counts);
-    the degree-orientation skew lever for web-scale graphs is
-    documented there."""
+    equi-joins + one aggregate over DEGREE-oriented edges
+    (operators/graph.py:triangle_counts): orientation bounds wedge
+    fan-out to O(m^1.5) under power-law skew — the r10 fix for the
+    measured r9 straggler (id-ordering spent >20 min in one task at
+    sf0.1 on this graph's hottest node). Triangle sets are
+    orientation-invariant, so the id-ordered oracle is unchanged."""
     pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
     return triangle_counts(pairs, src="doc_a", dst="doc_b")
 
@@ -213,7 +216,18 @@ def g5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     few rounds on clique-like dedup graphs), localCheckpoint per round
     cuts lineage. The unrolled-CTE oracle replays the identical
     two-stage mode (max count, then min label among maxima — exact
-    for any label domain)."""
+    for any label domain).
+
+    CONSTRUCTION EXECUTES (r9 advice, documented): the r9 edge-relation
+    fix eagerly localCheckpoints the undirected edge list
+    (operators/graph.py:label_propagation), so merely BUILDING this
+    DataFrame runs the full jaccard_pairs join — plan-only consumers
+    (catalog plan loops, dtype_guard, gen_catalog) pay real execution
+    at fn() time, and scan audits of this query (and any future
+    eager-checkpoint operator: g1 triangle_counts shares the idiom)
+    must use executed_parquet_scan_count_during, not the plain
+    after-the-fact helper, or they silently miss the
+    construction-time scans."""
     docs = load(spark, sf_dir, "documents")
     edges = jaccard_pairs(docs, threshold=0.8).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -21,18 +21,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: Order matters operationally: the driver's correctness pass checks the
 #: FIRST 50 catalog entries only, so the window is rotated each round to
-#: give never-verified operators a driver row. ROUND 9 window (current):
-#: the 4 round-8 additions (lm10/lm8b/l5k/l4m3, pre-committed at r8
-#: close per the standing invariant) + the 2 round-9 train->apply
-#: additions (l5k2/l4m4 — driver row in the SAME round they land) +
-#: the 44 stalest re-checks (r2-era joins j1-j9, r3-era events e1-e10,
-#: aggregations a2-a23, windows w1-w6) — exactly check_window.py's
-#: suggested rotation at r8 close.
+#: give never-verified operators a driver row. ROUND 10 window
+#: (current): the 2 queries whose semantics changed this round (g1
+#: degree-oriented triangles, l5k2 prior-corrected keep gate — the
+#: standing invariant gives changed queries a same-round driver row)
+#: + the 48 stalest re-checks (r3-era w7/setops, r4-era scalar
+#: functions f1-f13, r4-era llm text/curation/dedup) — check_window's
+#: suggested r10 rotation minus its two newest-stale tail entries
+#: (l2d/l2e, rolled to r11) to make room.
 #: STANDING INVARIANT from round 7 on: every NEW query enters the NEXT
 #: round's window at the latest — no exceptions; a query never ships
 #: un-driver-checked for more than one round (round-9 additions made
 #: it into round 9's own window since slots were free).
-#: History: r8 window = 11 never-checked (r7 rollovers + r7 additions)
+#: History: r9 window = the 6 r8/r9 additions + 44 stalest (r2-era
+#: joins, r3-era events/aggregations/windows) — 48 green + 2 justified
+#: no-oracle, CORRECTNESS_r09. r8 window = 11 never-checked (r7
+#: rollovers + r7 additions)
 #: + 39 stalest (tpch 22, r2-era sources, projection) — 50/50 green,
 #: CORRECTNESS_r08; never-checked hit 0 for the first time at r8 close.
 #: r7 window = 35 planned never-checked + 15 reclaimed stale
@@ -82,45 +86,46 @@ _QUERY_MODULES = (
 PROMOTE = -1
 DEFER = 10_000
 
-#: ROUND 9 driver window — the central rotation list. Names here sort
+#: ROUND 10 driver window — the central rotation list. Names here sort
 #: before every module (rank PROMOTE), overriding any per-query
 #: ``window_rank``; within the set, order is (module rank, seq), so the
 #: window composition is still a pure function of the source tree.
 #: Edit THIS set (only) when rotating; keep len == 50 == the driver's
 #: correctness-window size. Names must be copied exactly from
 #: ``list(catalog())`` — scripts/check_window.py asserts membership.
-#: Composition = check_window.py's suggested r9 rotation at r8 close:
-#: the 4 round-8 additions (pre-committed per the standing invariant)
-#: + the 2 round-9 train->apply additions (l5k2/l4m4, driver row in
-#: the SAME round they land) + the 44 stalest re-checks (r2-era joins,
-#: r3-era events/aggregations/windows).
+#: Composition = check_window.py's suggested r10 rotation at r9 close
+#: (0 never-checked + the 50 stalest, r3/r4-era), MINUS its two
+#: newest-stale tail entries (l2d_dedup_clusters, l2e_embedding_dedup
+#: — they roll to r11), PLUS the two queries whose semantics changed
+#: in round 10 and therefore need same-round driver rows (the
+#: standing invariant): g1_triangle_counts (degree-ordered
+#: orientation) and l5k2_trained_quality_gate (class-prior-corrected
+#: keep threshold).
 _WINDOW_PROMOTE: frozenset[str] = frozenset({
-    # --- the 6 never-driver-checked (round-8 + round-9 additions) ---
-    # llm_text
-    "l5k_train_quality_weights", "l4m3_bpe_merge_learning",
-    "l5k2_trained_quality_gate", "l4m4_learned_bpe_encode",
-    # llm_mixing
-    "lm10_incremental_curation_funnel", "lm8b_capped_minhash_dedup",
-    # --- the 44 stalest re-checks ---
-    # joins (r2-era)
-    "j1_inner_join", "j2_left_outer_join", "j2b_full_outer_join",
-    "j3_semi_join", "j4_anti_join", "j5_cross_join",
-    "j8_broadcast_join", "j9_self_join",
-    # events (r3-era)
-    "e1_hourly_event_stats", "e2_sliding_windows", "e4_transition_counts",
-    "e5_daily_users", "e6_funnel", "e7_retention_cohorts", "e8_gap_fill",
-    "e9_anomaly_zscore", "e10_rolling_7d_users",
-    # aggregations (r3-era)
-    "a2_global_agg", "a3_distinct_agg", "a4_approx_count_distinct",
-    "a5_stats_agg", "a6_percentiles", "a8_max_by", "a9_rollup",
-    "a9b_cube", "a9c_grouping_sets", "a10_pivot", "a11_unpivot",
-    "a12_having", "a13_table_profile", "a14_histogram",
-    "a15_hll_sketch_rollup", "a16_regression",
-    "a17_bitmap_distinct_rollup", "a20_theta_retention",
-    "a21_kll_rank_profile", "a22_listagg", "a23_filtered_aggregates",
-    # windows (r3-era)
-    "w1_ranking", "w2_lag_lead", "w3_value_functions", "w4_running_sum",
-    "w5_range_frame", "w6_topk_per_group",
+    # --- changed in round 10 (same-round driver row) ---
+    "g1_triangle_counts", "l5k2_trained_quality_gate",
+    # --- the 48 stalest re-checks ---
+    # windows / setops (r3-era)
+    "w7_session_features", "o1_multi_key_sort", "o2_topk",
+    "u1_union_all", "u1b_union_by_name", "u2_intersect",
+    "u2b_intersect_all", "u3_except", "u3b_except_all", "u4_distinct",
+    # scalar functions (r4-era)
+    "f1_string_funcs", "f2_datetime_funcs", "f3_math_funcs",
+    "f4_array_funcs", "f5_struct_map", "f6_json_funcs",
+    "f7_hash_funcs", "f8_try_funcs", "f9_url_funcs",
+    "f10_bitwise_funcs", "f6b_variant_funcs", "f11_crypto_funcs",
+    "f12_datetime_extended", "f13_string_extended",
+    # llm text/curation (r4-era)
+    "l4_text_stats", "l5_quality_filter", "l4b_token_counting",
+    "l4c_tfidf_top_terms", "l4d_language_id", "l4e_fingerprint",
+    "l5b_training_data_pipeline", "l4k_bm25_search",
+    "l4o_bigram_novelty", "l4q_vocab_encode", "l5c_curation_funnel",
+    "l4f_chunk_documents", "l4g_pii_mask", "l4h_repetition_signals",
+    "l4i_decontamination", "l4j_domain_cap", "l4l_char_diversity",
+    "l4m_sequence_packing", "l4n_weighted_sample",
+    # llm dedup (r4-era)
+    "l1_exact_dedup", "l1b_dedup_apply", "l2_jaccard_near_dup",
+    "l2b_simhash", "l2c_minhash_lsh",
 })
 
 

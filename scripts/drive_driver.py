@@ -113,15 +113,16 @@ SF01_QUADRATIC_TIER = {
     # O(n) pairs, never all-pairs; original tier placement was a
     # misread of its name, not a measurement).
     # the near-dup GRAPH family builds its edge list from the same
-    # jaccard pair operator (measured r9: g1's Spark side alone ran
-    # >20 min at sf0.1 — one skew-tail task on the dense fixture
-    # graph; g5's DuckDB twin timed out a 13-min spot-run box even
-    # after the round-9 edge-checkpoint fix — 4 unrolled LPA mode
-    # votes over the pair CTE, single-threaded). g2_pagerank was
-    # REMOVED (round-9 spot-run: 20.9 s at sf0.1, match — its oracle
-    # iterates over the DEDUPED edge list with simple sum aggregates,
-    # no per-round pair recomputation):
-    "g1_triangle_counts",
+    # jaccard pair operator (g5's DuckDB twin timed out a 13-min
+    # spot-run box even after the round-9 edge-checkpoint fix — 4
+    # unrolled LPA mode votes over the pair CTE, single-threaded).
+    # g2_pagerank was REMOVED (round-9 spot-run: 20.9 s at sf0.1,
+    # match — its oracle iterates over the DEDUPED edge list with
+    # simple sum aggregates, no per-round pair recomputation).
+    # g1_triangle_counts was REMOVED (round-10 spot-run: 5.5 s total
+    # at sf0.1, match — the degree-ordered orientation fix killed the
+    # r9 >20-min id-ordered wedge-join straggler, and its oracle runs
+    # the pair CTE once into small triangle joins):
     "g3_recursive_bfs",
     "g4_kcore",
     "g5_label_propagation",

@@ -124,3 +124,38 @@ def test_l5k_sigmoid_boundary_margin():
             FROM z"""
         ).fetchone()
         assert margin > 1e-4, (sf, margin)
+
+
+def test_l5k2_prior_logodds_boundary_margin():
+    """l5k2's round-10 prior-shifted keep threshold adds ONE new libm
+    call to the gate: thr = ROUND(LN(n_en/n_rest), 8). Same residual
+    risk class as the l5k sigmoid (a cross-engine flip requires the
+    raw LN to sit within ~1 ulp of a .xxxxxxxx5 boundary), pinned the
+    same way: measure the raw value's distance from the 8dp rounding
+    cut at every fixture SF and demand ~1e12 ulps of margin. (The
+    logit-vs-thr comparison itself has no risk — the fold canon makes
+    the logits bit-identical doubles in both engines, and identical
+    doubles compare identically however close they are.)"""
+    import duckdb
+
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        (margin,) = con.execute(
+            """
+            WITH r AS (
+              SELECT LN(CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE)
+                     / CAST(COUNT(*) FILTER (lang <> 'en') AS DOUBLE)) AS raw
+              FROM documents
+            )
+            SELECT ABS(ABS(raw) * 1e8 - FLOOR(ABS(raw) * 1e8) - 0.5) FROM r
+            """
+        ).fetchone()
+        assert margin > 1e-4, (sf, margin)

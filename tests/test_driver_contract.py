@@ -175,10 +175,10 @@ def test_catalog_order_is_structural_not_import_order():
         " catalog, _QUERY_MODULES, _WINDOW_PROMOTE\n"
         "cat = catalog()\n"
         "names = list(cat)\n"
-        # The r9 central rotation set IS the first 50, ordered by module:
+        # The r10 central rotation set IS the first 50, ordered by module:
         "assert set(names[:50]) == _WINDOW_PROMOTE, names[:50]\n"
-        "assert names[0] == 'l5k_train_quality_weights', names[:3]\n"
-        "assert names[49] == 'lm8b_capped_minhash_dedup', names[45:50]\n"
+        "assert names[0] == 'g1_triangle_counts', names[:3]\n"
+        "assert names[49] == 'u4_distinct', names[45:50]\n"
         "assert names[50] == 'st14_checkpoint_recovery', names[50:53]\n"
         # DEFER entries (driver-green in a past window) sort last:
         "assert names[-3:] == ['l3_cosine_topk', 'l3b_bucketed_near_pairs',"

@@ -376,6 +376,39 @@ def test_triangle_counts_on_known_graphs(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
 
 
+def test_degree_orientation_bounds_wedge_fanout_on_star(spark):
+    """The r9 scale-killer, pinned structurally: on a star whose HUB
+    has the LOWEST id (the id-ordering worst case — every edge sorts
+    hub-first, so the hub's wedge fan-out is C(n, 2)), degree
+    orientation must point every edge leaf→hub, leaving max out-degree
+    1 and therefore ZERO wedges. Also re-checks counts are unchanged
+    by orientation on a star + clique composite (orientation
+    invariance of the triangle set)."""
+    from big_data_programming_spark.operators.graph import (
+        canonical_undirected,
+        degree_oriented,
+        triangle_counts,
+    )
+
+    n = 200
+    star = [(0, i) for i in range(1, n + 1)]  # hub id 0 < every leaf id
+    oriented = degree_oriented(
+        canonical_undirected(spark.createDataFrame(star, "src long, dst long"))
+    )
+    fanout = {
+        r["u"]: r["c"]
+        for r in oriented.groupBy("u").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert max(fanout.values()) == 1  # id-ordering would give fanout[0] == n
+    assert 0 not in fanout  # the hub sources nothing
+    # orientation invariance: star contributes no triangles, the
+    # attached K4 (sharing the hub) contributes exactly its 4 nodes
+    k4 = [(0, 500), (0, 501), (0, 502), (500, 501), (500, 502), (501, 502)]
+    df = spark.createDataFrame(star + k4, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 500: 3, 501: 3, 502: 3}
+
+
 def test_pagerank_partition_invariant_and_sane(spark):
     """The decimal-canon contribution sums must make PageRank
     bit-identical at different partition counts, and a node with more
@@ -1449,14 +1482,18 @@ def test_bpe_twins_agree_on_degenerate_words(spark):
 
 
 def test_trained_gate_composes_train_and_apply(spark):
-    """l5k2 (round 9): the trained gate is the l5k artifact APPLIED —
-    the weak-label classes separate through the composed query (mean
-    trained logit of lang='en' docs above the rest, the same CCNet
-    train-fit direction the l5k model test pins), the absolute verdict
-    is exactly logit > 0, and the relative corpus-mean tier splits the
-    fixture non-trivially both ways (the production percentile-style
-    cut is non-degenerate even where the 2-step absolute gate keeps
-    nothing)."""
+    """l5k2 (round 9; prior-shift fix round 10): the trained gate is
+    the l5k artifact APPLIED — the weak-label classes separate through
+    the composed query (mean trained logit of lang='en' docs above the
+    rest, the same CCNet train-fit direction the l5k model test pins),
+    the absolute verdict is the CLASS-PRIOR-CORRECTED rule
+    logit > ln(n_en/n_rest) (Elkan'01 — the raw logit > 0 cut was
+    degenerate: the imbalanced-trained intercept absorbs the prior and
+    kept zero fixture docs, r9 verdict what's-wrong #2), and BOTH
+    verdicts now split the fixture strictly two ways while disagreeing
+    with each other somewhere (two genuinely distinct boundaries)."""
+    import math
+
     from big_data_programming_spark.registry import queries
 
     out = queries()["l5k2_trained_quality_gate"](spark, SMOKE_SF_DIR)
@@ -1464,10 +1501,15 @@ def test_trained_gate_composes_train_and_apply(spark):
     j = out.join(lang, "doc_id")
     rows = j.collect()
     assert rows
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    thr = round(math.log(n_en / (len(rows) - n_en)), 8)
     for r in rows:
-        assert r["keep_quality"] == (r["trained_logit"] > 0), r
+        assert r["keep_quality"] == (r["trained_logit"] > thr), (r, thr)
+    kept = sum(1 for r in rows if r["keep_quality"])
+    assert 0 < kept < len(rows), kept  # the r10 non-degeneracy contract
     above = sum(1 for r in rows if r["above_corpus_mean"])
     assert 0 < above < len(rows), above
+    assert any(r["keep_quality"] != r["above_corpus_mean"] for r in rows)
     en = [r["trained_logit"] for r in rows if r["lang"] == "en"]
     rest = [r["trained_logit"] for r in rows if r["lang"] != "en"]
     assert en and rest

@@ -211,7 +211,7 @@ def test_no_accidental_cartesian_in_catalog():
         "lm6_negative_pair_audit",  # 1-row corpus-size broadcast (LCG partner modulo)
         "po3_incremental_kpi_rollup",  # 1-row max(day) broadcast (newest-day split)
         "l5k_train_quality_weights",  # 1-row N / bias / weight-vector attaches (GD steps)
-        "l5k2_trained_quality_gate",  # 1-row trained wv + 1-row trained bias attaches (l5i gate shape; audited r9)
+        "l5k2_trained_quality_gate",  # 1-row trained wv + bias + prior-log-odds attaches (l5i gate shape; audited r9, prior added r10)
         "lm10_incremental_curation_funnel",  # 1-row wv model attach (l5i gate shape)
         "po7_hll_cardinality",  # 1-row exact x 1-row sketch-denominator attach
         "lm7_dsir_importance",  # 1-row feature-total broadcast (Laplace denominators)
@@ -982,7 +982,8 @@ def test_l5k_family_runtime_scan_reuse():
       nrow/b1row reference is a reused exchange. At 100 TB that is
       one text-weight pass + two metadata-weight passes.
     * l5k2 (train -> apply) adds the gate's scoring passes on top of
-      the trainer: <= 6 executed scans total.
+      the trainer, plus (round 10) one skinny lang-only pass for the
+      class-prior keep threshold: <= 7 executed scans total.
 
     If Spark's reuse behavior ever regresses (these counts grow), the
     trainers silently become multi-pass at cluster scale — exactly
@@ -1002,6 +1003,6 @@ def test_l5k_family_runtime_scan_reuse():
         n_gate = executed_parquet_scan_count(
             catalog()["l5k2_trained_quality_gate"].fn(spark, SF_DIR)
         )
-        assert n_gate <= 6, n_gate
+        assert n_gate <= 7, n_gate
     finally:
         S.release_caches(spark)
