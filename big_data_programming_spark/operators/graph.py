@@ -86,17 +86,24 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     hottest node; triangle SETS are orientation-invariant, so the
     id-ordered oracle twin (TRIANGLES_ORACLE_SQL) is unchanged.
     """
-    # Materialize the oriented edge list once: the three join aliases
-    # below would otherwise each re-execute the full upstream pipeline
-    # that produced the edges (pair generation is far more expensive
-    # than the edge list is large). On a cluster this is a cached /
-    # checkpointed table; locally localCheckpoint serves the same cut.
+    # TWO materialization cuts, and the first one is load-bearing:
+    # the canonical edge list is checkpointed BEFORE degree_oriented,
+    # because orientation references the edges twice more (the degree
+    # aggregate + the attach joins) on top of the three wedge-join
+    # aliases — without the cut every reference re-executes the full
+    # upstream pipeline that produced the edges (pair generation is
+    # far more expensive than the edge list is large; measured r10 at
+    # sf0.1: orienting the UNCUT relation re-ran jaccard_pairs per
+    # reference and filled the disk with shuffle spill before ENOSPC).
+    # The second cut materializes the small oriented relation once for
+    # the three self-join aliases. On a cluster these are cached /
+    # checkpointed tables; locally localCheckpoint serves the same cut.
     # NOTE: eager=True means CONSTRUCTING this DataFrame executes the
     # upstream pipeline (same caveat as label_propagation below).
-    e = degree_oriented(canonical_undirected(edges, src, dst)).localCheckpoint(
-        eager=True
-    )
-    ab, ac, bc = e.alias("ab"), e.alias("ac"), e.alias("bc")
+    e0 = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    e = degree_oriented(e0).localCheckpoint(eager=True)
+    ab, ac = e.alias("ab"), e.alias("ac")
+    bc = e.select(F.col("u").alias("_bu"), F.col("v").alias("_bv"))
     # Wedge targets ordered by the SAME (degree, id) rank used to
     # orient — (dv, v) lexicographic — so each triangle's wedge is
     # picked once; the closing edge b->c is oriented b<c by rank, so
@@ -104,24 +111,62 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     rank_lt = (F.col("ab.dv") < F.col("ac.dv")) | (
         (F.col("ab.dv") == F.col("ac.dv")) & (F.col("ab.v") < F.col("ac.v"))
     )
-    tri = (
-        ab.join(ac, (F.col("ab.u") == F.col("ac.u")) & rank_lt)
-        .join(bc, (F.col("bc.u") == F.col("ab.v")) & (F.col("bc.v") == F.col("ac.v")))
-        .select(
-            F.col("ab.u").alias("a"), F.col("ab.v").alias("b"), F.col("ac.v").alias("c")
-        )
+    # The wedge STREAM is the volume term — Σ C(outdeg, 2), which on a
+    # duplicate near-clique of size c is inherently ~C(c, 3) (measured
+    # sf0.1 fixture: a 2934-doc J>=0.8 clique -> 1.88e9 wedges; that is
+    # the cost of EXACT per-node triangle counts on an uncollapsed
+    # duplicate clique, not a plan artifact). So the wedge stream must
+    # never touch an exchange: (1) the closing-edge side is an explicit
+    # broadcast — the ORIENTED EDGE LIST (not the corpus) must fit in
+    # executor memory, ~16 B/edge, so wedges probe an in-memory hash
+    # map-side (beyond that regime, fall back to the shuffled
+    # Suri-Vassilvitskii wedge join, where orientation still bounds
+    # volume under power-law skew); (2) each surviving triangle
+    # explodes to its three role rows IN-ROW (one pass — a 3-way union
+    # of projections would re-execute the join per branch), and
+    # partial aggregation collapses every task's stream to <= |V| rows
+    # before the only post-edge shuffle. Measured sf0.1 effect: the
+    # r9 id-ordered shuffled plan died >20 min into one straggler
+    # task; the r10 shuffled-oriented plan spilled the 1.9e9-row wedge
+    # exchange to ENOSPC; this plan streams it.
+    tri = ab.join(ac, (F.col("ab.u") == F.col("ac.u")) & rank_lt).join(
+        F.broadcast(bc),
+        (F.col("_bu") == F.col("ab.v")) & (F.col("_bv") == F.col("ac.v")),
     )
-    roles = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    roles = tri.select(
+        F.explode(
+            F.array(F.col("ab.u"), F.col("ab.v"), F.col("ac.v"))
+        ).alias("node")
     )
     return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+#: Two DuckDB materialization decisions mirror the Spark operator's two
+#: localCheckpoint cuts (both from round-10 sf0.1 measurement):
+#: (1) ``e AS MATERIALIZED`` — the edge list is referenced three times
+#: by the triangle joins, and DuckDB otherwise INLINES the full
+#: upstream edge pipeline per reference (for g1 that is the whole
+#: jaccard-pairs inverted-index computation: parquet scan + unnest +
+#: window + join, three times over).
+#: (2) ``roles`` references tri exactly ONCE (UNNEST of the 3-element
+#: role list), not as a 3-way UNION of projections: a multi-referenced
+#: tri would itself be materialized, and on the sf0.1 fixture's
+#: 2934-doc near-clique tri holds ~1.9e9 rows.
+#: MEASURED LIMIT (round 10): even with both fixes this oracle is
+#: sf0.01-only (1.1 s there, hash-exact). At sf0.1 DuckDB's cardinality
+#: estimate for the wedge join output is EC:0, so the optimizer builds
+#: a hash table ON the ~1.9e9-row wedge stream (~85 GB RSS ballooning,
+#: or a few-hundred-GB spill under a memory cap); an EXISTS/semi
+#: rewrite hits the same build-side choice, and a wedge->GROUP BY
+#: common-neighbor reformulation spills its 1.26e10-row aggregate
+#: input. g1 therefore sits in drive_driver's SF01_QUADRATIC_TIER:
+#: sf0.1 cross-engine verification is infeasible on one box BY
+#: MEASUREMENT (three formulations tried), while the Spark side —
+#: whose broadcast-closing plan never materializes the stream —
+#: completes sf0.1 in ~245 s with evenly distributed tasks.
 TRIANGLES_ORACLE_SQL = """
 WITH raw({src}, {dst}) AS ({edges_sql}),
-e AS (
+e AS MATERIALIZED (
   SELECT DISTINCT LEAST({src}, {dst}) AS u, GREATEST({src}, {dst}) AS v
   FROM raw WHERE {src} <> {dst}
 ),
@@ -131,11 +176,7 @@ tri AS (
   JOIN e ac ON ab.u = ac.u AND ab.v < ac.v
   JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
 ),
-roles AS (
-  SELECT a AS node FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri
-)
+roles AS (SELECT UNNEST([a, b, c]) AS node FROM tri)
 SELECT node, COUNT(*) AS n_triangles
 FROM roles GROUP BY node
 """

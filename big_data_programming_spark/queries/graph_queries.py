@@ -48,13 +48,17 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 def g1_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the J≥0.8 near-dup graph — local
     density: a doc in many triangles sits in a tight duplicate clique
-    (transcoded boilerplate), one in few is a chain artifact. Two
-    equi-joins + one aggregate over DEGREE-oriented edges
-    (operators/graph.py:triangle_counts): orientation bounds wedge
-    fan-out to O(m^1.5) under power-law skew — the r10 fix for the
+    (transcoded boilerplate), one in few is a chain artifact.
+    DEGREE-oriented wedge join + broadcast closing probe + in-row role
+    explode (operators/graph.py:triangle_counts): orientation bounds
+    wedge fan-out to O(m^1.5) under power-law skew and the broadcast
+    keeps the wedge stream off every exchange — the r10 fix for the
     measured r9 straggler (id-ordering spent >20 min in one task at
-    sf0.1 on this graph's hottest node). Triangle sets are
-    orientation-invariant, so the id-ordered oracle is unchanged."""
+    sf0.1 on this graph's hottest node; the fixed plan runs 245 s with
+    even tasks). Triangle sets are orientation-invariant, so the
+    oracle keeps the id-ordered 3-way join — hash-exact at sf0.01,
+    single-box infeasible at sf0.1 (measured; see the tier note in
+    operators/graph.py and drive_driver.py)."""
     pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
     return triangle_counts(pairs, src="doc_a", dst="doc_b")
 

@@ -119,10 +119,19 @@ SF01_QUADRATIC_TIER = {
     # g2_pagerank was REMOVED (round-9 spot-run: 20.9 s at sf0.1,
     # match — its oracle iterates over the DEDUPED edge list with
     # simple sum aggregates, no per-round pair recomputation).
-    # g1_triangle_counts was REMOVED (round-10 spot-run: 5.5 s total
-    # at sf0.1, match — the degree-ordered orientation fix killed the
-    # r9 >20-min id-ordered wedge-join straggler, and its oracle runs
-    # the pair CTE once into small triangle joins):
+    # g1_triangle_counts STAYS in the tier, adjudicated by round-10
+    # measurement (an earlier round-10 note briefly claimed a 5.5 s
+    # sf0.1 spot-run — that run was accidentally at sf0.01: this
+    # script takes --sf, NOT the $SPARK_GRAFT_SF_DIR env var bench.py
+    # uses). The real sf0.1 picture: the SPARK side is fixed — the
+    # degree-oriented broadcast-closing plan runs 245 s with evenly
+    # distributed tasks where r9's id-ordered plan sat >20 min in one
+    # straggler — but the DUCKDB oracle is single-box infeasible at
+    # sf0.1: the fixture's 2934-doc near-clique makes the wedge
+    # stream ~1.9e9 rows, DuckDB's EC:0 estimate builds a hash table
+    # ON that stream (~85 GB RSS / few-hundred-GB spill; three
+    # formulations measured, see operators/graph.py).
+    "g1_triangle_counts",
     "g3_recursive_bfs",
     "g4_kcore",
     "g5_label_propagation",

@@ -141,6 +141,42 @@ def test_connected_components_match_union_find(spark, edges):
     assert got == want
 
 
+# ---------- degree-oriented triangles vs brute-force reference ----------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """The round-10 degree-ordered orientation must not change WHAT is
+    counted, only how the wedge work distributes: per-node counts on
+    random multigraphs (duplicates, self-loops, both directions — all
+    of which canonical_undirected must absorb) equal a brute-force
+    itertools reference over the deduped undirected edge set. Random
+    graphs reach orientation corners the fixtures don't: degree ties
+    broken by id, hubs whose id sorts low/high, disconnected blobs."""
+    from itertools import combinations
+
+    from big_data_programming_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in und for n in e}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
 # ---------- salted aggregation == plain aggregation ----------
 
 
