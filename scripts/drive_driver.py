@@ -132,8 +132,15 @@ SF01_QUADRATIC_TIER = {
     # ON that stream (~85 GB RSS / few-hundred-GB spill; three
     # formulations measured, see operators/graph.py).
     "g1_triangle_counts",
+    # g3_recursive_bfs got its first sf0.1 row in round 10 via --only
+    # spot-run: 545.3 s, match — the depth-3 recursive CTE replays the
+    # inlined pair CTE per reference. Spot-run-feasible but too heavy
+    # for the ~35-min routine sweep, so it stays tiered:
     "g3_recursive_bfs",
-    "g4_kcore",
+    # g4_kcore was REMOVED after its first real sf0.1 spot-run
+    # (round 10, --sf): 126.2 s total, match — the peel rounds
+    # iterate the DEDUPED edge list with degree aggregates, cheaper
+    # than routine-sweep members l2i (420 s) and l2 (315 s).
     "g5_label_propagation",
 }
 
