@@ -86,46 +86,56 @@ _QUERY_MODULES = (
 PROMOTE = -1
 DEFER = 10_000
 
-#: ROUND 10 driver window — the central rotation list. Names here sort
+#: ROUND 11 driver window — the central rotation list. Names here sort
 #: before every module (rank PROMOTE), overriding any per-query
 #: ``window_rank``; within the set, order is (module rank, seq), so the
 #: window composition is still a pure function of the source tree.
 #: Edit THIS set (only) when rotating; keep len == 50 == the driver's
 #: correctness-window size. Names must be copied exactly from
 #: ``list(catalog())`` — scripts/check_window.py asserts membership.
-#: Composition = check_window.py's suggested r10 rotation at r9 close
-#: (0 never-checked + the 50 stalest, r3/r4-era), MINUS its two
-#: newest-stale tail entries (l2d_dedup_clusters, l2e_embedding_dedup
-#: — they roll to r11), PLUS the two queries whose semantics changed
-#: in round 10 and therefore need same-round driver rows (the
-#: standing invariant): g1_triangle_counts (degree-ordered
-#: orientation) and l5k2_trained_quality_gate (class-prior-corrected
-#: keep threshold).
+#: Composition = check_window.py's suggested r11 rotation at r10 close
+#: (0 never-checked + the 50 stalest: the r4-era similarity/dedup
+#: family incl. the rolled-over l2d/l2e, the l3 similarity ladder,
+#: l6 multimodal, graph g2-g5, dq1-dq7, the full UD family ud1-ud11 —
+#: the stalest §2-core family, pulled forward per the r10 verdict —
+#: and sk1), MINUS its newest-stale tail entry (sk2_salted_join,
+#: rolls to r12), PLUS the query whose semantics change in round 11
+#: and therefore needs a same-round driver row (the standing
+#: invariant): l2c_minhash_lsh (Spark-ML twin re-scoped to a
+#: deterministic hash-selected shard so it completes at sf0.1).
 _WINDOW_PROMOTE: frozenset[str] = frozenset({
-    # --- changed in round 10 (same-round driver row) ---
-    "g1_triangle_counts", "l5k2_trained_quality_gate",
-    # --- the 48 stalest re-checks ---
-    # windows / setops (r3-era)
-    "w7_session_features", "o1_multi_key_sort", "o2_topk",
-    "u1_union_all", "u1b_union_by_name", "u2_intersect",
-    "u2b_intersect_all", "u3_except", "u3b_except_all", "u4_distinct",
-    # scalar functions (r4-era)
-    "f1_string_funcs", "f2_datetime_funcs", "f3_math_funcs",
-    "f4_array_funcs", "f5_struct_map", "f6_json_funcs",
-    "f7_hash_funcs", "f8_try_funcs", "f9_url_funcs",
-    "f10_bitwise_funcs", "f6b_variant_funcs", "f11_crypto_funcs",
-    "f12_datetime_extended", "f13_string_extended",
-    # llm text/curation (r4-era)
-    "l4_text_stats", "l5_quality_filter", "l4b_token_counting",
-    "l4c_tfidf_top_terms", "l4d_language_id", "l4e_fingerprint",
-    "l5b_training_data_pipeline", "l4k_bm25_search",
-    "l4o_bigram_novelty", "l4q_vocab_encode", "l5c_curation_funnel",
-    "l4f_chunk_documents", "l4g_pii_mask", "l4h_repetition_signals",
-    "l4i_decontamination", "l4j_domain_cap", "l4l_char_diversity",
-    "l4m_sequence_packing", "l4n_weighted_sample",
-    # llm dedup (r4-era)
-    "l1_exact_dedup", "l1b_dedup_apply", "l2_jaccard_near_dup",
-    "l2b_simhash", "l2c_minhash_lsh",
+    # --- changed in round 11 (same-round driver row) ---
+    "l2c_minhash_lsh",
+    # --- the 49 stalest re-checks ---
+    # llm dedup remainder (r4-era, incl. the r10 rollovers l2d/l2e)
+    "l2d_dedup_clusters", "l2e_embedding_dedup",
+    "l2f_blocked_fuzzy_pairs", "l2g_ngram_jaccard",
+    "l2d2_cc_two_phase", "l2i_minhash_banded",
+    "l2h_ngram_containment", "l2j_url_canonical_dedup",
+    "l1c_incremental_dedup",
+    # llm similarity ladder (r4/r5-era)
+    "l3_cosine_topk", "l3b_bucketed_near_pairs",
+    "l3c_label_centroid_sim", "l3d_knn_label_vote",
+    "l3f_ivf_probe_topk", "l3e_ivf_topk", "l3g_batch_knn_join",
+    "l3h_random_projection_topk", "l3i_scalar_quantization",
+    "l3j_product_quantization", "l3k_adc_search",
+    # multimodal (r5-era)
+    "l6_multimodal_ingest", "l6b_decode_profile", "l6c_chunk_sampling",
+    "l6d_frame_sample", "l6e_resize_stride", "l6f_shard_manifest",
+    # graph (r5-era; g3's plan changes this round too — checkpoint cut)
+    "g3_recursive_bfs", "g2_pagerank", "g4_kcore",
+    "g5_label_propagation",
+    # data quality (r5-era)
+    "dq1_constraint_checks", "dq2_snapshot_diff", "dq3_partition_drift",
+    "dq4_scd2_intervals", "dq5_category_drift",
+    "dq6_point_in_time_join", "dq7_functional_dependency_profile",
+    # UDF surface (r5-era — stalest §2-core family, r10 verdict item 6)
+    "ud1_row_udf", "ud2_pandas_scalar", "ud3_iterator_pandas",
+    "ud4_grouped_map", "ud5_grouped_agg", "ud6_map_in_pandas",
+    "ud7_python_udtf", "ud8_cogroup", "ud9_map_in_arrow",
+    "ud10_arrow_python_udf", "ud11_polymorphic_udtf",
+    # skew (r5-era; sk2 rolls to r12)
+    "sk1_salted_hot_key_agg",
 })
 
 
