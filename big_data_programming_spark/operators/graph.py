@@ -70,7 +70,22 @@ def degree_oriented(e: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+#: Broadcast regime bound for :func:`triangle_counts`'s closing-edge
+#: join: the ORIENTED EDGE LIST (u, v — two longs, ~16 B/row plus hash
+#: map overhead) must fit in executor memory. 100M edges ≈ 1.6 GB of
+#: key payload (~4-5 GB as a broadcast hash relation) — inside this
+#: sandbox's 128 GiB JVM and a typical 16-32 GiB production executor.
+#: Above the bound the plan degrades to the shuffled
+#: Suri–Vassilvitskii closing join instead of OOMing the executors.
+BROADCAST_EDGE_LIMIT = 100_000_000
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_edge_limit: int = BROADCAST_EDGE_LIMIT,
+) -> DataFrame:
     """Per-node triangle participation counts.
 
     Classic two-join formulation over DEGREE-ordered oriented edges:
@@ -116,12 +131,17 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # sf0.1 fixture: a 2934-doc J>=0.8 clique -> 1.88e9 wedges; that is
     # the cost of EXACT per-node triangle counts on an uncollapsed
     # duplicate clique, not a plan artifact). So the wedge stream must
-    # never touch an exchange: (1) the closing-edge side is an explicit
-    # broadcast — the ORIENTED EDGE LIST (not the corpus) must fit in
-    # executor memory, ~16 B/edge, so wedges probe an in-memory hash
-    # map-side (beyond that regime, fall back to the shuffled
-    # Suri-Vassilvitskii wedge join, where orientation still bounds
-    # volume under power-law skew); (2) each surviving triangle
+    # never touch an exchange: (1) the closing-edge side is broadcast
+    # while the ORIENTED EDGE LIST fits the broadcast regime
+    # (edge count <= broadcast_edge_limit — e is already checkpointed,
+    # so the gate's count() reads the materialized relation, no
+    # recompute), letting wedges probe an in-memory hash map-side;
+    # beyond the bound the plan DEGRADES rather than OOMs: the
+    # closing join runs shuffled (Suri–Vassilvitskii), where
+    # orientation still bounds total wedge volume under power-law
+    # skew, at the cost of exchanging the wedge stream — the r11
+    # advice fix turning the prose fallback into a real gate;
+    # (2) each surviving triangle
     # explodes to its three role rows IN-ROW (one pass — a 3-way union
     # of projections would re-execute the join per branch), and
     # partial aggregation collapses every task's stream to <= |V| rows
@@ -129,8 +149,9 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # r9 id-ordered shuffled plan died >20 min into one straggler
     # task; the r10 shuffled-oriented plan spilled the 1.9e9-row wedge
     # exchange to ENOSPC; this plan streams it.
+    closing = F.broadcast(bc) if e.count() <= broadcast_edge_limit else bc
     tri = ab.join(ac, (F.col("ab.u") == F.col("ac.u")) & rank_lt).join(
-        F.broadcast(bc),
+        closing,
         (F.col("_bu") == F.col("ab.v")) & (F.col("_bv") == F.col("ac.v")),
     )
     roles = tri.select(

@@ -56,11 +56,28 @@ def _drain_listener_bus(spark) -> None:
     — and (b) leak a PRIOR still-queued execution above the watermark
     into the current query's count. Both helpers below drain before
     reading the watermark AND after running the workload. The timeout
-    overload is preferred (bounded wait); Spark 4.1.2 exposes both."""
+    overload is preferred (bounded wait); Spark 4.1.2 exposes both.
+
+    Exception discipline (r10 advice): only SIGNATURE DRIFT (the
+    timeout overload missing on some Spark version — surfacing as a
+    py4j Py4JError/TypeError at the call boundary) falls back to the
+    no-arg overload. A genuine JVM exception — notably
+    TimeoutException from a bus still backed up after 10 s —
+    propagates: silently retrying there would hand the caller exactly
+    the undrained-store undercount this helper exists to prevent."""
+    from py4j.protocol import Py4JError, Py4JJavaError
+
     bus = spark.sparkContext._jsc.sc().listenerBus()
     try:
         bus.waitUntilEmpty(10000)
-    except Exception:  # signature drift across Spark versions
+    except Py4JJavaError:
+        # a real JVM-side failure (e.g. java.util.concurrent.
+        # TimeoutException: bus not drained in 10 s) must be VISIBLE,
+        # not swallowed into a different-semantics retry
+        raise
+    except (Py4JError, TypeError):
+        # timeout overload absent on this Spark version (Py4JJavaError
+        # subclasses Py4JError, so JVM failures never land here)
         bus.waitUntilEmpty()
 
 

@@ -102,9 +102,23 @@ def g3_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation both engines execute identically
     (production BFS over an unbounded diameter belongs to the
     iterative operators: operators/clustering.py cuts lineage per
-    round, which a single recursive plan cannot)."""
-    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8).select(
-        "doc_a", "doc_b"
+    round, which a single recursive plan cannot).
+
+    The pair relation is eagerly localCheckpointed before entering the
+    SQL: ``{edges}`` appears THREE times in the CTE (the seed MIN, both
+    arms of the undirected union) and the undirected arm re-executes
+    once per recursion level, so an un-cut relation re-runs the full
+    jaccard inverted-index pipeline 5+ times — the exact mistake g1's
+    r10 rewrite fixed one file over (operators/graph.py e0 cut), and
+    the dominant share of g3's 545 s r10 sf0.1 spot-run. On a cluster
+    the cut is a cached/checkpointed table feeding the recursion.
+    CONSTRUCTION EXECUTES (g5's documented caveat now applies here
+    too): building this DataFrame runs the jaccard join; scan audits
+    must use executed_parquet_scan_count_during."""
+    pairs = (
+        jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     return spark.sql(_BFS_SQL.format(edges="{edges}"), edges=pairs)
 

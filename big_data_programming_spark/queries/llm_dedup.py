@@ -108,12 +108,27 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"), bits=16)
 
 
+#: Deterministic ¼ document shard for l2c's Spark-ML comparison twin
+#: (first md5 hex digit of doc_id — the p5b sampling idiom, identical
+#: in both engines). Round-10 measurement: the UNSHARDED
+#: approxSimilarityJoin burned 44.5 min of single-core CPU at sf0.1
+#: (5000 docs) without finishing; its explode-join work is
+#: superquadratic in same-bucket docs, so the ¼ shard cuts it ~16×
+#: into spot-run range while exercising the identical code path.
+_L2C_SHARD_HEX = ("0", "1", "2", "3")
+
+_L2C_SHARD_SQL = (
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')"
+)
+
+
 @register(
     "l2c_minhash_lsh",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT doc_id AS doc, UNNEST(list_distinct(string_split(text, ' '))) AS token
   FROM documents
+  WHERE {_L2C_SHARD_SQL}
 ), sizes AS (
   SELECT doc, COUNT(*) AS n_tokens FROM toks GROUP BY doc
 ), inter AS (
@@ -131,13 +146,31 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_shared) >= 0.5
     tags=("L2",),
 )
 def l2c_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production-scale near-dedup pipeline: MinHash-LSH candidate
-    generation (spark.ml approxSimilarityJoin, band-bucket equi-join)
-    followed by exact Jaccard verification of candidates only. Output
-    equals the ground-truth all-pairs result (the oracle is the exact
-    formulation) while the pairwise work is bounded by the LSH bucket
-    structure — the shape that survives 100 TB."""
-    return minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    """The LIBRARY-COMPARISON near-dedup twin: spark.ml MinHash-LSH
+    candidate generation (approxSimilarityJoin, band-bucket equi-join)
+    followed by exact Jaccard verification of candidates only, run on
+    a deterministic ¼ document shard (first md5 hex digit of doc_id in
+    0-3 — the p5b idiom, bit-identical in both engines). Output equals
+    the ground-truth all-pairs result restricted to the shard (the
+    oracle is the exact formulation over the same shard).
+
+    Why sharded (r10 verdict what's-wrong #2): the spark.ml twin is a
+    measured single-core grind — 44.5 min of CPU at sf0.1 without
+    finishing, while the hand-rolled PRODUCTION path (l2i banded
+    MinHash) runs ~1.3 s beside it. l2c exists to certify that the
+    library primitive SURVEY §2.11 names produces the same pairs as
+    the exact formulation, and that certification is subset-sound:
+    a pair's Jaccard depends only on its two documents and LSH
+    bucketing is per-document, so pairs(shard) is exactly
+    pairs(corpus) ∩ shard² — verifying the identical code path at
+    ~1/16 the pairwise work (the l2n sampled-truth pattern). For
+    corpus-scale dedup the production claim is l2i, not this twin."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *_L2C_SHARD_HEX
+        )
+    )
+    return minhash_dedup_pairs(d, threshold=0.5)
 
 
 #: pairs feeding the cluster step — high threshold keeps the graph

@@ -2166,7 +2166,13 @@ def l5k2_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding boundary (measured, tests/test_approx.py —
     the l5k sigmoid-margin discipline), and both comparisons then run
     on bit-identical doubles in both engines (the logit fold has no
-    libm at all)."""
+    libm at all).
+
+    PRECONDITION: both language classes non-empty (n_en > 0 AND
+    n_rest > 0) — true of every fixture SF; a degenerate single-class
+    corpus raises in-plan (r10 advice,
+    tests/test_approx.py::test_l5k2_degenerate_corpus_raises) rather
+    than diverging cross-engine on NULL-vs--inf thresholds."""
     model = l5k_train_quality_weights(spark, sf_dir)
     wrow = (
         model.filter(F.col("bucket") >= 0)
@@ -2183,14 +2189,40 @@ def l5k2_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight_final").alias("b0")
     )
     d = load(spark, sf_dir, "documents")
-    prior = d.agg(
-        F.round(
-            F.log(
-                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
-                / F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).cast("double")
-            ),
-            8,
-        ).alias("thr")
+    # PRECONDITION (r10 advice): the class-prior threshold
+    # ln(n_en/n_rest) needs BOTH classes non-empty — n_rest=0 divides
+    # by zero and n_en=0 hits log(0), where the engines diverge
+    # (Spark F.log(0) -> NULL, DuckDB LN(0) -> -inf). Fixtures
+    # guarantee both classes at every SF, so the guard is latent; a
+    # degenerate corpus now raises loudly in-plan instead of gating
+    # on a NULL/-inf threshold. The raise lives INSIDE thr's
+    # expression tree (not a separate assert column Catalyst could
+    # prune away with the projection).
+    prior = (
+        d.agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("double")
+            .alias("n_en"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+            .cast("double")
+            .alias("n_rest"),
+        )
+        .select(
+            F.when(
+                (F.col("n_en") > 0) & (F.col("n_rest") > 0),
+                F.round(F.log(F.col("n_en") / F.col("n_rest")), 8),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "l5k2: degenerate corpus — the class-prior "
+                        "threshold ln(n_en/n_rest) requires both "
+                        "classes non-empty"
+                    )
+                )
+            )
+            .alias("thr")
+        )
     )
     logit = quality_logit(F.col("toks"), F.col("wv"), bias=F.col("b0"))
     scored = (

@@ -92,7 +92,12 @@ SF01_QUADRATIC_TIER = {
     # inverted-index truth join, like l2n's, is near-linear; the
     # multi-hour members are the ones that CLUSTER or edit-compare
     # the pair relation, not the pair relation itself).
-    "l2c_minhash_lsh",           # Spark-ML comparison twin (slow Spark side too)
+    # l2c_minhash_lsh was REMOVED from this tier in round 11: its
+    # Spark-ML twin (the measured 44.5-min single-core grind at
+    # sf0.1) now runs on a deterministic ¼ doc shard (subset-sound —
+    # pairs(shard) = pairs(corpus) ∩ shard², llm_dedup.py docstring);
+    # round-11 sf0.1 spot-run: 215.0 s, match — cheaper than routine
+    # members l2i (420 s) and l2 (315 s).
     "l2d_dedup_clusters",        # clusters from the all-pairs relation
     "l2d2_cc_two_phase",         # same pair relation, two-phase CC
     # l2e_embedding_dedup (6.7 s) and l2f_blocked_fuzzy_pairs (6.6 s)
@@ -132,11 +137,13 @@ SF01_QUADRATIC_TIER = {
     # ON that stream (~85 GB RSS / few-hundred-GB spill; three
     # formulations measured, see operators/graph.py).
     "g1_triangle_counts",
-    # g3_recursive_bfs got its first sf0.1 row in round 10 via --only
-    # spot-run: 545.3 s, match — the depth-3 recursive CTE replays the
-    # inlined pair CTE per reference. Spot-run-feasible but too heavy
-    # for the ~35-min routine sweep, so it stays tiered:
-    "g3_recursive_bfs",
+    # g3_recursive_bfs was REMOVED from this tier in round 11: the
+    # r10 sf0.1 spot-run (545.3 s) was dominated by the recursive CTE
+    # re-executing the UN-CUT jaccard-pairs relation per reference
+    # (3 static references + one per recursion level); the r11
+    # localCheckpoint cut (graph_queries.py, the same e0 cut g1
+    # landed in r10) re-measured at 205.3 s, match — cheaper than
+    # routine members l2i (420 s) and l2 (315 s).
     # g4_kcore was REMOVED after its first real sf0.1 spot-run
     # (round 10, --sf): 126.2 s total, match — the peel rounds
     # iterate the DEDUPED edge list with degree aggregates, cheaper

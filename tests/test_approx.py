@@ -159,3 +159,23 @@ def test_l5k2_prior_logodds_boundary_margin():
             """
         ).fetchone()
         assert margin > 1e-4, (sf, margin)
+
+
+def test_l5k2_degenerate_corpus_raises(spark, tmp_path):
+    """r10 advice: a single-class corpus makes ln(n_en/n_rest) either
+    a div-by-zero or log(0), where Spark (NULL) and DuckDB (-inf)
+    diverge. The guard must fail LOUDLY in-plan instead of gating on a
+    NULL threshold — and it must survive column pruning (it lives
+    inside thr's expression tree, not a separate assert column)."""
+    import pytest
+
+    from big_data_programming_spark.queries.llm_text import (
+        l5k2_trained_quality_gate,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    degen = str(tmp_path / "degen")
+    d.filter("lang = 'en'").write.parquet(degen + "/documents.parquet")
+    with pytest.raises(Exception) as exc:
+        l5k2_trained_quality_gate(spark, degen).limit(1).collect()
+    assert "degenerate corpus" in str(exc.value)

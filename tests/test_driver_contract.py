@@ -175,14 +175,16 @@ def test_catalog_order_is_structural_not_import_order():
         " catalog, _QUERY_MODULES, _WINDOW_PROMOTE\n"
         "cat = catalog()\n"
         "names = list(cat)\n"
-        # The r10 central rotation set IS the first 50, ordered by module:
+        # The r11 central rotation set IS the first 50, ordered by module:
         "assert set(names[:50]) == _WINDOW_PROMOTE, names[:50]\n"
-        "assert names[0] == 'g1_triangle_counts', names[:3]\n"
-        "assert names[49] == 'u4_distinct', names[45:50]\n"
+        "assert names[0] == 'l3_cosine_topk', names[:3]\n"
+        "assert names[49] == 'l1c_incremental_dedup', names[45:50]\n"
         "assert names[50] == 'st14_checkpoint_recovery', names[50:53]\n"
-        # DEFER entries (driver-green in a past window) sort last:
-        "assert names[-3:] == ['l3_cosine_topk', 'l3b_bucketed_near_pairs',"
-        " 'l3c_label_centroid_sim'], names[-3:]\n"
+        # Window PROMOTE overrides per-query DEFER ranks (the l3 family
+        # carried DEFER from an earlier round; the central list wins):
+        "assert names[-3:] == ['st10_stream_stream_join',"
+        " 'st11_incremental_upsert', 'st13_dedup_within_watermark'],"
+        " names[-3:]\n"
         "rank = {m: i for i, m in enumerate(_QUERY_MODULES)}\n"
         "eff = [-1 if n in _WINDOW_PROMOTE else"
         " (q.window_rank if q.window_rank is not None else"

@@ -409,6 +409,31 @@ def test_degree_orientation_bounds_wedge_fanout_on_star(spark):
     assert got == {0: 3, 500: 3, 501: 3, 502: 3}
 
 
+def test_triangle_broadcast_gate_degrades_to_shuffled_join(spark):
+    """The closing-edge broadcast is GATED on the oriented edge count
+    (r11 advice: the fits-in-executor-memory fallback must be a real
+    code path, not prose). With broadcast_edge_limit=0 the plan must
+    drop the broadcast hint (the optimizer may still pick its own
+    strategy at runtime — the gate controls the HINT, i.e. the
+    guaranteed-broadcast regime) and counts must be identical."""
+    from big_data_programming_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tri_pendant = [(10, 11), (11, 12), (10, 12), (12, 13)]
+    df = spark.createDataFrame(k4 + tri_pendant, "src long, dst long")
+    hinted = triangle_counts(df)
+    shuffled = triangle_counts(df, broadcast_edge_limit=0)
+    # the hint is visible in the analyzed logical plan only when given
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
+    assert (
+        "broadcast"
+        not in shuffled._jdf.queryExecution().analyzed().toString().lower()
+    )
+    expect = {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
+    assert {r["node"]: r["n_triangles"] for r in hinted.collect()} == expect
+    assert {r["node"]: r["n_triangles"] for r in shuffled.collect()} == expect
+
+
 def test_pagerank_partition_invariant_and_sane(spark):
     """The decimal-canon contribution sums must make PageRank
     bit-identical at different partition counts, and a node with more
