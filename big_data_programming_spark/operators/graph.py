@@ -398,10 +398,20 @@ def label_propagation(
 
 
 def label_propagation_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`label_propagation`."""
+    """Unrolled-CTE DuckDB twin of :func:`label_propagation`.
+
+    ``raw_edges``/``und`` are MATERIALIZED (round 11): ``und`` is
+    referenced once per unrolled round, and DuckDB otherwise INLINES
+    the full upstream edge pipeline per reference — for g5 that is
+    the whole jaccard-pairs computation, 5+ times over. This is the
+    oracle-side mirror of the Spark operator's own eager edge
+    checkpoint (the r9 fix above) and of the g1/g4 oracles'
+    ``AS MATERIALIZED`` hygiene; without it the r11 sf0.1 spot-run
+    died spilling >79 GB of DuckDB temp to disk (ENOSPC, measured)
+    after r9's attempt expired a 13-minute box."""
     parts = [
-        f"WITH raw_edges AS ({edges_sql}),",
-        """und AS (
+        f"WITH raw_edges AS MATERIALIZED ({edges_sql}),",
+        """und AS MATERIALIZED (
   SELECT src AS a, dst AS b FROM raw_edges WHERE src <> dst
   UNION
   SELECT dst AS a, src AS b FROM raw_edges WHERE src <> dst
