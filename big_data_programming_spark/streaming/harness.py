@@ -119,11 +119,16 @@ def drain(df: DataFrame, output_mode: str) -> DataFrame:
     # State-store partition count is fixed per query at first start from
     # spark.sql.shuffle.partitions. The fixture state (thousands of
     # windows/sessions) fits comfortably in few partitions, and each
-    # state partition costs checkpoint files per micro-batch — so start
-    # the bounded drain with a small count and restore the session conf
-    # after. Pure overhead tuning: partition count never changes results.
+    # state partition costs checkpoint files + a store instance per
+    # micro-batch — so start the bounded drain with a small count and
+    # restore the session conf after. Pure overhead tuning: partition
+    # count never changes results. r11 measurement at sf0.1: 8 -> 2
+    # cuts st1 ~1.06 s -> ~0.9 s and st10 (stream-stream join, four
+    # store instances per partition) 2.7-2.9 s -> ~1.9 s. A production
+    # stream sizes this to state volume/throughput, not to the bounded
+    # fixture drain.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             df.writeStream.format("memory")
