@@ -69,7 +69,14 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "5000")
         # --- Python/JVM boundary: Arrow everywhere it applies ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 50k-row Arrow batches (r11, guide §4.2): larger batches
+        # amortize the per-batch JVM↔Python transpose for narrow
+        # numeric data — measured ud2/ud6 medians drop ~15-35% vs the
+        # 10k default. Spark 4's maxBytesPerBatch (default 64 MB)
+        # still byte-bounds batches of wide rows (document text,
+        # multimodal payloads), so the record cap only governs narrow
+        # rows — raising it does not grow worst-case batch memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # local[32] has 128 GiB to play with; give the single JVM room so
         # sf0.1 benches never spill for lack of driver heap.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
