@@ -123,13 +123,19 @@ def l4c_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-lite term ranking: top-5 distinguishing terms per lang.
 
     Single-pass shape: the corpus is tokenized/exploded ONCE into
-    per-(doc, token) counts (one shuffle over the exploded rows, with
-    map-side combine shrinking it to distinct tokens per doc); both tf
-    and df then derive from that small pre-aggregate. The naive
-    formulation explodes the corpus twice (once for tf, once for df) —
-    at 100 TB that's a second full tokenization pass and a second
-    corpus-sized shuffle, which this plan avoids. (Each doc has one
-    lang, so per-(doc,token) rows are already distinct for df.)"""
+    per-(doc, token) counts, which one more aggregation folds to the
+    (lang, token) grain carrying BOTH sums: term_freq and the per-slice
+    doc count. tf is that table; df derives from it by a second, tiny
+    (token-grain) aggregation — each doc has exactly one lang, so
+    doc_freq(token) = Σ_lang per-(lang,token) doc counts. The naive
+    formulation explodes the corpus twice (once for tf, once for df);
+    the r9-era fix shared the per-doc pre-aggregate between the tf and
+    df subtrees, but column pruning specializes the two copies (df's
+    drops cnt) so runtime exchange reuse never fires — measured r11:
+    THREE executed scans / two full tokenize passes. Deriving df from
+    the (lang,token) aggregate makes the single corpus pass structural:
+    2 executed scans (corpus once + the skinny n_docs count), no
+    materialization needed."""
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))  # 1-row dim, broadcast
     per_doc = (
@@ -137,8 +143,21 @@ def l4c_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tf = per_doc.groupBy("lang", "token").agg(F.sum("cnt").alias("term_freq"))
-    df = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # Eager lineage cut (the g1/g3/l5j idiom): tf and df both consume
+    # this vocab-sized table, and WITHOUT the cut the optimizer's
+    # column pruning specializes each consumer's copy of the aggregate
+    # (tf keeps term_freq, df keeps slice_docs), so the subtrees stop
+    # being identical, exchange reuse never fires, and the corpus is
+    # tokenized twice (measured: 3 executed scans / 2 Generate nodes).
+    # Materializing ≈|vocab|×|langs| rows once makes the single corpus
+    # pass structural: 2 executed scans, runtime-pinned in
+    # tests/test_plans.py.
+    lang_token = per_doc.groupBy("lang", "token").agg(
+        F.sum("cnt").alias("term_freq"),
+        F.count(F.lit(1)).alias("slice_docs"),
+    ).localCheckpoint(eager=True)
+    tf = lang_token.select("lang", "token", "term_freq")
+    df = lang_token.groupBy("token").agg(F.sum("slice_docs").alias("doc_freq"))
     scored = (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))

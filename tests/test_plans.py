@@ -1006,3 +1006,30 @@ def test_l5k_family_runtime_scan_reuse():
         assert n_gate <= 7, n_gate
     finally:
         S.release_caches(spark)
+
+
+def test_l4c_tfidf_single_corpus_pass():
+    """l4c (r11 optimization): tf and df must derive from ONE tokenize
+    pass. The r9-era shape shared the per-doc pre-aggregate between
+    the tf and df subtrees, but column pruning specializes each copy
+    (df's drops cnt), exchange reuse never fires, and the corpus was
+    tokenized twice — measured at the runtime level: 3 executed scans.
+    The fix folds both term_freq and the per-slice doc count into one
+    (lang, token) aggregate and cuts its lineage eagerly, so the only
+    remaining scans are the corpus pass and the skinny n_docs count.
+    Counted DURING construction because the eager localCheckpoint runs
+    its scan in its own SQL execution."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.plans import (
+        evaluate_fully,
+        executed_parquet_scan_count_during,
+    )
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    S.release_caches(spark)
+    n = executed_parquet_scan_count_during(
+        spark,
+        lambda: evaluate_fully(catalog()["l4c_tfidf_top_terms"].fn(spark, SF_DIR)),
+    )
+    assert n == 2, n
