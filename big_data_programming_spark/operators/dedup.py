@@ -143,28 +143,39 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     """SimHash signature over token hashes: for each bit position, sum
     +1/-1 votes across the document's distinct tokens; the sign vector
     is the signature (emitted as a bit string — near-duplicate docs
-    differ in few positions). Expressed as explode(token)×explode(bit)
-    → one hash aggregate; at scale the fan-out is |tokens|×bits rows of
-    a few bytes, all map-side combined."""
+    differ in few positions).
+
+    Plan shape (r11 optimization): ``bits`` conditional integer sums in
+    ONE per-doc hash aggregate — explode(token) → groupBy(doc). The
+    previous shape exploded a second time (×bits rows), aggregated by
+    (doc, bit), and needed a second exchange plus an ObjectHashAggregate
+    (collect_list + array_sort) to assemble the signature; measured at
+    sf0.1 the rewrite removes that exchange and the ×16 row fan-out
+    (2 Exchange → 1, ObjectHashAggregate → none). Votes are exact
+    integer sums either way, so the signature is bit-identical."""
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
     ).select(id_col, _token_hash60(F.col("token")).alias("h"))
-    votes = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
-    )
-    bit_signs = votes.groupBy(id_col, "bit").agg(
-        F.when(F.sum("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
-    )
-    return bit_signs.groupBy(id_col).agg(
-        F.concat_ws(
-            "", F.transform(F.array_sort(F.collect_list(F.struct("bit", "b"))), lambda s: s.b)
-        ).alias("simhash_bits")
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        .alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    return (
+        toks.groupBy(id_col)
+        .agg(*bit_cols)
+        .select(
+            id_col,
+            F.concat(*[F.col(f"_b{b}") for b in range(bits)]).alias("simhash_bits"),
+        )
     )
 
 
