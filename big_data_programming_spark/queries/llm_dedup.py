@@ -284,8 +284,14 @@ def l2f_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
     )
     pairs = lft.join(rgt, ["blk"]).filter(F.col("doc_a") < F.col("doc_b"))
-    dist = F.levenshtein(F.col("ta"), F.col("tb"))
-    return pairs.filter(dist <= 5).select(
+    # Banded Levenshtein (r11 optimization): with the threshold passed
+    # in, Spark computes only the |i-j| <= 5 diagonal band and returns
+    # -1 for anything beyond — O(len·k) per candidate instead of
+    # O(len²), and the verify filter is where all of this query's CPU
+    # goes (every candidate pays it; survivors' distances are returned
+    # exactly, so kept rows and emitted values are identical).
+    dist = F.levenshtein(F.col("ta"), F.col("tb"), 5)
+    return pairs.filter(dist >= 0).select(
         "doc_a", "doc_b", dist.cast("int").alias("edit_dist")
     )
 
