@@ -235,29 +235,36 @@ WITH toks AS (
 
 
 def _simhash_int(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """(doc_id, sig BIGINT) — int-packed SimHash (twin of _SIG_SQL)."""
+    """(doc_id, sig BIGINT) — int-packed SimHash (twin of _SIG_SQL).
+
+    Same r11 plan shape as operators/dedup.py:simhash: ``bits``
+    conditional integer sums in ONE per-doc hash aggregate, signature
+    packed by a plain projection — instead of the old explode(bit)
+    fan-out with a second (doc, bit)→doc exchange. Votes are exact
+    integer sums either way, so signatures are bit-identical."""
     from big_data_programming_spark.operators.dedup import _token_hash60, tokenize
 
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token"),
     ).select("doc_id", _token_hash60(F.col("token")).alias("h"))
-    votes = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn("vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
-    signs = votes.groupBy("doc_id", "bit").agg(
+    bit_cols = [
         F.when(
-            # shiftleft() takes a literal count in the classic API;
-            # expr() accepts the column-valued bit position.
-            F.sum("vote") > 0,
-            F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b).cast("long"),
         )
         .otherwise(F.lit(0).cast("long"))
-        .alias("bitval")
-    )
-    return signs.groupBy("doc_id").agg(F.sum("bitval").cast("long").alias("sig"))
+        .alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    packed = toks.groupBy("doc_id").agg(*bit_cols)
+    expr = F.col(packed.columns[1])
+    for c in packed.columns[2:]:
+        expr = expr + F.col(c)
+    return packed.select("doc_id", expr.cast("long").alias("sig"))
 
 
 @register(
