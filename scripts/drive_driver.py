@@ -148,7 +148,12 @@ SF01_QUADRATIC_TIER = {
     # (round 10, --sf): 126.2 s total, match — the peel rounds
     # iterate the DEDUPED edge list with degree aggregates, cheaper
     # than routine-sweep members l2i (420 s) and l2 (315 s).
-    "g5_label_propagation",
+    # g5_label_propagation was REMOVED in the r11 OPTIMIZATION round:
+    # its rotation-slot sf0.1 box (the one the interrupted build
+    # session never landed) completed in 220.9 s, match — the
+    # r11-build AS MATERIALIZED oracle hygiene fixed what timed out
+    # r9's 13-min box; cheaper than routine members l2i/l2, so it
+    # joins the routine sweep by the g3/g4 precedent.
 }
 
 
