@@ -112,6 +112,15 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     env = _settle()
     spark = get_spark("bdps-bench", cpus=DEFAULT_CPUS)
+    # Parallelism self-evidence (r12, the r11 verdict's contract item):
+    # record the EFFECTIVE master / shuffle partitions / resolved cpu
+    # count in the JSON line, so a scaling probe can verify from the
+    # artifact alone that $SPARK_GRAFT_CPUS reached the session instead
+    # of inferring it from timing ratios (which are overhead-dominated
+    # at fixture scale).
+    env["master"] = spark.conf.get("spark.master")
+    env["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
+    env["cpus"] = DEFAULT_CPUS
     cat = catalog()
     suite = [n for n in HEADLINE if n in cat]
 

@@ -261,9 +261,12 @@ def _simhash_int(docs: DataFrame, bits: int = 16) -> DataFrame:
         for b in range(bits)
     ]
     packed = toks.groupBy("doc_id").agg(*bit_cols)
-    expr = F.col(packed.columns[1])
-    for c in packed.columns[2:]:
-        expr = expr + F.col(c)
+    # Sum the explicit _v{b} columns (not positional slices of
+    # packed.columns — the r11 advisor's fragility catch); bit values
+    # are disjoint powers of two, so + is exact OR.
+    expr = F.col("_v0")
+    for b in range(1, bits):
+        expr = expr + F.col(f"_v{b}")
     return packed.select("doc_id", expr.cast("long").alias("sig"))
 
 
@@ -319,7 +322,19 @@ def lm5_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     is a single bit_count(xor) per candidate, so the screen is bounded
     by candidate count, not corpus size."""
     docs = load(spark, sf_dir, "documents")
-    sigs = _simhash_int(docs)
+    # Materialize the signature table ONCE (r12 optimization, guide
+    # §2.4/§5 — the l4c/clustering.py idiom): the four band joins
+    # consume `sigs` on BOTH sides (hist + new), and column pruning
+    # specializes each consumer's copy of the aggregate so exchange
+    # reuse never fires — measured on the r11 tree as 16 executed
+    # corpus scans / 16 tokenize Generates for ONE query. The
+    # checkpoint cuts that to a single tokenize+aggregate pass over a
+    # (doc_id, sig) table of 16 bytes/row; every downstream join reads
+    # the materialized rows. Per-call, inside the timed region — not
+    # cross-run caching. localCheckpoint pins executor storage and is
+    # non-fault-tolerant; a cluster job with lineage-recovery needs
+    # would use a reliable checkpoint dir instead (graph.py:115).
+    sigs = _simhash_int(docs).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id",
         "sig",

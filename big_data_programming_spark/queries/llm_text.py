@@ -151,7 +151,15 @@ def l4c_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized twice (measured: 3 executed scans / 2 Generate nodes).
     # Materializing ≈|vocab|×|langs| rows once makes the single corpus
     # pass structural: 2 executed scans, runtime-pinned in
-    # tests/test_plans.py.
+    # tests/test_plans.py. eager=True is load-bearing: a lazy checkpoint
+    # only materializes AFTER the first job, so the first action would
+    # still compute both consumer branches from lineage (3 scans).
+    # Costs (r11 advisor, accepted): plan-only consumers (explain,
+    # profilers) pay the corpus pass at construction, and the
+    # checkpointed blocks are released by driver GC, not
+    # catalog.clearCache — acceptable for a vocab-sized table; a
+    # cluster job with fault-tolerance needs would use a reliable
+    # checkpoint dir instead (graph.py idiom).
     lang_token = per_doc.groupBy("lang", "token").agg(
         F.sum("cnt").alias("term_freq"),
         F.count(F.lit(1)).alias("slice_docs"),

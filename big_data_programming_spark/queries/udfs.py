@@ -153,7 +153,12 @@ def ud4_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    o = load(spark, sf_dir, "orders")
+    # Project BEFORE the grouped map (r12, guide §4.1): applyInPandas is
+    # opaque to column pruning — without the select, all six orders
+    # columns (incl. o_orderstatus/o_orderdate/o_orderpriority strings)
+    # are read from parquet, shuffled by o_custkey, and shipped through
+    # the Arrow boundary; the function touches three.
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return o.groupBy("o_custkey").applyInPandas(
         minmax,
         schema="o_custkey long, o_orderkey long, o_totalprice double, price_minmax double",
@@ -213,7 +218,10 @@ def ud6_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    e = load(spark, sf_dir, "events")
+    # Project BEFORE the opaque map (r12, guide §4.1): mapInPandas ships
+    # every column of its input — without the select, ts and event_type
+    # are read from parquet and cross the Arrow boundary unused.
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value", "props")
     return e.mapInPandas(
         parse, schema="event_id long, user_id long, k long, value_cents long"
     )

@@ -63,12 +63,14 @@ def main() -> None:
     def drain(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # warm-up pass (bench protocol)
+    # warm-up pass (bench protocol); report failures instead of letting
+    # them resurface as confusing timed-drain errors (r11 advisor)
     for n in names:
         try:
             drain(cat[n].fn(spark, sf_dir))
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            print(f"warm-up FAILED for {n}: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
 
     out = {}
     for n in names:

@@ -1033,3 +1033,48 @@ def test_l4c_tfidf_single_corpus_pass():
         lambda: evaluate_fully(catalog()["l4c_tfidf_top_terms"].fn(spark, SF_DIR)),
     )
     assert n == 2, n
+
+
+def test_lm5_single_signature_pass():
+    """lm5 (r12 optimization): the four band joins consume the simhash
+    signature table on BOTH sides (hist + new), and column pruning
+    specializes each consumer's copy so exchange reuse never fires —
+    measured on the r11 tree: 16 executed corpus scans / 16 tokenize
+    Generates for one query. The eager localCheckpoint of the
+    (doc_id, sig) table makes the single tokenize+aggregate pass
+    structural: exactly 1 executed parquet scan (the checkpoint build;
+    every join consumer reads materialized rows). Counted DURING
+    construction because the eager checkpoint runs in its own SQL
+    execution (the l4c pin's idiom)."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.plans import (
+        evaluate_fully,
+        executed_parquet_scan_count_during,
+    )
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    S.release_caches(spark)
+    n = executed_parquet_scan_count_during(
+        spark,
+        lambda: evaluate_fully(
+            catalog()["lm5_incremental_simhash_dedup"].fn(spark, SF_DIR)
+        ),
+    )
+    assert n == 1, n
+
+
+def test_grouped_map_boundaries_prune_columns():
+    """ud4/ud6 (r12 optimization, guide §4.1): applyInPandas and
+    mapInPandas are opaque to column pruning, so the explicit select
+    before the boundary is the only thing keeping unused columns out
+    of the scan, the shuffle, and the Arrow crossing. Pin the scan's
+    ReadSchema to exactly the needed columns."""
+    import big_data_programming_spark.session as S
+    from big_data_programming_spark.registry import catalog
+
+    spark = S.get_spark("plan-tests", cpus=8)
+    ud4 = catalog()["ud4_grouped_map"].fn(spark, SF_DIR)
+    assert set(scan_read_columns(ud4)) == {"o_custkey", "o_orderkey", "o_totalprice"}
+    ud6 = catalog()["ud6_map_in_pandas"].fn(spark, SF_DIR)
+    assert set(scan_read_columns(ud6)) == {"event_id", "user_id", "value", "props"}
