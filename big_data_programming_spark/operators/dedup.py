@@ -46,6 +46,34 @@ def exact_dedup_keys(docs: DataFrame, text_col: str = "text") -> DataFrame:
 MAX_TOKEN_DF = 100_000
 
 
+def spread_fanout_input(docs: DataFrame, id_col: str) -> DataFrame:
+    """Guarantee cluster-wide parallelism before a quadratic fan-out
+    (r12 optimization, guide §2.5 — "one huge unsplittable file …
+    repartition immediately after the read").
+
+    The exact pairwise ops below explode each doc into shingles and
+    fan every shingle out to its f join matches; ALL of that work runs
+    in the *scan task* (the verify join broadcasts one side, so there
+    is no exchange to redistribute it). When the input yields fewer
+    scan partitions than the cluster has slots — one small/unsplittable
+    file; the sf0.1 fixture is ONE 594 KB parquet = ONE task — the
+    entire fan-out serializes on one core while the rest idle: measured
+    l2g at sf0.1 = 236 s single-task vs 8 s spread over 32 cores (the
+    769M-row intersection count behind it is the same either way).
+
+    A deterministic hash repartition on the doc id (not round-robin:
+    no sort-before-repartition, retry-stable — §2.5) costs one exchange
+    of the PRE-explode doc rows, negligible beside the fan-out, and is
+    skipped entirely whenever the scan already carries >= cluster
+    parallelism — every real-scale table — so 100 TB plans are
+    unchanged."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    return docs.repartition(target, F.col(id_col))
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -72,6 +100,7 @@ def jaccard_pairs(
     only on non-oracle paths. Dropping a >100k-df token barely moves
     Jaccard for near-dup purposes: such tokens are stopwords shared by
     essentially every candidate pair."""
+    docs = spread_fanout_input(docs, id_col)
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
@@ -391,6 +420,7 @@ def minhash_band_candidates(
     exact-Jaccard ground truth): distinct ``(doc_a, doc_b)`` pairs
     agreeing on all slots of >= 1 LSH band — before any exact
     verification. Twin of :func:`minhash_band_candidates_sql`."""
+    docs = spread_fanout_input(docs, id_col)
     sig = minhash_signatures(
         docs, num_hashes=num_hashes, text_col=text_col, id_col=id_col
     )
@@ -436,29 +466,45 @@ def minhash_banded_pairs(
     J=0.5, >99.9% at J=0.7; missed borderline pairs are missed
     IDENTICALLY by the oracle, because the hash constants are shared
     literals — the oracle certifies cross-engine determinism of the
-    full pipeline (recall vs ground truth is l2n's audit)."""
+    full pipeline (recall vs ground truth is l2n's audit).
+
+    Verify stage (r12 optimization, guide §2.3/§3.3 — do not explode
+    before a join): the old shape exploded every candidate doc's
+    tokens and re-joined on (doc, token) — at sf0.1 that is 11.65M
+    candidate pairs × ~40 tokens ≈ 470M skinny rows through TWO hash
+    joins (measured 29 s of the query's 61). Attaching each side's
+    distinct-token ARRAY instead and intersecting in-row
+    (``size(array_intersect(..))``, whole-stage codegen — the l2f
+    banded-verify idiom) computes the identical |A∩B|: both arrays are
+    array_distinct outputs, so the intersection cardinality IS the
+    shared-token count, and |A| rides along as ``size(ts)`` with no
+    separate sizes aggregate. Two joins carrying 11.65M array-bearing
+    rows replace two joins carrying 470M exploded rows; output values
+    are bit-identical (integer count, same ratio arithmetic)."""
+    docs = spread_fanout_input(docs, id_col)
     cand = minhash_band_candidates(
         docs, num_hashes=num_hashes, rows_per_band=rows_per_band,
         text_col=text_col, id_col=id_col,
     )
-    toks = docs.select(
+    tok_sets = docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+        F.array_distinct(tokenize(F.col(text_col))).alias("ts"),
     )
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
-    ta = toks.select(F.col("doc").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc").alias("doc_b"), "token")
-    shared = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    sa = tok_sets.select(
+        F.col("doc").alias("doc_a"), F.col("ts").alias("ts_a"),
+        F.size("ts").alias("n_a"),
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    sb = tok_sets.select(
+        F.col("doc").alias("doc_b"), F.col("ts").alias("ts_b"),
+        F.size("ts").alias("n_b"),
+    )
     return (
-        shared.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_shared").cast("double")
@@ -586,6 +632,7 @@ def ngram_jaccard_pairs(
     bit-for-bit. Exact-but-quadratic worst case, like jaccard_pairs:
     the 100 TB production path is MinHash-LSH banding; this is the
     n-gram ground truth it is recall-tested against."""
+    docs = spread_fanout_input(docs, id_col)
     grams = docs.filter(F.length(F.col(text_col)) >= n).select(
         F.col(id_col).alias("doc"),
         F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
@@ -657,6 +704,7 @@ def ngram_containment_pairs(
     so the two measures share one candidate pass in a fused
     deployment. Exact-but-quadratic ground truth like its Jaccard
     twin; the LSH-banded path is the production route."""
+    docs = spread_fanout_input(docs, id_col)
     grams = docs.filter(F.length(F.col(text_col)) >= n).select(
         F.col(id_col).alias("doc"),
         F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),

@@ -235,8 +235,14 @@ def l4i_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is a map-side hash probe over the training corpus — no
     corpus-wide shuffle. The per-(doc, shingle) count aggregate is the
     only exchange, and only matched rows (rare in real corpora) reach
-    it."""
-    d = load(spark, sf_dir, "documents")
+    it. spread_fanout_input (r12, guide §2.5) redistributes the doc
+    rows when the scan yields fewer partitions than the cluster has
+    slots (the single-file fixture = ONE task for the whole shingle
+    explode + probe — measured 3.9 s single-task vs 2.2 s spread at
+    sf0.1); a no-op at real scale."""
+    from big_data_programming_spark.operators.dedup import spread_fanout_input
+
+    d = spread_fanout_input(load(spark, sf_dir, "documents"), "doc_id")
     toks = tokenize(F.col("text"))
     shingles = F.array_distinct(shingle_hashes(toks, _DECON_K))
     shingled = d.select("doc_id", shingles.alias("sh"))

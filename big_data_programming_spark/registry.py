@@ -86,56 +86,59 @@ _QUERY_MODULES = (
 PROMOTE = -1
 DEFER = 10_000
 
-#: ROUND 11 driver window — the central rotation list. Names here sort
+#: ROUND 12 driver window — the central rotation list. Names here sort
 #: before every module (rank PROMOTE), overriding any per-query
 #: ``window_rank``; within the set, order is (module rank, seq), so the
 #: window composition is still a pure function of the source tree.
 #: Edit THIS set (only) when rotating; keep len == 50 == the driver's
 #: correctness-window size. Names must be copied exactly from
 #: ``list(catalog())`` — scripts/check_window.py asserts membership.
-#: Composition = check_window.py's suggested r11 rotation at r10 close
-#: (0 never-checked + the 50 stalest: the r4-era similarity/dedup
-#: family incl. the rolled-over l2d/l2e, the l3 similarity ladder,
-#: l6 multimodal, graph g2-g5, dq1-dq7, the full UD family ud1-ud11 —
-#: the stalest §2-core family, pulled forward per the r10 verdict —
-#: and sk1), MINUS its newest-stale tail entry (sk2_salted_join,
-#: rolls to r12), PLUS the query whose semantics change in round 11
-#: and therefore needs a same-round driver row (the standing
-#: invariant): l2c_minhash_lsh (Spark-ML twin re-scoped to a
-#: deterministic hash-selected shard so it completes at sf0.1).
+#: Composition (optimization round 2): FIRST every query whose plan was
+#: rewritten in the r11 or r12 optimization rounds (the standing
+#: same-round-slot invariant, ordered by the r11 verdict's item 2) —
+#: the r11 simhash/tfidf rewrites l2b/l4c/l5c/l5j/lm5 that sat outside
+#: the r11 rotation, the r12 spread_fanout_input consumers (jaccard/
+#: ngram/minhash pair ops and their graph/cluster consumers), the r12
+#: l2i in-row verify, the pruned grouped-map boundaries ud4/ud6, and
+#: the NEW l2g2 bench scaling probe (new queries always enter the
+#: same-round window) — THEN the stalest re-checks from check_window's
+#: suggested r12 rotation (sk2 rolled from r11, the r5/r6-era
+#: streaming family, and the r6-era SQL-surface head). l3e_ivf_topk
+#: rotates OUT this round: its no_oracle adjudication (spark.ml
+#: k-means, rows-only by design, deterministic twin l3f) was
+#: re-affirmed in r11's verdict and OPTIMIZATION_r12.md records the
+#: dated re-adjudication; its semantics are unchanged since r5.
 _WINDOW_PROMOTE: frozenset[str] = frozenset({
-    # --- changed in round 11 (same-round driver row) ---
-    "l2c_minhash_lsh",
-    # --- the 49 stalest re-checks ---
-    # llm dedup remainder (r4-era, incl. the r10 rollovers l2d/l2e)
-    "l2d_dedup_clusters", "l2e_embedding_dedup",
-    "l2f_blocked_fuzzy_pairs", "l2g_ngram_jaccard",
-    "l2d2_cc_two_phase", "l2i_minhash_banded",
-    "l2h_ngram_containment", "l2j_url_canonical_dedup",
-    "l1c_incremental_dedup",
-    # llm similarity ladder (r4/r5-era)
-    "l3_cosine_topk", "l3b_bucketed_near_pairs",
-    "l3c_label_centroid_sim", "l3d_knn_label_vote",
-    "l3f_ivf_probe_topk", "l3e_ivf_topk", "l3g_batch_knn_join",
-    "l3h_random_projection_topk", "l3i_scalar_quantization",
-    "l3j_product_quantization", "l3k_adc_search",
-    # multimodal (r5-era)
-    "l6_multimodal_ingest", "l6b_decode_profile", "l6c_chunk_sampling",
-    "l6d_frame_sample", "l6e_resize_stride", "l6f_shard_manifest",
-    # graph (r5-era; g3's plan changes this round too — checkpoint cut)
-    "g3_recursive_bfs", "g2_pagerank", "g4_kcore",
+    # --- r11-rewritten, verdict item 2 (same-round driver rows) ---
+    "l2b_simhash", "l4c_tfidf_top_terms", "l5c_curation_funnel",
+    "l5j_curation_pipeline", "lm5_incremental_simhash_dedup",
+    # --- r12-rewritten: spread_fanout_input consumers ---
+    "l2_jaccard_near_dup", "l2d_dedup_clusters", "l2d2_cc_two_phase",
+    "l2n_banding_recall_audit", "l2g_ngram_jaccard",
+    "l2h_ngram_containment", "l2i_minhash_banded",
+    "l4i_decontamination",
+    "g1_triangle_counts", "g3_recursive_bfs", "g4_kcore",
     "g5_label_propagation",
-    # data quality (r5-era)
-    "dq1_constraint_checks", "dq2_snapshot_diff", "dq3_partition_drift",
-    "dq4_scd2_intervals", "dq5_category_drift",
-    "dq6_point_in_time_join", "dq7_functional_dependency_profile",
-    # UDF surface (r5-era — stalest §2-core family, r10 verdict item 6)
-    "ud1_row_udf", "ud2_pandas_scalar", "ud3_iterator_pandas",
-    "ud4_grouped_map", "ud5_grouped_agg", "ud6_map_in_pandas",
-    "ud7_python_udtf", "ud8_cogroup", "ud9_map_in_arrow",
-    "ud10_arrow_python_udf", "ud11_polymorphic_udtf",
-    # skew (r5-era; sk2 rolls to r12)
-    "sk1_salted_hot_key_agg",
+    # --- r12-rewritten: Python-boundary column pruning ---
+    "ud4_grouped_map", "ud6_map_in_pandas",
+    # --- NEW in r12: the bench core-scaling probe ---
+    "l2g2_ngram_jaccard_shard",
+    # --- the 30 stalest re-checks (check_window r12 suggestion) ---
+    "sk2_salted_join",
+    "st1_watermark_tumbling", "st2_tumbling_complete",
+    "st3_sliding_complete", "st4_session_window", "st5_stream_dedup",
+    "st6_stateful_user_totals", "st7_stream_static_join",
+    "st9_foreach_batch_sink", "st10_stream_stream_join",
+    "st11_incremental_upsert", "st13_dedup_within_watermark",
+    "st14_checkpoint_recovery", "st16_incremental_agg_maintenance",
+    "st17_python_stream_source", "st18_rocksdb_state_store",
+    "st19_state_store_reader", "st20_update_mode",
+    "st21_dynamic_gap_session", "st22_chained_stateful",
+    "st23_foreach_row_sink", "st24_outer_stream_stream_join",
+    "st25_partitioned_stream_sink", "st26_union_of_streams",
+    "st27_streaming_hll_daily", "st28_streaming_cm_daily",
+    "s21_pipe_syntax", "s22_sql_sugar",
+    "ud12_sql_scalar_udf", "ud13_sql_table_udf",
 })
 
 
