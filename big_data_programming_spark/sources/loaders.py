@@ -30,20 +30,6 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-#: Reader-plan memo (r12 optimization, guide §5 — driver critical path):
-#: one (session, (sf_dir, table)) entry holding the lazy DataFrame
-#: handle. A DataFrame is an immutable *plan*, not data — reusing the
-#: handle re-runs the scan on every action exactly like a fresh
-#: ``spark.read`` would (nothing is persisted, so this is NOT result
-#: caching; every bench/oracle invocation still computes from parquet).
-#: What it removes is the residual per-call py4j round-trips +
-#: DataSource resolution (~9 ms/call after the r11 explicit-schema fix,
-#: × 1-6 load() calls per query constructor). Keyed on the live session
-#: object and reset whenever the session changes, so a restarted
-#: session (tests do this) never sees stale handles.
-_READER_MEMO: tuple[SparkSession | None, dict[tuple[str, str], DataFrame]] = (None, {})
-
-
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """S1 — parquet scan of one fixture table at a scale-factor dir.
 
@@ -54,31 +40,34 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     empirically, no conf or cast needed. Keeping the scan bare also
     preserves filter pushdown into the parquet relation (a
     ``withColumn`` over ``ts`` would block ``PushedFilters`` on it).
+
+    Deliberately NOT memoized (r12 — examined and REJECTED): returning
+    one shared DataFrame handle per (session, sf_dir, table) would save
+    ~9 ms of py4j + DataSource resolution per call, but Dataset
+    IDENTITY is load-bearing in Spark: the observation registry keys on
+    (metric name, dataset id), so two ``observe()`` attachments to the
+    same shared handle collide — the second Observation is silently
+    never registered and its ``get`` blocks forever (reproduced:
+    constructing po2_observed_quality_gate twice on a shared handle
+    hangs the second ``obs.get``; the full test suite hung exactly
+    there). Self-join disambiguation (AMBIGUOUS_SELF_JOIN) is the same
+    hazard class. A fresh Dataset per call is the contract callers
+    already rely on.
     """
-    global _READER_MEMO
     if table not in SCHEMAS:
         raise KeyError(f"unknown fixture table: {table!r}; expected one of {TABLES}")
-    memo_session, memo = _READER_MEMO
-    if memo_session is not spark:  # new/restarted session → fresh memo
-        memo = {}
-        _READER_MEMO = (spark, memo)
-    key = (sf_dir, table)
-    df = memo.get(key)
-    if df is None:
-        path = os.path.join(sf_dir, f"{table}.parquet")
-        # Explicit schema (r11 optimization, guide §1/§5): without it
-        # every load() pays driver-side schema inference — list + open
-        # the file and parse a parquet footer — measured at 70-95 ms per
-        # call vs ~9 ms with the schema declared (25-rep A/B,
-        # exp_schema). The declared schema is asserted identical to the
-        # independently inferred one for all 10 tables
-        # (tests/test_entry.py::test_fixture_schemas_match), so plans
-        # and results are unchanged; at 100 TB this is the difference
-        # between "read one footer per query per table" and "read none"
-        # on the driver.
-        df = spark.read.schema(SCHEMAS[table]).parquet(path)
-        memo[key] = df
-    return df
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # Explicit schema (r11 optimization, guide §1/§5): without it every
+    # load() pays driver-side schema inference — list + open the file
+    # and parse a parquet footer — measured at 70-95 ms per call vs
+    # ~9 ms with the schema declared (25-rep A/B, exp_schema). The
+    # declared schema is asserted identical to the independently
+    # inferred one for all 10 tables
+    # (tests/test_entry.py::test_fixture_schemas_match), so plans and
+    # results are unchanged; at 100 TB this is the difference between
+    # "read one footer per query per table" and "read none" on the
+    # driver.
+    return spark.read.schema(SCHEMAS[table]).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

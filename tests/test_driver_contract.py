@@ -175,15 +175,16 @@ def test_catalog_order_is_structural_not_import_order():
         " catalog, _QUERY_MODULES, _WINDOW_PROMOTE\n"
         "cat = catalog()\n"
         "names = list(cat)\n"
-        # The r11 central rotation set IS the first 50, ordered by module:
+        # The r12 central rotation set IS the first 50, ordered by module:
         "assert set(names[:50]) == _WINDOW_PROMOTE, names[:50]\n"
-        "assert names[0] == 'l3_cosine_topk', names[:3]\n"
-        "assert names[49] == 'l1c_incremental_dedup', names[45:50]\n"
-        "assert names[50] == 'st14_checkpoint_recovery', names[50:53]\n"
-        # Window PROMOTE overrides per-query DEFER ranks (the l3 family
-        # carried DEFER from an earlier round; the central list wins):
-        "assert names[-3:] == ['st10_stream_stream_join',"
-        " 'st11_incremental_upsert', 'st13_dedup_within_watermark'],"
+        "assert names[0] == 'st1_watermark_tumbling', names[:3]\n"
+        "assert names[49] == 'lm5_incremental_simhash_dedup', names[45:50]\n"
+        "assert names[50] == 'st29_streaming_curation_monitor', names[50:53]\n"
+        # Once rotated OUT of the central list, per-query DEFER ranks
+        # apply again (the l3 family carried DEFER from an earlier
+        # round, so it sorts to the catalog tail in r12):
+        "assert names[-3:] == ['l3_cosine_topk',"
+        " 'l3b_bucketed_near_pairs', 'l3c_label_centroid_sim'],"
         " names[-3:]\n"
         "rank = {m: i for i, m in enumerate(_QUERY_MODULES)}\n"
         "eff = [-1 if n in _WINDOW_PROMOTE else"
